@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run graft.Verify
+output against the DuckDB oracle SQL it dumped, compare per query
+(sorted columns by name, sorted rows, exact values)."""
+import json, sys, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    return repr(v)
+
+
+def frame(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_rows, got_cols = got.fetchall(), [d[0] for d in got.description]
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        try:
+            exp = con.execute(sql)
+            exp_rows, exp_cols = exp.fetchall(), [d[0] for d in exp.description]
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {str(e).splitlines()[0]}")
+            n_fail += 1
+            continue
+        gc, gr = frame(got_rows, got_cols)
+        ec, er = frame(exp_rows, exp_cols)
+        if gc != ec:
+            print(f"FAIL {name}: columns differ spark={gc} oracle={ec}")
+            n_fail += 1
+            continue
+        if len(gr) != len(er):
+            print(f"FAIL {name}: rowcount spark={len(gr)} oracle={len(er)}")
+            n_fail += 1
+            continue
+        bad = [i for i, (a, b) in enumerate(zip(gr, er)) if a != b]
+        if bad:
+            i = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(gr)} rows differ; first @{i}:")
+            print(f"   cols : {gc}")
+            print(f"   spark: {gr[i]}")
+            print(f"   duck : {er[i]}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(gr)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column helpers shared across operators. Every helper here has an exact
+  * DuckDB twin in [[OracleSql]]: results must hash-match the driver's
+  * DuckDB oracle, so arithmetic is done in forms that are deterministic
+  * under Spark's shuffle (decimal accumulation, not double accumulation)
+  * and bit-identical across both engines.
+  */
+object Cols {
+
+  /** Exact "money" sum: accumulate in decimal(18,2) (order-independent),
+    * surface as double. A plain sum(double) is non-deterministic under
+    * partition-order variation and would flake the oracle hash compare.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact mean built from the exact sum — double division of identical
+    * operands is bit-identical across engines.
+    */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Revenue term price*(1-rate) in exact decimal: (12,2)*(13,2) -> (26,4). */
+  def revenue(price: Column, rate: Column): Column =
+    price.cast(DecimalType(12, 2)) * (lit(1).cast(DecimalType(12, 2)) - rate.cast(DecimalType(12, 2)))
+
+  /** Exact sum of the decimal revenue term, surfaced as double. */
+  def rsum(price: Column, rate: Column): Column =
+    sum(revenue(price, rate)).cast(DoubleType)
+
+  /** First 60 bits of md5(x) as a non-negative long. Twin:
+    * OracleSql.hex60. The 15-hex-char slice keeps the value positive and
+    * exactly representable in both engines' BIGINT.
+    */
+  def hex60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** hex60 scaled to a uniform double in [0, 1). 2^60 = 1152921504606846976. */
+  def unitHash(c: Column): Column = hex60(c) / lit(1.152921504606846976e18)
+}
+
+/** DuckDB-dialect twins of [[Cols]], used to build `SparkEntry.oracleSql`.
+  * Keep the two objects in lock-step: any drift breaks the hash compare.
+  */
+object OracleSql {
+  def dsum(x: String): String = s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+  def davg(x: String): String = s"(${dsum(x)} / count($x))"
+  def revenue(price: String, rate: String): String =
+    s"(CAST($price AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST($rate AS DECIMAL(12,2))))"
+  def rsum(price: String, rate: String): String =
+    s"CAST(sum(${revenue(price, rate)}) AS DOUBLE)"
+  def hex60(x: String): String = s"(('0x' || substr(md5($x), 1, 15))::BIGINT)"
+  def unitHash(x: String): String = s"(${hex60(x)} / 1152921504606846976.0)"
+}

@@ -1,0 +1,265 @@
+package graft.ops
+
+import graft.{Cols, Q, Tables}
+import graft.functions.VectorFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard with prefix blocking, and
+  * embedding-cosine near-dup via random-hyperplane LSH.
+  *
+  * The fixture corpus has no natural duplicates, so each query first
+  * UNIONs in deterministic synthetic near/exact duplicates (truncated
+  * texts, perturbed vectors) — the same augmentation is in the oracle
+  * SQL, so both engines dedup the identical corpus.
+  *
+  * Scale design: every candidate-generation step is bucket-based (LSH
+  * band keys, simhash bytes, token-prefix blocks) — the only shuffles
+  * are hash-partitioned joins on those bucket keys, never an all-pairs
+  * cross join. Signatures are per-row array expressions computed inside
+  * the scan stage.
+  */
+object DedupOps {
+
+  private val MinhashK = 12 // minhash permutations
+  private val Bands = 6     // LSH bands (rows-per-band = 2)
+  private val SimBits = 32  // simhash width
+
+  // ── shared corpus augmentation (Spark + SQL twins) ────────────────
+
+  /** documents + near-duplicate variants: every 10th doc re-appears
+    * (id + 10,000,000) truncated to its first 4/5 tokens.
+    */
+  def docsAug(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val toks = split(col("text"), " ")
+    val keep = greatest(lit(1), floor(size(toks) * 4 / lit(5.0)).cast(IntegerType))
+    d.select(col("doc_id"), col("text")).union(
+      d.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + lit(10000000L)).as("doc_id"),
+        array_join(slice(toks, lit(1), keep), " ").as("text")))
+  }
+
+  val docsAugSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 10000000 AS doc_id,
+      |       array_to_string(list_slice(string_split(text, ' '), 1,
+      |         greatest(1, CAST(floor(len(string_split(text, ' ')) * 4 / 5.0) AS INTEGER))), ' ') AS text
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** Word 3-gram shingles (distinct), for docs with >= 3 tokens. */
+  private def shingles3(tokens: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(tokens) - 2), i =>
+      concat(element_at(tokens, i), lit(" "),
+        element_at(tokens, i + 1), lit(" "),
+        element_at(tokens, i + 2))))
+
+  private val shingles3Sql =
+    """list_distinct(list_transform(range(1, len(tokens) - 1),
+      |  i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))""".stripMargin
+
+  /** Exact set Jaccard between two distinct-element array columns. */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  private def jaccardSql(a: String, b: String): String =
+    s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / (len($a) + len($b) - len(list_intersect($a, $b)))"
+
+  // ── queries ───────────────────────────────────────────────────────
+
+  val queries: Seq[Q] = Seq(
+
+    // Exact dedup: hash-groupBy on content digest; one shuffle on the
+    // digest, representative = min id. Corpus: documents + exact copies
+    // of every 7th doc.
+    Q("dedup_exact",
+      """WITH dup_aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |)
+        |SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM dup_aug GROUP BY md5(text)""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = d.union(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text")))
+      aug.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // MinHash + banded LSH: per-doc signature = K minima of md5(seed|shingle)
+    // (lexicographic min of hex digests — identical in both engines);
+    // candidates share a band digest; verified with exact Jaccard.
+    Q("dedup_minhash_lsh", {
+      val sig = (0 until MinhashK)
+        .map(j => s"list_min(list_transform(shingles, s -> md5('$j|' || s)))")
+        .mkString("[", ",\n      ", "]")
+      val bandKeys = (0 until Bands)
+        .map(b => s"md5('$b~' || sig[${2 * b + 1}] || sig[${2 * b + 2}])")
+        .mkString("[", ",\n      ", "]")
+      s"""WITH docs_aug AS ($docsAugSql),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM docs_aug),
+         |sh AS (
+         |  SELECT doc_id, $shingles3Sql AS shingles
+         |  FROM tok WHERE len(tokens) >= 3),
+         |mh AS (SELECT doc_id, $sig AS sig FROM sh),
+         |bands AS (SELECT doc_id, unnest($bandKeys) AS band_key FROM mh),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT p.doc_a, p.doc_b, ${jaccardSql("x.shingles", "y.shingles")} AS jaccard
+         |  FROM pairs p JOIN sh x ON p.doc_a = x.doc_id JOIN sh y ON p.doc_b = y.doc_id) t
+         |WHERE jaccard >= 0.5""".stripMargin
+    }) { (s, dir) =>
+      val tok = docsAug(s, dir).select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      val sh = tok.filter(size(col("tokens")) >= 3)
+        .select(col("doc_id"), shingles3(col("tokens")).as("shingles"))
+      val sig = array((0 until MinhashK).map(j =>
+        array_min(transform(col("shingles"), sgl => md5(concat(lit(s"$j|"), sgl))))): _*)
+      val mh = sh.select(col("doc_id"), col("shingles"), sig.as("sig"))
+      val bandKeys = array((0 until Bands).map(b =>
+        md5(concat(lit(s"$b~"), element_at(col("sig"), 2 * b + 1),
+          element_at(col("sig"), 2 * b + 2)))): _*)
+      val bands = mh.select(col("doc_id"), explode(bandKeys).as("band_key"))
+      val pairs = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      pairs
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    },
+
+    // SimHash near-dup: 32-bit signature from md5-derived token hashes;
+    // candidates match on any of the 4 signature bytes; pairs kept at
+    // Hamming distance <= 8.
+    Q("dedup_simhash", {
+      val simhash = (0 until SimBits)
+        .map(b => s"(CASE WHEN list_sum(list_transform(hh, h -> ((h >> $b) & 1)*2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString("CAST((", "\n      + ", ") AS BIGINT)")
+      s"""WITH docs_aug AS ($docsAugSql),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform(list_distinct(string_split(text, ' ')),
+         |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hh
+         |  FROM docs_aug),
+         |sim AS (SELECT doc_id, $simhash AS simhash FROM hs),
+         |bands AS (
+         |  SELECT doc_id, simhash, band_i, (simhash >> (band_i * 8)) & 255 AS band_v
+         |  FROM sim CROSS JOIN (VALUES (0),(1),(2),(3)) t(band_i)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.simhash AS sim_a, b.simhash AS sim_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+         |  FROM pairs) t
+         |WHERE hamming <= 8""".stripMargin
+    }) { (s, dir) =>
+      val hs = docsAug(s, dir).select(col("doc_id"),
+        transform(array_distinct(split(col("text"), " ")), t => Cols.hex60(t)).as("hh"))
+      val simhash = (0 until SimBits).map { b =>
+        val bitSum = aggregate(col("hh"), lit(0L),
+          (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
+        when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _).cast(LongType)
+      val sim = hs.select(col("doc_id"), simhash.as("simhash"))
+      val bandIdx = explode(array((0 until 4).map(i => lit(i)): _*)).as("band_i")
+      val bands = sim.select(col("doc_id"), col("simhash"), bandIdx)
+        .withColumn("band_v", expr("shiftright(simhash, CAST(band_i * 8 AS INT)) & 255"))
+      val pairs = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_i") === col("b.band_i") && col("a.band_v") === col("b.band_v") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+        .distinct()
+      pairs
+        .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+        .filter(col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+    },
+
+    // n-gram (word bigram) Jaccard with token-prefix blocking: pairs
+    // sharing their first 3 tokens are compared exactly.
+    Q("dedup_ngram_jaccard", {
+      val bigrams =
+        "list_distinct(list_transform(range(1, len(tokens)), i -> tokens[i] || ' ' || tokens[i+1]))"
+      s"""WITH docs_aug AS ($docsAugSql),
+         |tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM docs_aug
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |bi AS (
+         |  SELECT doc_id, array_to_string(list_slice(tokens, 1, 3), ' ') AS blk,
+         |         $bigrams AS bigrams
+         |  FROM tok),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         ${jaccardSql("a.bigrams", "b.bigrams")} AS jaccard
+         |  FROM bi a JOIN bi b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.6""".stripMargin
+    }) { (s, dir) =>
+      val tok = docsAug(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+        .filter(size(col("tokens")) >= 3)
+      val bigrams = array_distinct(transform(sequence(lit(1), size(col("tokens")) - 1), i =>
+        concat(element_at(col("tokens"), i), lit(" "), element_at(col("tokens"), i + 1))))
+      val bi = tok.select(col("doc_id"),
+        array_join(slice(col("tokens"), 1, 3), " ").as("blk"),
+        bigrams.as("bigrams"))
+      bi.as("a")
+        .join(bi.as("b"), col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          jaccard(col("a.bigrams"), col("b.bigrams")).as("jaccard"))
+        .filter(col("jaccard") >= 0.6)
+    },
+
+    // Embedding near-dup: random-hyperplane LSH buckets (16 md5-seeded
+    // planes, weights inlined as identical literals in both engines),
+    // exact cosine >= 0.99 within bucket.
+    Q("dedup_embedding", {
+      import VectorFns._
+      s"""WITH emb_aug AS (
+         |  SELECT vec_id, ${sqlToDouble("embedding")} AS emb FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000000 AS vec_id,
+         |         list_transform(${sqlToDouble("embedding")},
+         |           (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END) AS emb
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |v AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq, ${sqlLshBucket("emb")} AS bucket
+         |      FROM emb_aug)
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${sqlCosine(sqlDot("a.emb", "b.emb"), "a.nsq", "b.nsq")} AS cos
+         |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+         |WHERE cos >= 0.99""".stripMargin
+    }) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val embD = VectorFns.toDouble(col("embedding"))
+      val aug = e.select(col("vec_id"), embD.as("emb")).union(
+        e.filter(col("vec_id") % 10 === 0).select(
+          (col("vec_id") + lit(10000000L)).as("vec_id"),
+          transform(embD, (x, i) => when(i === 0, x + lit(0.01)).otherwise(x)).as("emb")))
+      val v = aug.select(col("vec_id"), col("emb"),
+        VectorFns.normSq(col("emb")).as("nsq"),
+        VectorFns.lshBucket(col("emb")).as("bucket"))
+      v.as("a")
+        .join(v.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          VectorFns.cosine(VectorFns.dot(col("a.emb"), col("b.emb")),
+            col("a.nsq"), col("b.nsq")).as("cos"))
+        .filter(col("cos") >= 0.99)
+    },
+  )
+}

@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.{OracleSql => O, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Event-stream operators over the `events` fixture table, all runnable
+  * in batch (the Structured Streaming versions of the same plans live in
+  * graft.streaming and are asserted equivalent in tests). The reference
+  * has no streaming surface (SURVEY.md §2.2) — these are the extended
+  * north-star operators, specified from public Spark semantics:
+  * epoch-aligned tumbling/sliding windows (`window()`), gap-based
+  * sessions (`session_window()`), and a distributed as-of join.
+  */
+object EventOps {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  val queries: Seq[Q] = Seq(
+
+    // ── tumbling window aggregation ─────────────────────────────────
+    // Spark `window(ts, '1 hour')` starts are epoch-aligned, identical
+    // to date_trunc('hour', ts).
+    Q("q_events_tumbling",
+      s"""SELECT date_trunc('hour', ts) AS w_start, event_type,
+         |  count(*) AS n, ${O.dsum("value")} AS total
+         |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), graft.Cols.dsum(col("value")).as("total"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
+    },
+
+    // ── sliding window aggregation (1h window, 15m slide) ───────────
+    // Each event lands in exactly 4 windows whose starts are the four
+    // 15-minute-aligned instants in (ts-1h, ts]. DuckDB mirror:
+    // time_bucket(15min) shifted by k*15min, k=0..3 (both engines align
+    // sub-day buckets to a whole-hour origin).
+    Q("q_events_sliding",
+      s"""SELECT time_bucket(INTERVAL '15 minutes', ts) - (k * INTERVAL '15 minutes') AS w_start,
+         |  event_type, count(*) AS n, ${O.dsum("value")} AS total
+         |FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) offs(k)
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), graft.Cols.dsum(col("value")).as("total"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
+    },
+
+    // ── session windows (30-minute gap) per user ────────────────────
+    // Spark session_window: a session extends while consecutive events
+    // are < gap apart; session end = last ts + gap (half-open). DuckDB
+    // mirror: classic gaps-and-islands with lag + running flag sum.
+    Q("q_events_session",
+      s"""WITH e AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |),
+         |g AS (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |                             ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM e
+         |)
+         |SELECT user_id, min(ts) AS session_start,
+         |       max(ts) + INTERVAL '30 minutes' AS session_end,
+         |       count(*) AS n_events, ${O.dsum("value")} AS total
+         |FROM g GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), graft.Cols.dsum(col("value")).as("total"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"), col("total"))
+    },
+
+    // ── as-of join: latest purchase at-or-before each click ─────────
+    // Distributed single-shuffle plan (no range-join blowup): tag both
+    // sides, union, and carry the last purchase forward with
+    // last_value(ignoreNulls) over (user, ts, tag). Purchases are
+    // first deduped per (user, ts) deterministically (max event_id) so
+    // ties are well-defined; DuckDB mirror is its native ASOF JOIN over
+    // the same deduped side.
+    Q("q_asof_join",
+      """WITH p AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, p.purchase_id, p.ts AS purchase_ts
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
+        .select(col("user_id"), col("ts"), col("purchase_id"),
+          col("ts").as("purchase_ts"), lit(null).cast(LongType).as("event_id"), lit(0).as("tag"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(null).cast(LongType).as("purchase_id"),
+          lit(null).cast("timestamp").as("purchase_ts"), col("event_id"), lit(1).as("tag"))
+      // At equal ts the purchase (tag 0) sorts before the click, so a
+      // same-instant purchase is visible to the click (p.ts <= c.ts).
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionByName(clicks)
+        .withColumn("asof_pid", last(col("purchase_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_pts", last(col("purchase_ts"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_pid").as("purchase_id"), col("asof_pts").as("purchase_ts"))
+    },
+
+    // ── JSON column extraction + aggregation ────────────────────────
+    Q("q_events_json",
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("k_sum"), max("k").as("k_max"))
+    },
+
+    // ── time-bucketed rates: events-per-day stats per type ──────────
+    Q("q_events_daily",
+      s"""SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         |  count(*) AS n, count(DISTINCT user_id) AS users,
+         |  ${O.dsum("value")} AS total
+         |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"),
+          graft.Cols.dsum(col("value")).as("total"))
+    },
+  )
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.{Cols, OracleSql, Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Multimodal-column plumbing: media payloads are opaque BINARY columns
+  * with typed metadata. The container has no image/audio codecs, so the
+  * decode step is a clearly-marked deterministic STUB
+  * ([[StubCodec.decodeMeta]]); everything Spark-side — binary schema,
+  * partition-parallel decode via mapPartitions over a typed Dataset,
+  * frame addressing, stride sampling — is real and tested.
+  *
+  * Fixture media: each document's text bytes act as the payload (same
+  * synthesis in the oracle SQL via encode()), framed in 16-byte chunks.
+  */
+object MultimodalOps {
+
+  val FrameBytes = 16
+  val SampleStride = 4
+
+  /** A media row as a typed Dataset element. */
+  final case class MediaRow(doc_id: Long, content: Array[Byte])
+
+  /** Extracted per-frame record. */
+  final case class Frame(doc_id: Long, frame_idx: Long, frame_off: Long, frame_len: Long)
+
+  /** STUB codec: stands in for an image/audio decoder. Deterministic on
+    * the payload bytes only — a real deployment swaps this object for a
+    * JNI/library-backed implementation with the same signature.
+    */
+  object StubCodec {
+    def decodeMeta(content: Array[Byte]): (Long, Long) = {
+      // fake "width/height" derived from the payload digest
+      val d = java.security.MessageDigest.getInstance("MD5").digest(content)
+      val hex = d.map("%02x".format(_)).mkString
+      val v = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      (v % 640 + 1, v % 480 + 1)
+    }
+
+    def frames(content: Array[Byte], stride: Int): Iterator[(Long, Long, Long)] = {
+      val nFrames = (content.length + FrameBytes - 1) / FrameBytes
+      Iterator.range(0, nFrames, stride).map { i =>
+        val off = i.toLong * FrameBytes
+        (i.toLong, off, math.min(FrameBytes.toLong, content.length - off))
+      }
+    }
+  }
+
+  /** documents.text -> BINARY payload column (the multimodal schema). */
+  def pack(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+
+  /** Partition-parallel decode over a typed Dataset — the real plumbing
+    * a Pandas-UDF / mapInPandas path would use, with the codec stubbed.
+    */
+  def decodeFrames(media: Dataset[MediaRow], stride: Int = SampleStride): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { row =>
+      StubCodec.frames(row.content, stride).map { case (idx, off, len) =>
+        Frame(row.doc_id, idx, off, len)
+      }
+    })
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // Binary metadata extraction: payload size + stub-decoded dims +
+    // frame accounting, all expression-level (md5 of the payload text —
+    // same digest both engines).
+    Q("mm_meta",
+      s"""SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  CAST(${OracleSql.hex60("text")} % 640 + 1 AS BIGINT) AS width,
+         |  CAST(${OracleSql.hex60("text")} % 480 + 1 AS BIGINT) AS height,
+         |  CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT) AS n_frames,
+         |  CAST(floor((CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT) + 3) / 4.0) AS BIGINT) AS n_sampled
+         |FROM documents""".stripMargin) { (s, dir) =>
+      val nBytes = expr("octet_length(text)").cast(LongType)
+      val nFrames = ceil(nBytes / lit(16.0)).cast(LongType)
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        nBytes.as("n_bytes"),
+        (Cols.hex60(col("text")) % 640 + 1).cast(LongType).as("width"),
+        (Cols.hex60(col("text")) % 480 + 1).cast(LongType).as("height"),
+        nFrames.as("n_frames"),
+        floor((nFrames + 3) / lit(4.0)).cast(LongType).as("n_sampled"))
+    },
+
+    // Frame sampling: every 4th 16-byte frame of each payload, exploded
+    // to one row per sampled frame (the distributed shape a video
+    // frame-sampler produces).
+    Q("mm_frame_sample",
+      """SELECT doc_id,
+        |  unnest(range(0, CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT), 4)) AS frame_idx,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val nBytes = expr("octet_length(text)").cast(LongType)
+      val nFrames = ceil(nBytes / lit(16.0)).cast(LongType)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), nFrames - 1, lit(4L))).as("frame_idx"),
+          nBytes.as("n_bytes"))
+    },
+  )
+}

@@ -1,0 +1,282 @@
+package graft.ops
+
+import graft.{Cols, OracleSql => O, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampType}
+
+/** Relational breadth beyond the reference's own surface (which has only
+  * count/join/anti-join — SURVEY.md §2.2): aggregation, windows,
+  * rollup/cube, set ops, top-k, scalar functions, semi joins, pivot,
+  * subqueries. Each query is declarative DataFrame API so Catalyst gets
+  * filter pushdown / column pruning / join selection for free, and every
+  * aggregate over doubles accumulates in decimal (Cols.dsum) so results
+  * are deterministic under shuffle — required for the oracle hash match
+  * and a correctness property at any scale.
+  */
+object RelationalOps {
+
+  private def ts(s: String) = lit(s).cast(TimestampType)
+
+  val queries: Seq[Q] = Seq(
+
+    // ── group-by aggregation (TPC-H Q1 flavor) ──────────────────────
+    Q("q1_agg",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${O.dsum("l_quantity")} AS sum_qty,
+         |  ${O.dsum("l_extendedprice")} AS sum_base_price,
+         |  ${O.rsum("l_extendedprice", "l_discount")} AS sum_disc_price,
+         |  ${O.davg("l_quantity")} AS avg_qty,
+         |  ${O.davg("l_extendedprice")} AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Cols.dsum(col("l_quantity")).as("sum_qty"),
+          Cols.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Cols.rsum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          Cols.davg(col("l_quantity")).as("avg_qty"),
+          Cols.davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ── join + group + deterministic top-k (TPC-H Q3 flavor) ────────
+    Q("q3_topk",
+      s"""SELECT o_orderkey, ${O.rsum("l_extendedprice", "l_discount")} AS revenue,
+         |       o_orderdate, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15'
+         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      val customer = Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val orders = Tables.load(s, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15"))
+      val lineitem = Tables.load(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-03-15"))
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("c_custkey") === col("o_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(Cols.rsum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+
+    // ── multi-way star join with broadcast dims (TPC-H Q5 flavor) ───
+    Q("q5_starjoin",
+      s"""SELECT n_name, ${O.rsum("l_extendedprice", "l_discount")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders").filter(col("o_orderdate") >= ts("1996-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(Cols.rsum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+    },
+
+    // ── window: per-group top-k by row_number ───────────────────────
+    Q("q_window_rank",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast(LongType).as("rk"))
+        .filter(col("rk") <= 3)
+    },
+
+    // ── window: running sum (exact decimal), lag/lead ───────────────
+    Q("q_window_running",
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |  lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val ord = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(run).cast(DoubleType).as("running_spend"),
+        lag(col("o_totalprice"), 1).over(ord).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(ord).as("next_price"))
+    },
+
+    // ── rollup with grouping id ─────────────────────────────────────
+    Q("q_rollup",
+      s"""SELECT c_mktsegment, c_nationkey,
+         |  CAST(grouping(c_mktsegment, c_nationkey) AS BIGINT) AS gid,
+         |  count(*) AS n, ${O.dsum("c_acctbal")} AS bal
+         |FROM customer
+         |GROUP BY ROLLUP(c_mktsegment, c_nationkey)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .rollup("c_mktsegment", "c_nationkey")
+        .agg(grouping_id().cast(LongType).as("gid"),
+          count(lit(1)).as("n"),
+          Cols.dsum(col("c_acctbal")).as("bal"))
+        .select("c_mktsegment", "c_nationkey", "gid", "n", "bal")
+    },
+
+    // ── cube ────────────────────────────────────────────────────────
+    Q("q_cube",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  count(*) AS n, ${O.dsum("l_quantity")} AS qty
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast(LongType).as("gid"),
+          count(lit(1)).as("n"),
+          Cols.dsum(col("l_quantity")).as("qty"))
+        .select("l_returnflag", "l_linestatus", "gid", "n", "qty")
+    },
+
+    // ── set operations: UNION (distinct) / EXCEPT ───────────────────
+    Q("q_setops",
+      """SELECT key FROM (
+        |  SELECT c_custkey AS key FROM customer WHERE c_acctbal > 1000
+        |  UNION
+        |  SELECT o_custkey AS key FROM orders WHERE o_totalprice > 200000
+        |) u
+        |EXCEPT
+        |SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'AUTOMOBILE'""".stripMargin) { (s, dir) =>
+      val customer = Tables.load(s, dir, "customer")
+      val orders = Tables.load(s, dir, "orders")
+      val a = customer.filter(col("c_acctbal") > 1000).select(col("c_custkey").as("key"))
+      val b = orders.filter(col("o_totalprice") > 200000).select(col("o_custkey").as("key"))
+      val c = customer.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey").as("key"))
+      a.union(b).distinct().except(c)
+    },
+
+    // ── set operations: INTERSECT ───────────────────────────────────
+    Q("q_intersect",
+      """SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("key"))
+        .intersect(Tables.load(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("key")))
+    },
+
+    // ── distinct aggregation ────────────────────────────────────────
+    Q("q_distinct_agg",
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  count(DISTINCT o_orderstatus) AS n_status,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderstatus")).as("n_status"),
+          count(lit(1)).as("n"))
+    },
+
+    // ── group-by + HAVING ───────────────────────────────────────────
+    Q("q_having",
+      s"""SELECT o_custkey, count(*) AS n, ${O.dsum("o_totalprice")} AS spend
+         |FROM orders GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), Cols.dsum(col("o_totalprice")).as("spend"))
+        .filter(col("n") >= 15)
+    },
+
+    // ── global deterministic top-k ──────────────────────────────────
+    Q("q_topk_global",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(20)
+    },
+
+    // ── scalar functions (string/date/math) ─────────────────────────
+    Q("q_scalar",
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS pri_u,
+        |  substr(o_orderpriority, 3) AS pri_tail,
+        |  CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+        |  concat(o_orderstatus, '-', o_orderpriority) AS tag,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dy,
+        |  abs(o_totalprice - 100000.0) AS dist,
+        |  CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bucket
+        |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderpriority")).as("pri_u"),
+          substring(col("o_orderpriority"), 3, Int.MaxValue).as("pri_tail"),
+          length(col("o_orderpriority")).cast(LongType).as("pri_len"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+          year(col("o_orderdate")).cast(LongType).as("yr"),
+          month(col("o_orderdate")).cast(LongType).as("mo"),
+          dayofmonth(col("o_orderdate")).cast(LongType).as("dy"),
+          abs(col("o_totalprice") - lit(100000.0)).as("dist"),
+          floor(col("o_totalprice") / lit(1000.0)).cast(LongType).as("bucket"))
+    },
+
+    // ── semi join (EXISTS) ──────────────────────────────────────────
+    Q("q_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders")
+          .filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
+    // ── pivot (conditional aggregation) ─────────────────────────────
+    Q("q_pivot",
+      s"""SELECT c_nationkey,
+         |  ${O.dsum("CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END")} AS "AUTOMOBILE",
+         |  ${O.dsum("CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END")} AS "BUILDING",
+         |  ${O.dsum("CASE WHEN c_mktsegment = 'FURNITURE' THEN c_acctbal END")} AS "FURNITURE",
+         |  ${O.dsum("CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN c_acctbal END")} AS "HOUSEHOLD",
+         |  ${O.dsum("CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END")} AS "MACHINERY"
+         |FROM customer GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .agg(Cols.dsum(col("c_acctbal")))
+    },
+
+    // ── scalar subquery (computed without driver collect) ───────────
+    Q("q_scalar_subquery",
+      s"""SELECT c_custkey, c_acctbal FROM customer
+         |WHERE c_acctbal > (SELECT ${O.davg("c_acctbal")} FROM customer)""".stripMargin) { (s, dir) =>
+      val customer = Tables.load(s, dir, "customer")
+      val avgBal = customer.agg(Cols.davg(col("c_acctbal")).as("__avg"))
+      customer.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__avg"))
+        .select("c_custkey", "c_acctbal")
+    },
+  )
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.functions.VectorFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Approximate-nearest-neighbor search over `embeddings.embedding`.
+  *
+  * Two paths:
+  *  - `sim_topk_brute`: exact cosine top-k — the correctness baseline.
+  *    The query side is tiny and broadcast; the corpus streams through
+  *    one pass, so at scale this is a map + per-query top-k (no
+  *    all-pairs shuffle, but still O(|queries| * N) work).
+  *  - `sim_ann_lsh`: random-hyperplane LSH — queries only score
+  *    candidates in their own bucket, the scale path (work drops to
+  *    O(N / 2^planes) per query on uniform data; bucket join is the
+  *    only shuffle).
+  *
+  * Cosine math follows VectorFns' bit-identical chain contract so ranks
+  * match the DuckDB oracle exactly.
+  */
+object SimilarityOps {
+
+  import VectorFns._
+
+  private val NumQueries = 10
+
+  private def vectors(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings").select(
+      col("vec_id"), toDouble(col("embedding")).as("emb"))
+
+  private val vectorsSql =
+    s"SELECT vec_id, ${sqlToDouble("embedding")} AS emb FROM embeddings"
+
+  val queries: Seq[Q] = Seq(
+
+    Q("sim_topk_brute",
+      s"""WITH v AS ($vectorsSql),
+         |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
+         |q AS (SELECT * FROM n WHERE vec_id < $NumQueries),
+         |s AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |         ${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")} AS score
+         |  FROM q JOIN n c ON c.vec_id <> q.vec_id)
+         |SELECT q_id, vec_id, score, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
+         |  FROM s) t
+         |WHERE rk <= 5""".stripMargin) { (s, dir) =>
+      val n = vectors(s, dir).withColumn("nsq", normSq(col("emb")))
+      val q = n.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nsq").as("q_nsq"))
+      val scored = n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score"))
+      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+      scored.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= 5)
+    },
+
+    Q("sim_ann_lsh",
+      s"""WITH v AS ($vectorsSql),
+         |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq, ${sqlLshBucket("emb")} AS bucket FROM v),
+         |q AS (SELECT * FROM n WHERE vec_id < $NumQueries),
+         |s AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |         ${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")} AS score
+         |  FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id)
+         |SELECT q_id, vec_id, score, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
+         |  FROM s) t
+         |WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      val n = vectors(s, dir)
+        .withColumn("nsq", normSq(col("emb")))
+        .withColumn("bucket", lshBucket(col("emb")))
+      val q = n.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+          col("nsq").as("q_nsq"), col("bucket").as("q_bucket"))
+      val scored = n.join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score"))
+      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+      scored.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= 3)
+    },
+  )
+}

@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, n-gram language ID, and document fingerprinting —
+  * the LLM-training-pipeline surface (BASELINE.json north_star). All
+  * per-row array expressions (no shuffle): at 100 TB these run embedded
+  * in the scan stage under whole-stage codegen.
+  *
+  * Every computation is mirrored token-for-token in the DuckDB oracle
+  * (split on single space, same hash formula, same tie-breaks).
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Fixed stopword list for quality scoring (shared with oracle SQL). */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  /** Per-language signature token sets for the n-gram language-ID
+    * heuristic. Deterministic argmax, ties broken by this fixed order.
+    */
+  val langSignatures: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "de" -> Seq("data", "table", "row"),
+    "es" -> Seq("query", "scan", "filter"),
+    "fr" -> Seq("join", "merge", "group"),
+    "zh" -> Seq("spark", "stream", "batch"))
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t))).cast(LongType)
+
+  private def sqlCountIn(toksSql: String, words: Seq[String]): String =
+    s"CAST(len(list_filter($toksSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT)"
+
+  val queries: Seq[Q] = Seq(
+
+    // ── token / char statistics ─────────────────────────────────────
+    Q("text_stats",
+      """SELECT doc_id, lang,
+        |  CAST(length(text) AS BIGINT) AS chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace
+        |FROM documents""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        length(col("text")).cast(LongType).as("chars"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).cast(LongType).as("n_uniq"),
+        length(regexp_replace(col("text"), " ", "")).cast(LongType).as("n_nonspace"))
+    },
+
+    // ── quality scoring: stopword ratio / alpha ratio / token length ─
+    Q("text_quality", {
+      val toks = "string_split(text, ' ')"
+      s"""SELECT doc_id,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  CAST(${sqlCountIn(toks, stopwords)} AS DOUBLE) / len($toks) AS stop_ratio,
+         |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($toks) AS avg_token_len,
+         |  0.5 * (CAST(${sqlCountIn(toks, stopwords)} AS DOUBLE) / len($toks))
+         |    + 0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text)) AS quality
+         |FROM documents""".stripMargin
+    }) { (s, dir) =>
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast(LongType)
+      val stopRatio = countIn(toks, stopwords).cast(DoubleType) / nTok
+      val alphaRatio =
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType) / length(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        stopRatio.as("stop_ratio"),
+        alphaRatio.as("alpha_ratio"),
+        (length(regexp_replace(col("text"), " ", "")).cast(DoubleType) / nTok).as("avg_token_len"),
+        (lit(0.5) * stopRatio + lit(0.5) * alphaRatio).as("quality"))
+    },
+
+    // ── language ID: signature-set scoring, deterministic argmax ────
+    Q("text_langid", {
+      val toks = "string_split(text, ' ')"
+      val scores = langSignatures.map { case (l, ws) => l -> sqlCountIn(toks, ws) }
+      val caseChain = scores.zipWithIndex.map { case ((l, sc), i) =>
+        val laterGte = scores.drop(i + 1).map { case (_, sc2) => s"$sc >= $sc2" }
+        if (laterGte.isEmpty) s"ELSE '$l'"
+        else s"WHEN ${laterGte.mkString(" AND ")} THEN '$l'"
+      }.mkString("CASE ", " ", " END")
+      s"""SELECT doc_id, lang, $caseChain AS pred_lang,
+         |  (($caseChain) = lang) AS hit
+         |FROM documents""".stripMargin
+    }) { (s, dir) =>
+      val toks = tokens(col("text"))
+      val scores = langSignatures.map { case (l, ws) => l -> countIn(toks, ws) }
+      val pred = scores.zipWithIndex.foldRight(lit(scores.last._1)) {
+        case (((l, sc), i), acc) =>
+          val later = scores.drop(i + 1)
+          if (later.isEmpty) acc
+          else when(later.map { case (_, sc2) => sc >= sc2 }.reduce(_ && _), lit(l)).otherwise(acc)
+      }
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        pred.as("pred_lang"), (pred === col("lang")).as("hit"))
+    },
+
+    // ── fingerprinting: content md5 + position-weighted rolling hash ─
+    Q("text_fingerprint", {
+      val toks = "string_split(text, ' ')"
+      s"""SELECT doc_id,
+         |  md5(text) AS fp_md5,
+         |  CAST(list_sum(list_transform($toks,
+         |         (t, i) -> ((('0x' || substr(md5(t), 1, 15))::BIGINT % 1000003) * i)))
+         |       % 2147483648 AS BIGINT) AS fp_roll
+         |FROM documents""".stripMargin
+    }) { (s, dir) =>
+      // Same formula: token hash h = hex60(t) % 1000003, weighted by its
+      // 1-based position, summed, mod 2^31. Spark's transform index is
+      // 0-based, hence i+1.
+      val weighted = transform(tokens(col("text")), (t, i) =>
+        (graft.Cols.hex60(t) % lit(1000003L)) * (i.cast(LongType) + lit(1L)))
+      docs(s, dir).select(
+        col("doc_id"),
+        md5(col("text")).as("fp_md5"),
+        (aggregate(weighted, lit(0L), (acc, x) => acc + x) % lit(2147483648L))
+          .cast(LongType).as("fp_roll"))
+    },
+  )
+}
