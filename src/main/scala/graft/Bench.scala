@@ -1,5 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR.
+  *
+  * Each query is executed with a noop-format write (not `.count()`): a
+  * bare count lets Catalyst prune projections, so pure-projection
+  * queries would be timed without computing their expressions. The noop
+  * sink forces full evaluation of every output column while writing
+  * nothing.
+  *
+  * The result JSON line is printed to stdout AND written to the file
+  * named by SPARK_GRAFT_BENCH_OUT (default: bench_out.json in the cwd)
+  * so the driver can parse it without scraping sbt log noise.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,15 +24,45 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val only = args.toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    // Warm-up: the first execution of a plan SHAPE in a fresh session
+    // pays several seconds of JVM / classloading / whole-stage-codegen /
+    // broadcast-thread-pool init that has nothing to do with data scale
+    // (measured: merge_firstmatch is 8.8s cold-first vs 1.0s after the
+    // same plan ran once at sf0.001). Run every selected query at the
+    // smallest sf first so the timed numbers measure the query, not
+    // session init.
+    val warmDir =
+      sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    selected.foreach { case (name, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try Files.writeString(Paths.get(outPath), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
+    // last line of output, after the session's executors are quiet
+    println(json)
   }
 }

@@ -1,0 +1,26 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Throwaway plan-inspection main (not part of the library surface). */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // warm the session so timings aren't init noise
+    try SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")
+      .write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => println(s"warmup failed: ${e.getMessage}") }
+    val df = SparkEntry.queries(args(0))(spark, dir)
+    if (sys.env.contains("SCRATCH_EXPLAIN")) df.explain("formatted")
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    println(f"ELAPSED ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}

@@ -58,12 +58,18 @@ object VectorFns {
 
   /** 16-bit random-hyperplane LSH bucket id of a double-array embedding:
     * bit p set iff (0.0 + w(p,1)*a[1] + ...) > 0.
+    *
+    * Each plane's projection is a compact zip_with+aggregate (a fold in
+    * element order: ((0.0 + w1*a1) + w2*a2) + ... — the identical IEEE
+    * sequence the oracle's unrolled SQL chain evaluates) instead of a
+    * 64-term unrolled tree: 16 planes unrolled to 1,024 terms used to
+    * push task binaries past 2 MiB (BENCH_r01 tail warnings).
     */
   def lshBucket(a: Column): Column =
     (0 until Planes).map { p =>
-      val proj = (1 to Dim).foldLeft(lit(0.0)) { (acc, i) =>
-        acc + lit(planes(p)(i - 1)) * element_at(a, i)
-      }
+      val proj = aggregate(
+        zip_with(typedLit(planes(p)), a, (w, x) => w * x),
+        lit(0.0), (acc, x) => acc + x)
       when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _).cast(LongType)
 

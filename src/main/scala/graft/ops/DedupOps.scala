@@ -25,7 +25,15 @@ object DedupOps {
 
   private val MinhashK = 12 // minhash permutations
   private val Bands = 6     // LSH bands (rows-per-band = 2)
-  private val SimBits = 32  // simhash width
+  // SimHash: 60-bit signature (fits positive in both engines' BIGINT),
+  // banded 4 x 15 bits. 32768 buckets per band keeps the candidate set
+  // ~N^2 * 4/2^15 for unrelated docs — r1's 4 x 8-bit banding had only
+  // 1,024 total buckets and degenerated to ~42% of all pairs at sf0.1.
+  private val SimBits = 60
+  private val SimBands = 4
+  private val SimBandBits = 15
+  // sorted-neighborhood rank window for n-gram blocking
+  private val NgramWindow = 10
 
   // ── shared corpus augmentation (Spark + SQL twins) ────────────────
 
@@ -40,6 +48,12 @@ object DedupOps {
       d.filter(col("doc_id") % 10 === 0).select(
         (col("doc_id") + lit(10000000L)).as("doc_id"),
         array_join(slice(toks, lit(1), keep), " ").as("text")))
+      // The fixture corpus is one small parquet file -> one input split;
+      // without this the md5-heavy signature stages downstream run on a
+      // single core (measured 13.5s for minhash at sf0.1). Spreading the
+      // scan across the session's parallelism is exactly what a real
+      // many-file 100 TB corpus gives for free.
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   val docsAugSql: String =
@@ -119,15 +133,19 @@ object DedupOps {
          |WHERE jaccard >= 0.5""".stripMargin
     }) { (s, dir) =>
       val tok = docsAug(s, dir).select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      // persist: shingle sets feed both the band join and (twice) the
+      // exact-Jaccard verification join; signatures cost 12 md5 evals
+      // per shingle and must not be recomputed per consumer
       val sh = tok.filter(size(col("tokens")) >= 3)
         .select(col("doc_id"), shingles3(col("tokens")).as("shingles"))
+        .persist()
       val sig = array((0 until MinhashK).map(j =>
         array_min(transform(col("shingles"), sgl => md5(concat(lit(s"$j|"), sgl))))): _*)
       val mh = sh.select(col("doc_id"), col("shingles"), sig.as("sig"))
       val bandKeys = array((0 until Bands).map(b =>
         md5(concat(lit(s"$b~"), element_at(col("sig"), 2 * b + 1),
           element_at(col("sig"), 2 * b + 2)))): _*)
-      val bands = mh.select(col("doc_id"), explode(bandKeys).as("band_key"))
+      val bands = mh.select(col("doc_id"), explode(bandKeys).as("band_key")).persist()
       val pairs = bands.as("a")
         .join(bands.as("b"),
           col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
@@ -140,9 +158,13 @@ object DedupOps {
         .filter(col("jaccard") >= 0.5)
     },
 
-    // SimHash near-dup: 32-bit signature from md5-derived token hashes;
-    // candidates match on any of the 4 signature bytes; pairs kept at
-    // Hamming distance <= 8.
+    // SimHash near-dup: 60-bit signature from md5-derived token hashes;
+    // candidates match on any of the 4 15-bit bands; pairs kept at
+    // Hamming distance <= 3 — with 4 bands the pigeonhole principle
+    // makes banded recall EXACT at that threshold (3 differing bits
+    // cannot touch all 4 bands, so one band always matches verbatim).
+    // The banded relation is persisted so the signature computation
+    // runs once, not once per self-join side.
     Q("dedup_simhash", {
       val simhash = (0 until SimBits)
         .map(b => s"(CASE WHEN list_sum(list_transform(hh, h -> ((h >> $b) & 1)*2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)")
@@ -155,7 +177,8 @@ object DedupOps {
          |  FROM docs_aug),
          |sim AS (SELECT doc_id, $simhash AS simhash FROM hs),
          |bands AS (
-         |  SELECT doc_id, simhash, band_i, (simhash >> (band_i * 8)) & 255 AS band_v
+         |  SELECT doc_id, simhash, band_i,
+         |         (simhash >> (band_i * $SimBandBits)) & ${(1 << SimBandBits) - 1} AS band_v
          |  FROM sim CROSS JOIN (VALUES (0),(1),(2),(3)) t(band_i)),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -165,7 +188,7 @@ object DedupOps {
          |SELECT doc_a, doc_b, hamming FROM (
          |  SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
          |  FROM pairs) t
-         |WHERE hamming <= 8""".stripMargin
+         |WHERE hamming <= 3""".stripMargin
     }) { (s, dir) =>
       val hs = docsAug(s, dir).select(col("doc_id"),
         transform(array_distinct(split(col("text"), " ")), t => Cols.hex60(t)).as("hh"))
@@ -175,9 +198,11 @@ object DedupOps {
         when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _).cast(LongType)
       val sim = hs.select(col("doc_id"), simhash.as("simhash"))
-      val bandIdx = explode(array((0 until 4).map(i => lit(i)): _*)).as("band_i")
+      val bandIdx = explode(array((0 until SimBands).map(i => lit(i)): _*)).as("band_i")
       val bands = sim.select(col("doc_id"), col("simhash"), bandIdx)
-        .withColumn("band_v", expr("shiftright(simhash, CAST(band_i * 8 AS INT)) & 255"))
+        .withColumn("band_v",
+          expr(s"shiftright(simhash, CAST(band_i * $SimBandBits AS INT)) & ${(1 << SimBandBits) - 1}"))
+        .persist()
       val pairs = bands.as("a")
         .join(bands.as("b"),
           col("a.band_i") === col("b.band_i") && col("a.band_v") === col("b.band_v") &&
@@ -187,40 +212,58 @@ object DedupOps {
         .distinct()
       pairs
         .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
-        .filter(col("hamming") <= 8)
+        .filter(col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     },
 
-    // n-gram (word bigram) Jaccard with token-prefix blocking: pairs
-    // sharing their first 3 tokens are compared exactly.
+    // n-gram (word bigram) Jaccard with token-prefix blocking PLUS
+    // sorted-neighborhood capping: within a first-3-token block, docs
+    // are ranked by (text, doc_id) and only pairs within rank-window W
+    // are compared. A hot block ("the ..." prefixes) therefore costs
+    // O(n log n) for its in-block sort plus O(n*W) comparisons — never
+    // the O(n^2) a raw block join degenerates to at scale. Near-dup
+    // texts sort adjacently (a truncation is a prefix of its original),
+    // so the planted duplicates stay within the window.
     Q("dedup_ngram_jaccard", {
       val bigrams =
         "list_distinct(list_transform(range(1, len(tokens)), i -> tokens[i] || ' ' || tokens[i+1]))"
       s"""WITH docs_aug AS ($docsAugSql),
          |tok AS (
-         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM docs_aug
+         |  SELECT doc_id, text, string_split(text, ' ') AS tokens FROM docs_aug
          |  WHERE len(string_split(text, ' ')) >= 3),
          |bi AS (
          |  SELECT doc_id, array_to_string(list_slice(tokens, 1, 3), ' ') AS blk,
-         |         $bigrams AS bigrams
+         |         $bigrams AS bigrams,
+         |         row_number() OVER (PARTITION BY array_to_string(list_slice(tokens, 1, 3), ' ')
+         |                            ORDER BY text, doc_id) AS rn
          |  FROM tok),
          |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         |         greatest(a.doc_id, b.doc_id) AS doc_b,
          |         ${jaccardSql("a.bigrams", "b.bigrams")} AS jaccard
-         |  FROM bi a JOIN bi b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+         |  FROM bi a JOIN bi b
+         |    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + $NgramWindow)
          |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.6""".stripMargin
     }) { (s, dir) =>
       val tok = docsAug(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("tokens"))
         .filter(size(col("tokens")) >= 3)
       val bigrams = array_distinct(transform(sequence(lit(1), size(col("tokens")) - 1), i =>
         concat(element_at(col("tokens"), i), lit(" "), element_at(col("tokens"), i + 1))))
-      val bi = tok.select(col("doc_id"),
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("blk")).orderBy(col("text"), col("doc_id"))
+      val bi = tok.select(col("doc_id"), col("text"),
         array_join(slice(col("tokens"), 1, 3), " ").as("blk"),
         bigrams.as("bigrams"))
+        .withColumn("rn", row_number().over(w))
+        .drop("text")
+        .persist()
       bi.as("a")
-        .join(bi.as("b"), col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        .join(bi.as("b"),
+          col("a.blk") === col("b.blk") && col("b.rn") > col("a.rn") &&
+            col("b.rn") <= col("a.rn") + NgramWindow)
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
           jaccard(col("a.bigrams"), col("b.bigrams")).as("jaccard"))
         .filter(col("jaccard") >= 0.6)
     },
@@ -251,9 +294,12 @@ object DedupOps {
         e.filter(col("vec_id") % 10 === 0).select(
           (col("vec_id") + lit(10000000L)).as("vec_id"),
           transform(embD, (x, i) => when(i === 0, x + lit(0.01)).otherwise(x)).as("emb")))
+      // persist: the signature relation (widened emb + norm + 1,024-FLOP
+      // LSH bucket) is computed once, not once per self-join side
       val v = aug.select(col("vec_id"), col("emb"),
         VectorFns.normSq(col("emb")).as("nsq"),
         VectorFns.lshBucket(col("emb")).as("bucket"))
+        .persist()
       v.as("a")
         .join(v.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

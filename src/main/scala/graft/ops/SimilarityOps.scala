@@ -49,7 +49,7 @@ object SimilarityOps {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
          |  FROM s) t
          |WHERE rk <= 5""".stripMargin) { (s, dir) =>
-      val n = vectors(s, dir).withColumn("nsq", normSq(col("emb")))
+      val n = vectors(s, dir).withColumn("nsq", normSq(col("emb"))).persist()
       val q = n.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nsq").as("q_nsq"))
       val scored = n.join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -59,14 +59,26 @@ object SimilarityOps {
       scored.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= 5)
     },
 
+    // ANN: queries are PERTURBED copies of the first NumQueries corpus
+    // vectors (first element +0.01) — each query therefore has a genuine
+    // near-neighbor in the corpus, almost always sharing its LSH bucket,
+    // so the result set is non-empty and actually proves bucket recall
+    // (r1's version queried with exact corpus members filtered out of
+    // their own bucket and returned 0 rows — vacuously green).
     Q("sim_ann_lsh",
       s"""WITH v AS ($vectorsSql),
          |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq, ${sqlLshBucket("emb")} AS bucket FROM v),
-         |q AS (SELECT * FROM n WHERE vec_id < $NumQueries),
+         |q AS (
+         |  SELECT vec_id + 10000000 AS q_id, qe AS emb, ${sqlNormSq("qe")} AS nsq,
+         |         ${sqlLshBucket("qe")} AS bucket
+         |  FROM (SELECT vec_id,
+         |          list_transform(${sqlToDouble("embedding")},
+         |            (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END) AS qe
+         |        FROM embeddings WHERE vec_id < $NumQueries) t),
          |s AS (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |  SELECT q.q_id, c.vec_id AS vec_id,
          |         ${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")} AS score
-         |  FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id)
+         |  FROM q JOIN n c ON c.bucket = q.bucket)
          |SELECT q_id, vec_id, score, CAST(rk AS BIGINT) AS rk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
          |  FROM s) t
@@ -74,11 +86,15 @@ object SimilarityOps {
       val n = vectors(s, dir)
         .withColumn("nsq", normSq(col("emb")))
         .withColumn("bucket", lshBucket(col("emb")))
-      val q = n.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-          col("nsq").as("q_nsq"), col("bucket").as("q_bucket"))
-      val scored = n.join(broadcast(q),
-        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        .persist()
+      val qEmb = transform(
+        toDouble(col("embedding")), (x, i) => when(i === 0, x + lit(0.01)).otherwise(x))
+      val q = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < NumQueries)
+        .select((col("vec_id") + lit(10000000L)).as("q_id"), qEmb.as("q_emb"))
+        .select(col("q_id"), col("q_emb"),
+          normSq(col("q_emb")).as("q_nsq"), lshBucket(col("q_emb")).as("q_bucket"))
+      val scored = n.join(broadcast(q), col("bucket") === col("q_bucket"))
         .select(col("q_id"), col("vec_id"),
           cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score"))
       val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
