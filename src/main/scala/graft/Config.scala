@@ -1,0 +1,100 @@
+package graft
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.io.{JdbcOptions, JdbcSource, JsonArraySource, ParquetSource, RelationSource}
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Deterministic per-tenant configuration (SURVEY.md §2 O1/O20).
+  *
+  * The reference fans out one pipeline instance per key of
+  * `configs.json` via Terraform `for_each` (`main.tf:3,15,36`), each
+  * tenant carrying credential coordinates, S3 source/destination
+  * coordinates, a Slack webhook, and database endpoint
+  * (`configs.json:2-26`). The engine keeps the same shape minus the
+  * cloud provisioning: a JSON file of named tenants, each resolving to
+  * a runnable [[Pipeline.PipelineSpec]].
+  *
+  * Expected file shape (local analogue of the reference's blocks):
+  * {{{
+  * { "configs": {
+  *     "tenantA": {
+  *       "source":      { "type": "json",    "path": "/data/a/in.json" },
+  *       "secondary":   { "type": "parquet", "path": "/data/a/db.parquet" },
+  *       // or: { "type": "jdbc", "url": "...", "dbtable": "...",
+  *       //        "user": "...", "password": "...", "driver": "..." }
+  *       "destination": { "dir": "/data/a/out", "file": "merged.csv" },
+  *       "key": "id"
+  *     } } }
+  * }}}
+  *
+  * Parsing walks Jackson's JsonNode tree directly (the Jackson core is
+  * part of Spark's runtime) — no reflection/binding, so missing fields
+  * fail with a named error instead of a null somewhere downstream.
+  */
+object Config {
+
+  final case class TenantConfig(
+      name: String,
+      primary: RelationSource,
+      secondary: RelationSource,
+      key: String,
+      destDir: String,
+      destFile: String) {
+    def toSpec: Pipeline.PipelineSpec = Pipeline.PipelineSpec(
+      primary = primary,
+      secondary = secondary,
+      key = key,
+      destDir = destDir,
+      destFile = destFile)
+  }
+
+  def loadFile(path: String): Seq[TenantConfig] =
+    parse(new String(Files.readAllBytes(Paths.get(path)), "UTF-8"))
+
+  def parse(json: String): Seq[TenantConfig] = {
+    val root = new ObjectMapper().readTree(json)
+    val tenants = req(root, "configs", "<root>")
+    tenants.properties().asScala.toSeq.sortBy(_.getKey).map { e =>
+      val name = e.getKey
+      val t = e.getValue
+      val dest = req(t, "destination", name)
+      TenantConfig(
+        name = name,
+        primary = source(req(t, "source", name), s"$name.source"),
+        secondary = source(req(t, "secondary", name), s"$name.secondary"),
+        key = opt(t, "key").getOrElse("id"),
+        destDir = txt(dest, "dir", s"$name.destination"),
+        destFile = opt(dest, "file").getOrElse("merged.csv"))
+    }
+  }
+
+  private def source(n: JsonNode, where: String): RelationSource =
+    txt(n, "type", where) match {
+      case "json" => JsonArraySource(txt(n, "path", where))
+      case "parquet" => ParquetSource(txt(n, "path", where))
+      case "jdbc" => JdbcSource(JdbcOptions(
+        url = txt(n, "url", where),
+        dbtable = txt(n, "dbtable", where),
+        user = txt(n, "user", where),
+        password = txt(n, "password", where),
+        driver = opt(n, "driver").getOrElse("org.mariadb.jdbc.Driver")))
+      case other => fail(where, s"unknown source type '$other'")
+    }
+
+  private def req(n: JsonNode, field: String, where: String): JsonNode = {
+    val v = n.get(field)
+    if (v == null || v.isNull) fail(where, s"missing required field '$field'")
+    v
+  }
+
+  private def txt(n: JsonNode, field: String, where: String): String =
+    req(n, field, where).asText()
+
+  private def opt(n: JsonNode, field: String): Option[String] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.asText())
+
+  private def fail(where: String, msg: String): Nothing =
+    throw new IllegalArgumentException(s"config error at $where: $msg")
+}

@@ -1,0 +1,139 @@
+package graft
+
+import graft.io.{CsvSink, RelationSource}
+import graft.ops.MergeOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.Path
+import scala.util.{Failure, Success, Try}
+
+/** The reference pipeline end-to-end (SURVEY.md §3.1), as one
+  * distributed job with the reference's fail-fast control flow
+  * (`gule_test_job.py:74-78,99-103,108-111,217-221`):
+  *
+  *   read primary -> read secondary -> validate key -> merge ->
+  *   report unmatched (non-fatal) -> single-object CSV -> success
+  *
+  * Every stage failure produces a notification and a `Left` with the
+  * stage name; the unmatched-report stage alone is non-fatal
+  * (`gule_test_job.py:195-199`). [[Pipeline.main]] maps `Left` to exit
+  * code 1 the way the reference maps failures to `sys.exit(1)`.
+  *
+  * Unlike the reference — whose merge is a single-threaded pandas loop
+  * over rows collected to the driver (`gule_test_job.py:94,125-156`) —
+  * every data-plane step here is a Spark plan; the only driver-side
+  * work is the ≤10-row report sample and the final part-file rename.
+  */
+object Pipeline {
+
+  final case class PipelineError(stage: String, message: String)
+
+  final case class PipelineResult(
+      mergedRows: Long,
+      unmatchedRows: Long,
+      csvPath: Path)
+
+  final case class PipelineSpec(
+      primary: RelationSource,
+      secondary: RelationSource,
+      key: String = "id",
+      destDir: String,
+      destFile: String = "merged.csv",
+      reportSampleSize: Int = 10)
+
+  def run(
+      spark: SparkSession,
+      spec: PipelineSpec,
+      notifier: Notifier): Either[PipelineError, PipelineResult] = {
+
+    def stage[A](name: String, errorText: String => String)(body: => A): Either[PipelineError, A] =
+      Try(body) match {
+        case Success(a) => Right(a)
+        case Failure(e) =>
+          val msg = Option(e.getMessage).getOrElse(e.toString)
+          notifier.notifySafe(errorText(msg))
+          Left(PipelineError(name, msg))
+      }
+
+    for {
+      primary <- stage("read-primary",
+        m => s"Error: failed to read ${spec.primary.describe}: $m") {
+        spec.primary.load(spark)
+      }
+      secondary <- stage("read-secondary",
+        m => s"Error: failed to read ${spec.secondary.describe}: $m") {
+        spec.secondary.load(spark)
+      }
+      _ <- stage("validate-key",
+        m => s"Error: '${spec.key}' column not found: $m") {
+        MergeOps.requireKey(primary, spec.key, spec.primary.describe)
+        MergeOps.requireKey(secondary, spec.key, spec.secondary.describe)
+      }
+      merged = MergeOps.coalesceMerge(primary, secondary, spec.key)
+      // Unmatched report (O13/O14/O17): failures here are non-fatal —
+      // the reference continues to the CSV write when the Slack report
+      // errors (gule_test_job.py:195-199).
+      unmatchedCount = reportUnmatched(secondary, primary, spec, notifier)
+      csv <- stage("write-csv",
+        m => s"Error: failed to write CSV ${spec.destFile}: $m") {
+        CsvSink.writeSingleCsv(merged, spec.destDir, spec.destFile)
+      }
+      rows <- stage("count", m => s"Error: failed to count output: $m") {
+        spark.read.option("header", value = true).csv(csv.toString).count()
+      }
+    } yield {
+      notifier.notifySafe(
+        s"Success: wrote $rows rows to ${spec.destDir}/${spec.destFile}")
+      PipelineResult(rows, unmatchedCount, csv)
+    }
+  }
+
+  private def reportUnmatched(
+      secondary: DataFrame,
+      primary: DataFrame,
+      spec: PipelineSpec,
+      notifier: Notifier): Long =
+    try {
+      val un = MergeOps.unmatched(secondary, primary, spec.key)
+      val (sample, total) = MergeOps.reportSample(un, spec.key, spec.reportSampleSize)
+      if (total > 0) {
+        val more = total - sample.size
+        val tail = if (more > 0) s" (+$more more)" else ""
+        notifier.notifySafe(
+          s"Unmatched ${spec.secondary.describe} records: $total; " +
+            s"sample ${spec.key}s: ${sample.mkString(", ")}$tail")
+      }
+      total
+    } catch {
+      case e: Throwable =>
+        notifier.notifySafe(
+          s"Warning: unmatched-record report failed (non-fatal): ${e.getMessage}")
+        -1L
+    }
+
+  /** CLI entry with the reference's exit-code contract: args =
+    * primaryJsonPath secondaryParquetPath destDir [destFile].
+    */
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val spec = PipelineSpec(
+      primary = io.JsonArraySource(args(0)),
+      secondary = io.ParquetSource(args(1)),
+      destDir = args(2),
+      destFile = if (args.length > 3) args(3) else "merged.csv")
+    val outcome = run(spark, spec, new StdoutNotifier)
+    spark.stop()
+    outcome match {
+      case Right(r) =>
+        println(s"pipeline complete: ${r.mergedRows} rows -> ${r.csvPath}")
+      case Left(e) =>
+        System.err.println(s"pipeline failed at ${e.stage}: ${e.message}")
+        sys.exit(1)
+    }
+  }
+}

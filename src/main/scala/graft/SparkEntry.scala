@@ -10,6 +10,7 @@ object SparkEntry {
 
   private def registry: Seq[Q] =
     ops.MergeQueries.queries ++
+      ops.PipelineQueries.queries ++
       ops.RelationalOps.queries ++
       ops.EventOps.queries ++
       ops.TextOps.queries ++

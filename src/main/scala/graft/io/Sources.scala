@@ -1,0 +1,103 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Input abstraction for the reference pipeline (SURVEY.md §2 O3/O4).
+  *
+  * The reference reads its primary from an S3 JSON object
+  * (`gule_test_job.py:54-72`) and its secondary from a MySQL table over
+  * JDBC (`gule_test_job.py:82-94`). Both are behind one trait so the
+  * pipeline logic is source-agnostic and offline tests can substitute
+  * parquet fixtures for the JDBC side (no live DB exists in this
+  * environment — SURVEY.md §7.4(5)).
+  */
+trait RelationSource {
+  def load(spark: SparkSession): DataFrame
+  /** Human-readable label used in notification texts. */
+  def describe: String
+}
+
+/** A single JSON file containing one top-level ARRAY of objects — the
+  * reference's S3 payload shape (pandas `orient='records'`,
+  * `gule_test_job.py:61`). A JSON array spanning lines requires Spark's
+  * `multiLine` mode (each file parsed as one value, not line-per-record).
+  *
+  * @param schema optional explicit schema. The reference preserves the
+  *   JSON file's own column order (`gule_test_job.py:64-67`); Spark's
+  *   schema inference returns fields alphabetically, so callers that
+  *   care about column order (the merge's ordered projection, O12) pass
+  *   the schema explicitly. Inference is the fallback for exploratory
+  *   use.
+  */
+final case class JsonArraySource(path: String, schema: Option[StructType] = None)
+    extends RelationSource {
+  def load(spark: SparkSession): DataFrame = {
+    val r = spark.read.option("multiLine", value = true)
+    schema.fold(r)(r.schema).json(path)
+  }
+  def describe: String = s"JSON $path"
+}
+
+/** Parquet directory/file source (fixture tables; also the stand-in for
+  * the JDBC side in offline tests).
+  */
+final case class ParquetSource(path: String) extends RelationSource {
+  def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
+  def describe: String = s"parquet $path"
+}
+
+/** Whole-table JDBC scan, options-driven — the reference's enrichment
+  * input (`gule_test_job.py:82-94`; URL template `data.tf:17-21`,
+  * driver jar `common_settings.json:12-15`).
+  *
+  * The reference reads the table in ONE partition (no partitioning
+  * options) and then collects it to the driver. Here the scan stays
+  * distributed: when `partitionColumn` is set, Spark issues
+  * `numPartitions` range-bounded queries in parallel — the knob that
+  * matters when the enrichment table is large.
+  */
+final case class JdbcOptions(
+    url: String,
+    dbtable: String,
+    user: String,
+    password: String,
+    driver: String = "org.mariadb.jdbc.Driver",
+    partitionColumn: Option[String] = None,
+    lowerBound: Option[Long] = None,
+    upperBound: Option[Long] = None,
+    numPartitions: Option[Int] = None,
+    fetchSize: Int = 10000) {
+
+  /** The option map handed to `spark.read.format("jdbc")`. Partitioning
+    * options are all-or-nothing: Spark requires
+    * partitionColumn/lowerBound/upperBound/numPartitions together.
+    */
+  def asMap: Map[String, String] = {
+    val base = Map(
+      "url" -> url,
+      "dbtable" -> dbtable,
+      "user" -> user,
+      "password" -> password,
+      "driver" -> driver,
+      "fetchsize" -> fetchSize.toString)
+    val part = (partitionColumn, lowerBound, upperBound, numPartitions) match {
+      case (Some(c), Some(lo), Some(hi), Some(n)) =>
+        Map(
+          "partitionColumn" -> c,
+          "lowerBound" -> lo.toString,
+          "upperBound" -> hi.toString,
+          "numPartitions" -> n.toString)
+      case (None, None, None, None) => Map.empty[String, String]
+      case _ => throw new IllegalArgumentException(
+        "JDBC partitioning requires partitionColumn, lowerBound, upperBound and numPartitions together")
+    }
+    base ++ part
+  }
+}
+
+final case class JdbcSource(options: JdbcOptions) extends RelationSource {
+  def load(spark: SparkSession): DataFrame =
+    spark.read.format("jdbc").options(options.asMap).load()
+  def describe: String = s"JDBC ${options.dbtable}"
+}

@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Event-stream operators over the `events` fixture table, all runnable
-  * in batch (the Structured Streaming versions of the same plans live in
-  * graft.streaming and are asserted equivalent in tests). The reference
-  * has no streaming surface (SURVEY.md §2.2) — these are the extended
+  * in batch. The tumbling/sliding/session transforms are defined once in
+  * [[graft.streaming.EventWindows]] and shared verbatim with the
+  * Structured Streaming path; StreamingEquivalenceSpec asserts the
+  * streaming output equals these batch queries. The reference has no
+  * streaming surface (SURVEY.md §2.2) — these are the extended
   * north-star operators, specified from public Spark semantics:
   * epoch-aligned tumbling/sliding windows (`window()`), gap-based
   * sessions (`session_window()`), and a distributed as-of join.
@@ -28,10 +30,7 @@ object EventOps {
       s"""SELECT date_trunc('hour', ts) AS w_start, event_type,
          |  count(*) AS n, ${O.dsum("value")} AS total
          |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-      events(s, dir)
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), graft.Cols.dsum(col("value")).as("total"))
-        .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
+      graft.streaming.EventWindows.tumbling(events(s, dir))
     },
 
     // ── sliding window aggregation (1h window, 15m slide) ───────────
@@ -44,10 +43,7 @@ object EventOps {
          |  event_type, count(*) AS n, ${O.dsum("value")} AS total
          |FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) offs(k)
          |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-      events(s, dir)
-        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"), graft.Cols.dsum(col("value")).as("total"))
-        .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
+      graft.streaming.EventWindows.sliding(events(s, dir))
     },
 
     // ── session windows (30-minute gap) per user ────────────────────
@@ -72,11 +68,7 @@ object EventOps {
          |       max(ts) + INTERVAL '30 minutes' AS session_end,
          |       count(*) AS n_events, ${O.dsum("value")} AS total
          |FROM g GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
-      events(s, dir)
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"), graft.Cols.dsum(col("value")).as("total"))
-        .select(col("user_id"), col("session_window.start").as("session_start"),
-          col("session_window.end").as("session_end"), col("n_events"), col("total"))
+      graft.streaming.EventWindows.session(events(s, dir))
     },
 
     // ── as-of join: latest purchase at-or-before each click ─────────

@@ -72,6 +72,11 @@ object MergeQueries {
        |       p.priority, s.cname, s.segment
        |FROM p LEFT JOIN s ON p.id = s.id""".stripMargin
 
+  /** The merge oracle over the duplicate-free secondary — shared with
+    * pipeline_e2e, whose CSV round-trip must reproduce these values.
+    */
+  def coalesceOracle: String = mergeOracle(secondarySql)
+
   val queries: Seq[Q] = Seq(
     Q("merge_coalesce", mergeOracle(secondarySql)) { (s, dir) =>
       MergeOps.coalesceMerge(primary(s, dir), secondary(s, dir), "id")

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.{Pipeline, Q, StdoutNotifier}
+import graft.io.{JsonArraySource, ParquetSource}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.{Files, Paths}
+
+/** Driver-checkable end-to-end run of the reference pipeline
+  * (SURVEY.md §3.1): a JSON-array fixture (the "S3 object",
+  * `gule_test_job.py:54-72`) is generated from the `orders` parquet,
+  * merged with the "RDS" side, written as ONE headered CSV object with
+  * an exact name (`gule_test_job.py:201-211`), and the CSV is read back
+  * as the query result — so the oracle compare certifies the whole
+  * read -> merge -> write -> read loop, not just the merge plan.
+  *
+  * Fixture generation (JSON/parquet staging under target/) is test
+  * scaffolding standing in for the external uploads the reference
+  * assumes; only the staged files' CONSUMPTION is engine behavior.
+  */
+object PipelineQueries {
+
+  /** Streams a DataFrame to one JSON file holding a top-level array of
+    * records — the reference's input payload shape (pandas
+    * `orient='records'`). Streamed via toLocalIterator: no full
+    * driver-side materialization.
+    */
+  def writeJsonArrayFixture(df: DataFrame, path: String): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    val w = Files.newBufferedWriter(p)
+    try {
+      w.write("[\n")
+      val it = df.toJSON.toLocalIterator()
+      var first = true
+      while (it.hasNext) {
+        if (!first) w.write(",\n")
+        w.write(it.next())
+        first = false
+      }
+      w.write("\n]\n")
+    } finally w.close()
+  }
+
+  private def stagingDir(sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^0-9A-Za-z.]", "_")
+    s"target/pipeline_e2e/$tag"
+  }
+
+  def runE2e(s: SparkSession, dir: String): DataFrame = {
+    val root = stagingDir(dir)
+    val p = MergeQueries.primary(s, dir)
+    writeJsonArrayFixture(p, s"$root/primary.json")
+    MergeQueries.secondary(s, dir)
+      .write.mode("overwrite").parquet(s"$root/secondary.parquet")
+
+    // Explicit schema on the JSON source: preserves the reference's
+    // original-column-order contract (O12) and exact types; inference
+    // would alphabetize columns and widen types.
+    val spec = Pipeline.PipelineSpec(
+      primary = JsonArraySource(s"$root/primary.json", Some(p.schema)),
+      secondary = ParquetSource(s"$root/secondary.parquet"),
+      destDir = s"$root/out",
+      destFile = "merged.csv")
+
+    val result = Pipeline.run(s, spec, new StdoutNotifier) match {
+      case Right(r) => r
+      case Left(e) => throw new RuntimeException(
+        s"pipeline failed at stage ${e.stage}: ${e.message}")
+    }
+
+    // Read the single CSV object back with the merge's own schema (CSV
+    // carries no types; the header row is skipped by header=true).
+    val mergedSchema = MergeOps.coalesceMerge(
+      spec.primary.load(s), spec.secondary.load(s), spec.key).schema
+    s.read.schema(mergedSchema).option("header", value = true)
+      .csv(result.csvPath.toString)
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("pipeline_e2e", MergeQueries.coalesceOracle)(runE2e))
+}

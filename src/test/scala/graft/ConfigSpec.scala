@@ -1,0 +1,96 @@
+package graft
+
+import graft.io.{JdbcOptions, JdbcSource, JsonArraySource, ParquetSource}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-tenant config parsing (SURVEY.md §2 O1/O20) and JDBC option
+  * assembly (O4).
+  */
+class ConfigSpec extends AnyFunSuite {
+
+  private val twoTenants =
+    """{
+      |  "configs": {
+      |    "tenant_b": {
+      |      "source":      { "type": "json",    "path": "/data/b/in.json" },
+      |      "secondary":   { "type": "jdbc",
+      |                       "url": "jdbc:mysql://db.example:3306/bdb",
+      |                       "dbtable": "b_data", "user": "u", "password": "p" },
+      |      "destination": { "dir": "/data/b/out" }
+      |    },
+      |    "tenant_a": {
+      |      "source":      { "type": "json",    "path": "/data/a/in.json" },
+      |      "secondary":   { "type": "parquet", "path": "/data/a/db.parquet" },
+      |      "destination": { "dir": "/data/a/out", "file": "a.csv" },
+      |      "key": "customer_id"
+      |    }
+      |  }
+      |}""".stripMargin
+
+  test("parses every tenant deterministically (sorted by name)") {
+    val ts = Config.parse(twoTenants)
+    assert(ts.map(_.name) === Seq("tenant_a", "tenant_b"))
+    val a = ts.head
+    assert(a.primary === JsonArraySource("/data/a/in.json"))
+    assert(a.secondary === ParquetSource("/data/a/db.parquet"))
+    assert(a.key === "customer_id")
+    assert(a.destDir === "/data/a/out" && a.destFile === "a.csv")
+    val b = ts(1)
+    assert(b.key === "id")              // default
+    assert(b.destFile === "merged.csv") // default
+    b.secondary match {
+      case JdbcSource(o) =>
+        assert(o.url === "jdbc:mysql://db.example:3306/bdb")
+        assert(o.dbtable === "b_data")
+        assert(o.driver === "org.mariadb.jdbc.Driver") // reference default
+      case other => fail(s"expected JdbcSource, got $other")
+    }
+  }
+
+  test("each tenant resolves to a runnable pipeline spec") {
+    val specs = Config.parse(twoTenants).map(_.toSpec)
+    assert(specs.map(_.destDir) === Seq("/data/a/out", "/data/b/out"))
+    assert(specs.head.key === "customer_id")
+  }
+
+  test("missing required fields fail with the field named") {
+    val e = intercept[IllegalArgumentException] {
+      Config.parse(
+        """{"configs": {"t": {
+          |  "source": {"type": "json"},
+          |  "secondary": {"type": "parquet", "path": "/y"},
+          |  "destination": {"dir": "/z"}}}}""".stripMargin)
+    }
+    assert(e.getMessage.contains("'path'"))
+    val e2 = intercept[IllegalArgumentException] {
+      Config.parse("""{"noconfigs": {}}""")
+    }
+    assert(e2.getMessage.contains("'configs'"))
+  }
+
+  test("unknown source type is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      Config.parse(
+        """{"configs": {"t": {
+          |  "source": {"type": "avro", "path": "/x"},
+          |  "secondary": {"type": "parquet", "path": "/y"},
+          |  "destination": {"dir": "/z"}}}}""".stripMargin)
+    }
+    assert(e.getMessage.contains("unknown source type 'avro'"))
+  }
+
+  test("JDBC option map: base options and all-or-nothing partitioning") {
+    val base = JdbcOptions("jdbc:mysql://h/db", "t", "u", "p")
+    assert(base.asMap("driver") === "org.mariadb.jdbc.Driver")
+    assert(!base.asMap.contains("partitionColumn"))
+
+    val part = base.copy(partitionColumn = Some("id"), lowerBound = Some(0L),
+      upperBound = Some(1000L), numPartitions = Some(8))
+    assert(part.asMap("partitionColumn") === "id")
+    assert(part.asMap("numPartitions") === "8")
+
+    intercept[IllegalArgumentException] {
+      base.copy(partitionColumn = Some("id")).asMap
+    }
+  }
+}

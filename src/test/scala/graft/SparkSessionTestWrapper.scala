@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for the whole forked test JVM. */
+trait SparkSessionTestWrapper {
+  lazy val spark: SparkSession = SparkSessionTestWrapper.shared
+}
+
+object SparkSessionTestWrapper {
+  lazy val shared: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-tests")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
