@@ -43,13 +43,29 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
+    // Also warm the BENCH dir's file indexes / parquet footers: the
+    // shape warmup above ran on the tiny sf, so whichever timed query
+    // touches a given sf-dir table first would otherwise absorb its
+    // listing + footer read.
+    Tables.names.foreach { t =>
+      try Tables.load(spark, sfDir, t).limit(1)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] table warmup $t failed: ${e.getMessage}")
+      }
+    }
+    spark.catalog.clearCache() // drop warmup-persisted relations
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries persist() their reused signature relations; drop them so
+      // later queries aren't timed under another query's cached blocks
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,7 +1,7 @@
 package graft
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import graft.io.{JdbcOptions, JdbcSource, JsonArraySource, ParquetSource, RelationSource}
+import graft.io.{JdbcOptions, JdbcSource, JsonArraySource, NoSecretsProvider, ParquetSource, RelationSource, Secrets, SecretsProvider}
 
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
@@ -50,10 +50,14 @@ object Config {
       destFile = destFile)
   }
 
-  def loadFile(path: String): Seq[TenantConfig] =
-    parse(new String(Files.readAllBytes(Paths.get(path)), "UTF-8"))
+  def loadFile(
+      path: String,
+      secrets: SecretsProvider = NoSecretsProvider): Seq[TenantConfig] =
+    parse(new String(Files.readAllBytes(Paths.get(path)), "UTF-8"), secrets)
 
-  def parse(json: String): Seq[TenantConfig] = {
+  def parse(
+      json: String,
+      secrets: SecretsProvider = NoSecretsProvider): Seq[TenantConfig] = {
     val root = new ObjectMapper().readTree(json)
     val tenants = req(root, "configs", "<root>")
     tenants.properties().asScala.toSeq.sortBy(_.getKey).map { e =>
@@ -62,18 +66,27 @@ object Config {
       val dest = req(t, "destination", name)
       TenantConfig(
         name = name,
-        primary = source(req(t, "source", name), s"$name.source"),
-        secondary = source(req(t, "secondary", name), s"$name.secondary"),
+        primary = source(req(t, "source", name), s"$name.source", secrets),
+        secondary = source(req(t, "secondary", name), s"$name.secondary", secrets),
         key = opt(t, "key").getOrElse("id"),
         destDir = txt(dest, "dir", s"$name.destination"),
         destFile = opt(dest, "file").getOrElse("merged.csv"))
     }
   }
 
-  private def source(n: JsonNode, where: String): RelationSource =
+  private def source(
+      n: JsonNode, where: String, secrets: SecretsProvider): RelationSource =
     txt(n, "type", where) match {
       case "json" => JsonArraySource(txt(n, "path", where))
       case "parquet" => ParquetSource(txt(n, "path", where))
+      case "jdbc" if n.has("secret") =>
+        // the reference's shape: Database block (endpoint/port) + a
+        // named SecretsManager blob carrying db_name/table/credentials
+        JdbcSource(Secrets.jdbcFromSecret(
+          endpoint = txt(n, "endpoint", where),
+          port = opt(n, "port").getOrElse("3306"),
+          secret = secrets.secret(txt(n, "secret", where)),
+          driver = opt(n, "driver").getOrElse("org.mariadb.jdbc.Driver")))
       case "jdbc" => JdbcSource(JdbcOptions(
         url = txt(n, "url", where),
         dbtable = txt(n, "dbtable", where),

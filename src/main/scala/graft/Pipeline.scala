@@ -50,7 +50,9 @@ object Pipeline {
       Try(body) match {
         case Success(a) => Right(a)
         case Failure(e) =>
-          val msg = Option(e.getMessage).getOrElse(e.toString)
+          // include the exception class: a bare getMessage can be as
+          // unhelpful as "org.mariadb.jdbc.Driver" (ClassNotFound)
+          val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
           notifier.notifySafe(errorText(msg))
           Left(PipelineError(name, msg))
       }
@@ -111,8 +113,14 @@ object Pipeline {
         -1L
     }
 
-  /** CLI entry with the reference's exit-code contract: args =
-    * primaryJsonPath secondaryParquetPath destDir [destFile].
+  /** CLI entry with the reference's exit-code contract. Two forms:
+    *
+    *   - `primaryJsonPath secondaryParquetPath destDir [destFile]` —
+    *     one ad-hoc pipeline run;
+    *   - `--config tenants.json [--secrets secrets.json]` — the
+    *     reference's multi-tenant fan-out (O20): every tenant in the
+    *     config runs its own pipeline; any tenant failure makes the
+    *     whole invocation exit 1 (after all tenants ran).
     */
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -121,19 +129,53 @@ object Pipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val spec = PipelineSpec(
-      primary = io.JsonArraySource(args(0)),
-      secondary = io.ParquetSource(args(1)),
-      destDir = args(2),
-      destFile = if (args.length > 3) args(3) else "merged.csv")
-    val outcome = run(spark, spec, new StdoutNotifier)
-    spark.stop()
-    outcome match {
-      case Right(r) =>
-        println(s"pipeline complete: ${r.mergedRows} rows -> ${r.csvPath}")
-      case Left(e) =>
-        System.err.println(s"pipeline failed at ${e.stage}: ${e.message}")
-        sys.exit(1)
+    val notifier = new StdoutNotifier
+    val failed: Seq[String] = args.toSeq match {
+      case Seq("--config", cfgPath, rest @ _*) =>
+        val secrets = rest match {
+          case Seq("--secrets", sPath) => new io.FileSecretsProvider(sPath)
+          case Seq() => io.NoSecretsProvider
+          case other => sys.error(s"unrecognized arguments: ${other.mkString(" ")}")
+        }
+        val tenants =
+          try Config.loadFile(cfgPath, secrets)
+          catch {
+            case e: Throwable =>
+              System.err.println(s"cannot load config $cfgPath: ${e.getMessage}")
+              spark.stop()
+              sys.exit(1)
+          }
+        tenants.flatMap { tenant =>
+          run(spark, tenant.toSpec, notifier) match {
+            case Right(r) =>
+              println(s"[${tenant.name}] complete: ${r.mergedRows} rows -> ${r.csvPath}")
+              None
+            case Left(e) =>
+              System.err.println(s"[${tenant.name}] failed at ${e.stage}: ${e.message}")
+              Some(tenant.name)
+          }
+        }
+      case Seq(primary, secondary, destDir, rest @ _*) =>
+        val spec = PipelineSpec(
+          primary = io.JsonArraySource(primary),
+          secondary = io.ParquetSource(secondary),
+          destDir = destDir,
+          destFile = rest.headOption.getOrElse("merged.csv"))
+        run(spark, spec, notifier) match {
+          case Right(r) =>
+            println(s"pipeline complete: ${r.mergedRows} rows -> ${r.csvPath}")
+            Nil
+          case Left(e) =>
+            System.err.println(s"pipeline failed at ${e.stage}: ${e.message}")
+            Seq("adhoc")
+        }
+      case _ =>
+        System.err.println(
+          "usage: Pipeline <primary.json> <secondary.parquet> <destDir> [destFile]\n" +
+            "   or: Pipeline --config <tenants.json> [--secrets <secrets.json>]")
+        Seq("usage")
     }
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.math.RoundingMode
+import java.sql.Timestamp
+
+/** Custom streaming state operators (`KeyValueGroupedDataset
+  * .flatMapGroupsWithState`) — the API tier for session logic the
+  * declarative `session_window()` cannot express (per-session custom
+  * fields, early emission, business rules on close).
+  *
+  * State scale: one [[StatefulOps.OpenSession]] (4 numeric fields) per
+  * ACTIVE key — closed sessions are emitted and dropped, so state size
+  * tracks concurrent users, not history. The shuffle partitions by the
+  * group key, the same hashing the equivalent batch aggregation uses.
+  */
+object StatefulOps extends Serializable {
+
+  /** One event of the sessionization input. */
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+
+  /** Open-session state: timestamps in epoch micros; the value total in
+    * cents (decimal(18,2) semantics, matching Cols.dsum's
+    * order-independent exact accumulation).
+    */
+  final case class OpenSession(
+      startMicros: Long, lastMicros: Long, n: Long, totalCents: Long)
+
+  /** A closed session, shaped exactly like EventWindows.session's
+    * output rows.
+    */
+  final case class SessionOut(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      total: Double)
+
+  private def micros(ts: Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+
+  private def fromMicros(m: Long): Timestamp = {
+    val t = new Timestamp(m / 1000000L * 1000L)
+    t.setNanos((m % 1000000L).toInt * 1000)
+    t
+  }
+
+  /** value -> cents with decimal(18,2) HALF_UP rounding — the identical
+    * per-element rounding `cast(value AS DECIMAL(18,2))` applies, so
+    * totals match Cols.dsum bit-for-bit after the final /100.
+    */
+  private def toCents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v).setScale(2, RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  /** Gap-based sessionization with explicit state: events extend the
+    * open session while they arrive < gap after its last event;
+    * otherwise the open session closes (end = last ts + gap, the
+    * `session_window` convention) and a new one opens. Closed sessions
+    * are emitted; the open session stays in state for the next batch.
+    *
+    * In-batch event-time disorder is handled by sorting each group's
+    * batch slice; cross-batch disorder is subject to the stream's
+    * watermark discipline, as with any event-time stateful operator.
+    */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+
+    def close(user: Long, s: OpenSession): SessionOut =
+      SessionOut(user, fromMicros(s.startMicros),
+        fromMicros(s.lastMicros + gapMicros), s.n, s.totalCents / 100.0)
+
+    events.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (user: Long, it: Iterator[Ev], state: GroupState[OpenSession]) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        var cur = state.getOption
+        it.toIndexedSeq.sortBy(e => micros(e.ts)).foreach { e =>
+          val m = micros(e.ts)
+          val cents = toCents(e.value)
+          cur match {
+            case Some(s) if m - s.lastMicros < gapMicros =>
+              cur = Some(s.copy(
+                lastMicros = math.max(m, s.lastMicros),
+                n = s.n + 1,
+                totalCents = s.totalCents + cents))
+            case Some(s) =>
+              out += close(user, s)
+              cur = Some(OpenSession(m, m, 1L, cents))
+            case None =>
+              cur = Some(OpenSession(m, m, 1L, cents))
+          }
+        }
+        cur.foreach(state.update)
+        out.iterator
+    }
+  }
+
+  /** Streaming exact dedup with BOUNDED state: first occurrence per key
+    * combination is emitted; duplicate arrivals within the watermark
+    * horizon are dropped, and key state older than the watermark is
+    * evicted (`dropDuplicatesWithinWatermark`). This is the streaming
+    * face of the batch exact-dedup operator: at 100 TB/day the state
+    * holds one digest per key seen within the horizon, not per key
+    * ever seen.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      delay: String): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+}

@@ -79,6 +79,36 @@ class ConfigSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown source type 'avro'"))
   }
 
+  test("secret-based JDBC tenant resolves credentials through the provider") {
+    val secrets = graft.io.MapSecretsProvider(Map(
+      "tenant-c-secret" -> Map(
+        "username" -> "svc", "password" -> "pw",
+        "db_name" -> "cdb", "table_name" -> "c_data")))
+    val cfg =
+      """{"configs": {"tenant_c": {
+        |  "source": {"type": "json", "path": "/data/c/in.json"},
+        |  "secondary": {"type": "jdbc", "secret": "tenant-c-secret",
+        |                "endpoint": "db.example", "port": "3307"},
+        |  "destination": {"dir": "/data/c/out"}}}}""".stripMargin
+    Config.parse(cfg, secrets).head.secondary match {
+      case JdbcSource(o) =>
+        assert(o.url === "jdbc:mysql://db.example:3307/cdb")
+        assert(o.dbtable === "c_data" && o.user === "svc" && o.password === "pw")
+      case other => fail(s"expected JdbcSource, got $other")
+    }
+    // unknown secret name -> named error; no provider -> explicit error
+    intercept[NoSuchElementException] {
+      Config.parse(cfg, graft.io.MapSecretsProvider(Map.empty))
+    }
+    intercept[NoSuchElementException] { Config.parse(cfg) }
+    // incomplete secret blob -> the missing key is named
+    val e = intercept[IllegalArgumentException] {
+      Config.parse(cfg, graft.io.MapSecretsProvider(Map(
+        "tenant-c-secret" -> Map("username" -> "svc"))))
+    }
+    assert(e.getMessage.contains("'db_name'"))
+  }
+
   test("JDBC option map: base options and all-or-nothing partitioning") {
     val base = JdbcOptions("jdbc:mysql://h/db", "t", "u", "p")
     assert(base.asMap("driver") === "org.mariadb.jdbc.Driver")
