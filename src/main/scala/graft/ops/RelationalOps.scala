@@ -269,14 +269,19 @@ object RelationalOps {
     },
 
     // ── scalar subquery (computed without driver collect) ───────────
+    // A genuine Catalyst ScalarSubquery: the aggregate executes once
+    // and its value is injected into the filter — no join operator in
+    // the plan at all (the crossJoin(broadcast(agg)) formulation plans
+    // a BroadcastNestedLoopJoin, which PlanSpec's no-NLJ gate rejects).
     Q("q_scalar_subquery",
       s"""SELECT c_custkey, c_acctbal FROM customer
          |WHERE c_acctbal > (SELECT ${O.davg("c_acctbal")} FROM customer)""".stripMargin) { (s, dir) =>
-      val customer = Tables.load(s, dir, "customer")
-      val avgBal = customer.agg(Cols.davg(col("c_acctbal")).as("__avg"))
-      customer.crossJoin(broadcast(avgBal))
-        .filter(col("c_acctbal") > col("__avg"))
-        .select("c_custkey", "c_acctbal")
+      Tables.load(s, dir, "customer").createOrReplaceTempView("graft_customer_sq")
+      s.sql(
+        s"""SELECT c_custkey, c_acctbal FROM graft_customer_sq
+           |WHERE c_acctbal >
+           |  (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(c_acctbal)
+           |   FROM graft_customer_sq)""".stripMargin)
     },
   )
 }

@@ -27,6 +27,10 @@ object SimilarityOps {
   import VectorFns._
 
   private val NumQueries = 10
+  // IVF coarse quantizer size: deterministically-sampled corpus vectors
+  // stand in for trained k-means centroids (any coarse quantizer is a
+  // valid IVF; training is orthogonal to the engine plumbing)
+  private val NumCentroids = 8
 
   private def vectors(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings").select(
@@ -95,6 +99,80 @@ object SimilarityOps {
         .select(col("q_id"), col("q_emb"),
           normSq(col("q_emb")).as("q_nsq"), lshBucket(col("q_emb")).as("q_bucket"))
       val scored = n.join(broadcast(q), col("bucket") === col("q_bucket"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score"))
+      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+      scored.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= 3)
+    },
+
+    // ANN via IVF (inverted file): a coarse quantizer of NumCentroids
+    // deterministically-sampled corpus vectors partitions the corpus by
+    // nearest centroid; a query probes only its own centroid's cell.
+    // At scale the cell assignment is a per-row map against a broadcast
+    // centroid table (replicated via a constant-key BroadcastHashJoin,
+    // never a nested-loop join) and the probe is one hash join on the
+    // cell id — work per query drops to ~N/NumCentroids. Queries are
+    // the same perturbed near-neighbors sim_ann_lsh plants, so recall
+    // is actually exercised.
+    Q("sim_ann_ivf", {
+      val centSel = s"SELECT vec_id AS c_id, emb AS c_emb, nsq AS c_nsq FROM n WHERE vec_id < $NumCentroids"
+      def assignSql(rel: String, idCol: String) =
+        s"""SELECT $idCol, emb, nsq, c_id FROM (
+           |  SELECT t.*, c.c_id,
+           |         row_number() OVER (PARTITION BY t.$idCol
+           |           ORDER BY ${sqlCosine(sqlDot("t.emb", "c.c_emb"), "t.nsq", "c.c_nsq")} DESC, c.c_id) AS crn
+           |  FROM $rel t CROSS JOIN cents c) z
+           |WHERE crn = 1""".stripMargin
+      s"""WITH v AS ($vectorsSql),
+         |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
+         |cents AS ($centSel),
+         |cl AS (${assignSql("n", "vec_id")}),
+         |qv AS (
+         |  SELECT vec_id + 10000000 AS q_id, qe AS emb, ${sqlNormSq("qe")} AS nsq
+         |  FROM (SELECT vec_id,
+         |          list_transform(${sqlToDouble("embedding")},
+         |            (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END) AS qe
+         |        FROM embeddings WHERE vec_id < $NumQueries) t),
+         |qcl AS (${assignSql("qv", "q_id")}),
+         |s AS (
+         |  SELECT q.q_id, c.vec_id,
+         |         ${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")} AS score
+         |  FROM qcl q JOIN cl c ON c.c_id = q.c_id)
+         |SELECT q_id, vec_id, score, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
+         |  FROM s) t
+         |WHERE rk <= 3""".stripMargin
+    }) { (s, dir) =>
+      val n = vectors(s, dir).withColumn("nsq", normSq(col("emb"))).persist()
+      val cents = n.filter(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"), col("nsq").as("c_nsq"))
+
+      // nearest-centroid assignment: replicate the O(1)-bounded centroid
+      // table to every row (broadcast cross join — 8 rows, a map-side
+      // replicate, not a data-dependent blowup), then keep the best
+      // centroid per row (ties to the smaller centroid id)
+      def assign(rel: org.apache.spark.sql.DataFrame, idCol: String) = {
+        val w = Window.partitionBy(col(idCol)).orderBy(
+          cosine(dot(col("emb"), col("c_emb")), col("nsq"), col("c_nsq")).desc,
+          col("c_id").asc)
+        rel.crossJoin(broadcast(cents))
+          .withColumn("__crn", row_number().over(w))
+          .filter(col("__crn") === 1)
+          .select(col(idCol), col("emb"), col("nsq"), col("c_id"))
+      }
+
+      val clustered = assign(n, "vec_id").persist()
+      val qEmb = transform(
+        toDouble(col("embedding")), (x, i) => when(i === 0, x + lit(0.01)).otherwise(x))
+      val qv = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < NumQueries)
+        .select((col("vec_id") + lit(10000000L)).as("q_id"), qEmb.as("emb"))
+        .withColumn("nsq", normSq(col("emb")))
+      val qcl = assign(qv, "q_id")
+        .select(col("q_id"), col("emb").as("q_emb"),
+          col("nsq").as("q_nsq"), col("c_id").as("q_cid"))
+
+      val scored = clustered.join(broadcast(qcl), col("c_id") === col("q_cid"))
         .select(col("q_id"), col("vec_id"),
           cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score"))
       val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)

@@ -109,6 +109,36 @@ object TextOps {
         pred.as("pred_lang"), (pred === col("lang")).as("hit"))
     },
 
+    // ── BPE-ish subword token counting ──────────────────────────────
+    // A byte-pair-style pre-tokenizer regex (letter runs | digit runs |
+    // single punctuation — the character-class core of GPT-2's pattern,
+    // kept to constructs whose leftmost-longest semantics are identical
+    // in Java regex and RE2) counts the units a subword tokenizer would
+    // split further. Whitespace-token counts sit in text_stats; the two
+    // together give the token-budget estimate a training pipeline needs.
+    Q("text_tokens_bpe", {
+      val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_bpe,
+         |  CAST(len(list_filter(regexp_extract_all(text, '$pat'),
+         |        t -> regexp_matches(t, '^[A-Za-z]+$$'))) AS BIGINT) AS n_word,
+         |  CAST(len(list_filter(regexp_extract_all(text, '$pat'),
+         |        t -> regexp_matches(t, '^[0-9]+$$'))) AS BIGINT) AS n_num,
+         |  CAST(list_sum(list_transform(regexp_extract_all(text, '$pat'),
+         |        t -> length(t))) AS BIGINT) AS n_chars_tokenized
+         |FROM documents""".stripMargin
+    }) { (s, dir) =>
+      val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+      val toks = regexp_extract_all(col("text"), lit(pat), lit(0))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(toks).cast(LongType).as("n_bpe"),
+        size(filter(toks, t => t.rlike("^[A-Za-z]+$"))).cast(LongType).as("n_word"),
+        size(filter(toks, t => t.rlike("^[0-9]+$"))).cast(LongType).as("n_num"),
+        aggregate(transform(toks, t => length(t).cast(LongType)),
+          lit(0L), (acc, x) => acc + x).as("n_chars_tokenized"))
+    },
+
     // ── fingerprinting: content md5 + position-weighted rolling hash ─
     Q("text_fingerprint", {
       val toks = "string_split(text, ' ')"
