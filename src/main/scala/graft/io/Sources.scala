@@ -47,6 +47,41 @@ final case class ParquetSource(path: String) extends RelationSource {
   def describe: String = s"parquet $path"
 }
 
+/** Newline-delimited JSON (one object per line — Spark's native JSON
+  * layout, the shape distributed writers produce; contrast
+  * [[JsonArraySource]], the reference's one-object-array payload).
+  */
+final case class JsonLinesSource(path: String, schema: Option[StructType] = None)
+    extends RelationSource {
+  def load(spark: SparkSession): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+  def describe: String = s"jsonl $path"
+}
+
+/** Headered CSV source. Pass a schema for exact types (header names are
+  * matched by position after the header row is skipped); without one,
+  * inference reads the file twice and types conservatively.
+  */
+final case class CsvSource(path: String, schema: Option[StructType] = None)
+    extends RelationSource {
+  def load(spark: SparkSession): DataFrame = {
+    val r = spark.read.option("header", value = true)
+    schema.fold(r.option("inferSchema", value = true))(r.schema).csv(path)
+  }
+  def describe: String = s"csv $path"
+}
+
+/** ORC source — the other columnar format Spark ships a vectorized
+  * reader for; included so a reference user with ORC-resident tables
+  * can switch without a format migration.
+  */
+final case class OrcSource(path: String) extends RelationSource {
+  def load(spark: SparkSession): DataFrame = spark.read.orc(path)
+  def describe: String = s"orc $path"
+}
+
 /** Whole-table JDBC scan, options-driven — the reference's enrichment
   * input (`gule_test_job.py:82-94`; URL template `data.tf:17-21`,
   * driver jar `common_settings.json:12-15`).

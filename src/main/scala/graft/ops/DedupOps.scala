@@ -25,6 +25,12 @@ object DedupOps {
 
   private val MinhashK = 12 // minhash permutations
   private val Bands = 6     // LSH bands (rows-per-band = 2)
+  // universal-hash permutation family over the 60-bit shingle digest:
+  // perm_j(h) = (A_j * (h % P) + B_j) % P. P prime ~1e9 keeps A*h well
+  // inside int64 in both engines (no overflow, identical arithmetic).
+  private val MinhashP = 1000000007L
+  private def MinhashA(j: Int): Long = 1000003L * j + 12345L
+  private def MinhashB(j: Int): Long = 7919L * j + 271L
   // SimHash: 60-bit signature (fits positive in both engines' BIGINT),
   // banded 4 x 15 bits. 32768 buckets per band keeps the candidate set
   // ~N^2 * 4/2^15 for unrelated docs — r1's 4 x 8-bit banding had only
@@ -107,22 +113,32 @@ object DedupOps {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
     },
 
-    // MinHash + banded LSH: per-doc signature = K minima of md5(seed|shingle)
-    // (lexicographic min of hex digests — identical in both engines);
-    // candidates share a band digest; verified with exact Jaccard.
+    // MinHash + banded LSH: each shingle is md5-hashed ONCE to a 60-bit
+    // int, and the K permutations are universal linear hashes
+    // (a_j*h + b_j) mod p over that int — 1 digest + K multiply-adds
+    // per shingle instead of K digests (the r1 scheme cost 12 md5 evals
+    // per shingle and dominated the query at 13.5s/sf0.1). h is reduced
+    // mod p first so a_j*h stays well inside int64 in both engines.
+    // Candidates share a band key over signature pairs; verified with
+    // exact Jaccard.
     Q("dedup_minhash_lsh", {
       val sig = (0 until MinhashK)
-        .map(j => s"list_min(list_transform(shingles, s -> md5('$j|' || s)))")
+        .map(j => s"list_min(list_transform(hh, h -> (${MinhashA(j)} * h + ${MinhashB(j)}) % $MinhashP))")
         .mkString("[", ",\n      ", "]")
       val bandKeys = (0 until Bands)
-        .map(b => s"md5('$b~' || sig[${2 * b + 1}] || sig[${2 * b + 2}])")
+        .map(b => s"md5('$b~' || sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])")
         .mkString("[", ",\n      ", "]")
       s"""WITH docs_aug AS ($docsAugSql),
          |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM docs_aug),
          |sh AS (
          |  SELECT doc_id, $shingles3Sql AS shingles
          |  FROM tok WHERE len(tokens) >= 3),
-         |mh AS (SELECT doc_id, $sig AS sig FROM sh),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform(shingles,
+         |      s -> (('0x' || substr(md5(s), 1, 15))::BIGINT) % $MinhashP) AS hh
+         |  FROM sh),
+         |mh AS (SELECT doc_id, $sig AS sig FROM hs),
          |bands AS (SELECT doc_id, unnest($bandKeys) AS band_key FROM mh),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -139,12 +155,15 @@ object DedupOps {
       val sh = tok.filter(size(col("tokens")) >= 3)
         .select(col("doc_id"), shingles3(col("tokens")).as("shingles"))
         .persist()
+      val hs = sh.select(col("doc_id"),
+        transform(col("shingles"), sgl => Cols.hex60(sgl) % lit(MinhashP)).as("hh"))
       val sig = array((0 until MinhashK).map(j =>
-        array_min(transform(col("shingles"), sgl => md5(concat(lit(s"$j|"), sgl))))): _*)
-      val mh = sh.select(col("doc_id"), col("shingles"), sig.as("sig"))
+        array_min(transform(col("hh"),
+          h => (lit(MinhashA(j)) * h + lit(MinhashB(j))) % lit(MinhashP)))): _*)
+      val mh = hs.select(col("doc_id"), sig.as("sig"))
       val bandKeys = array((0 until Bands).map(b =>
-        md5(concat(lit(s"$b~"), element_at(col("sig"), 2 * b + 1),
-          element_at(col("sig"), 2 * b + 2)))): _*)
+        md5(concat(lit(s"$b~"), element_at(col("sig"), 2 * b + 1).cast("string"),
+          lit("|"), element_at(col("sig"), 2 * b + 2).cast("string")))): _*)
       val bands = mh.select(col("doc_id"), explode(bandKeys).as("band_key")).persist()
       val pairs = bands.as("a")
         .join(bands.as("b"),

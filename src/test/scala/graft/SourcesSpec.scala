@@ -1,0 +1,78 @@
+package graft
+
+import graft.io._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Round-trips every file-format source through real files, and runs a
+  * pipeline whose sides use two different formats (the point of the
+  * RelationSource abstraction).
+  */
+class SourcesSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val root = Files.createTempDirectory("graft-sources-spec").toString
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", DoubleType),
+    StructField("s", StringType)))
+
+  private def sample = spark.createDataFrame(Seq(
+    Row(1L, 1.5, "a"), Row(2L, null, "b"), Row(3L, 3.25, null)).asJava, schema)
+
+  test("JSON array source parses a multiline array file with explicit schema") {
+    Files.writeString(Paths.get(s"$root/arr.json"),
+      """[
+        |  {"id": 1, "v": 1.5, "s": "a"},
+        |  {"id": 2, "s": "b"},
+        |  {"id": 3, "v": 3.25}
+        |]""".stripMargin)
+    val got = JsonArraySource(s"$root/arr.json", Some(schema)).load(spark)
+    assert(got.columns.toSeq === Seq("id", "v", "s")) // schema order kept
+    assert(got.collect().map(_.toString).sorted === sample.collect().map(_.toString).sorted)
+  }
+
+  test("JSON lines source round-trips Spark's own json writer output") {
+    sample.write.mode("overwrite").json(s"$root/lines")
+    val got = JsonLinesSource(s"$root/lines", Some(schema)).load(spark)
+    assert(got.collect().map(_.toString).sorted === sample.collect().map(_.toString).sorted)
+  }
+
+  test("CSV source round-trips the CsvSink's single-object output") {
+    val csv = CsvSink.writeSingleCsv(sample, s"$root/csvout", "data.csv")
+    assert(csv.getFileName.toString === "data.csv")
+    val got = CsvSource(csv.toString, Some(schema)).load(spark)
+    // CSV has no null-vs-missing distinction for strings: "" reads as null,
+    // matching the sink's nullValue="" rendering
+    assert(got.collect().map(_.toString).sorted === sample.collect().map(_.toString).sorted)
+  }
+
+  test("ORC source round-trips Spark's orc writer output") {
+    sample.write.mode("overwrite").orc(s"$root/orc")
+    val got = OrcSource(s"$root/orc").load(spark)
+    assert(got.collect().map(_.toString).sorted === sample.collect().map(_.toString).sorted)
+  }
+
+  test("pipeline runs with mixed source formats (jsonl primary, orc secondary)") {
+    sample.write.mode("overwrite").json(s"$root/p-lines")
+    val sec = spark.createDataFrame(Seq(
+      Row(2L, 22.0, "filled"), Row(9L, 99.0, "unmatched")).asJava, schema)
+    sec.write.mode("overwrite").orc(s"$root/s-orc")
+    val spec = Pipeline.PipelineSpec(
+      primary = JsonLinesSource(s"$root/p-lines", Some(schema)),
+      secondary = OrcSource(s"$root/s-orc"),
+      destDir = s"$root/mixed-out")
+    val notifier = new RecordingNotifier
+    val r = Pipeline.run(spark, spec, notifier)
+    assert(r.isRight)
+    assert(r.toOption.get.mergedRows === 3)
+    assert(r.toOption.get.unmatchedRows === 1)
+    val merged = spark.read.option("header", value = true)
+      .csv(s"$root/mixed-out/merged.csv").collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("v")).toMap
+    assert(merged("2") === "22.0") // null primary filled from the ORC side
+  }
+}
