@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{OracleSql => O, Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -118,6 +118,79 @@ object EventOps {
           get_json_object(col("props"), "$.k").cast(LongType).as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("k").as("k_sum"), max("k").as("k_max"))
+    },
+
+    // ── banded range join ───────────────────────────────────────────
+    // "purchases by the same user in the hour before each click" is an
+    // interval join; expressed naively (join on user + ts BETWEEN) Spark
+    // plans a per-user nested loop. The scale-safe decomposition: band
+    // both sides into 1-hour epoch buckets, probe each click's two
+    // candidate buckets through an EQUI join on (user, bucket), then
+    // apply the exact range filter — O(matches) work, hash-partitioned
+    // shuffles only. (DuckDB's oracle uses its native range join.)
+    Q("q_range_join",
+      """WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, CAST(count(p.ts) AS BIGINT) AS n_purchases
+        |FROM c LEFT JOIN p
+        |  ON p.user_id = c.user_id
+        | AND p.ts >= c.ts - INTERVAL '1 hour' AND p.ts <= c.ts
+        |GROUP BY c.event_id, c.user_id, c.ts""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val hb = (c: Column) => floor(unix_timestamp(c) / 3600).cast(LongType)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), hb(col("ts")).as("p_hb"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), hb(col("ts")).as("c_hb"))
+      val probes = c.withColumn("probe_hb",
+        explode(array(col("c_hb") - 1, col("c_hb"))))
+      val counts = probes.join(p,
+        col("p_user") === col("user_id") && col("p_hb") === col("probe_hb") &&
+          col("p_ts") >= col("ts") - expr("INTERVAL 1 HOUR") && col("p_ts") <= col("ts"))
+        .groupBy("event_id").agg(count(lit(1)).as("__n"))
+      c.join(counts, Seq("event_id"), "left_outer")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("__n"), lit(0L)).as("n_purchases"))
+    },
+
+    // ── KMV distinct-count sketch ───────────────────────────────────
+    // A k-minimum-values sketch per event type: keep the k smallest
+    // 60-bit hashes of the member set; estimate distinct count as
+    // (k-1) / fraction-of-hash-space the kth minimum covers. Unlike
+    // HLL (whose register layout is engine-specific), KMV is exact
+    // arithmetic over md5 — the oracle reproduces the estimate
+    // bit-for-bit. At scale: one shuffle to dedup members, one to rank
+    // per group; sketch size k per group.
+    Q("q_sketch_kmv", {
+      val k = 64
+      s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h AS (SELECT event_type, user_id,
+         |        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+         |      FROM du),
+         |r AS (SELECT event_type, hv,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY hv, user_id) AS rn
+         |      FROM h),
+         |agg AS (SELECT event_type,
+         |          CAST(count(*) AS BIGINT) AS n_k, max(hv) AS kth
+         |        FROM r WHERE rn <= $k GROUP BY event_type),
+         |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM du GROUP BY event_type)
+         |SELECT ex.event_type, ex.n_exact,
+         |  CASE WHEN agg.n_k < $k THEN CAST(agg.n_k AS DOUBLE)
+         |       ELSE ${k - 1}.0 * 1152921504606846976.0 / agg.kth END AS kmv_est
+         |FROM ex JOIN agg ON ex.event_type = agg.event_type""".stripMargin
+    }) { (s, dir) =>
+      val k = 64
+      val du = events(s, dir).select(col("event_type"), col("user_id")).distinct()
+      val h = du.withColumn("hv", graft.Cols.hex60(col("user_id").cast("string")))
+      val w = Window.partitionBy("event_type").orderBy(col("hv").asc, col("user_id").asc)
+      val agg = h.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .groupBy("event_type").agg(count(lit(1)).as("n_k"), max("hv").as("kth"))
+      val exact = du.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+      exact.join(agg, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          when(col("n_k") < k, col("n_k").cast(DoubleType))
+            .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18) / col("kth"))
+            .as("kmv_est"))
     },
 
     // ── time-bucketed rates: events-per-day stats per type ──────────
