@@ -212,6 +212,31 @@ object RelationalOps {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(20)
     },
 
+    // ── grouped top-k via a custom typed Aggregator ─────────────────
+    // Same answer as a window row_number <= k, but with Spark's partial
+    // aggregation: each map task reduces its slice to <= k candidates
+    // per group, so the shuffle carries O(groups*k) rows instead of
+    // every row (see graft.functions.TopKAgg). The oracle is the window
+    // formulation, proving the Aggregator's ordering/tie semantics.
+    Q("q_topk_agg",
+      """SELECT c_mktsegment AS segment, CAST(rk AS BIGINT) AS rk,
+        |       c_custkey, c_acctbal AS balance
+        |FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer WHERE c_acctbal IS NOT NULL) t
+        |WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      val topk = udaf(new graft.functions.TopKAgg(3))
+      Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal").isNotNull)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(topk(col("c_acctbal"), col("c_custkey")).as("top"))
+        .select(col("segment"), posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("segment"), (col("pos") + 1).cast(LongType).as("rk"),
+          col("s.id").as("c_custkey"), col("s.score").as("balance"))
+    },
+
     // ── scalar functions (string/date/math) ─────────────────────────
     Q("q_scalar",
       """SELECT o_orderkey,
