@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Native Catalyst expression for the random-hyperplane LSH bucket id —
+  * the one hot-path scalar where the built-in surface falls short:
+  * higher-order functions (transform/aggregate) evaluate interpreted,
+  * and unrolling 16 planes x 64 dims into literal expression trees
+  * produced multi-MiB task binaries in round 1. This expression carries
+  * the plane matrix as ONE referenced object and generates a two-level
+  * loop inside whole-stage codegen.
+  *
+  * IEEE contract (must match the oracle SQL's unrolled chains and
+  * VectorFns.lshBucket): per plane, acc starts at 0.0 and adds
+  * w(i)*a(i) in ascending element order — the identical operation
+  * sequence, so buckets are bit-for-bit equal across all three
+  * implementations.
+  */
+final case class LshBucketExpr(
+    child: Expression,
+    planes: Array[Array[Double]]) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val w = planes(p)
+      var acc = 0.0
+      var i = 0
+      while (i < w.length) {
+        acc += w(i) * arr.getDouble(i)
+        i += 1
+      }
+      if (acc > 0.0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val bucket = ctx.freshName("bucket")
+      val p = ctx.freshName("p")
+      val w = ctx.freshName("w")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |long $bucket = 0L;
+         |for (int $p = 0; $p < $planesRef.length; $p++) {
+         |  double[] $w = $planesRef[$p];
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $w.length; $i++) {
+         |    $acc += $w[$i] * $arr.getDouble($i);
+         |  }
+         |  if ($acc > 0.0) $bucket |= 1L << $p;
+         |}
+         |${ev.value} = $bucket;
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
+    copy(child = newChild)
+}

@@ -39,8 +39,14 @@ object VectorFns {
   val planes: IndexedSeq[IndexedSeq[Double]] =
     (0 until Planes).map(p => (0 until Dim).map(d => md5Signed(s"$p,$d")))
 
-  /** Exact float->double widening of an embedding column. */
-  def toDouble(emb: Column): Column = transform(emb, _.cast(DoubleType))
+  /** Exact float->double widening of an embedding column. An array CAST,
+    * not a transform() lambda: element-wise semantics are identical, but
+    * Cast stays inside whole-stage codegen while higher-order functions
+    * evaluate interpreted AND exclude their whole projection from
+    * codegen.
+    */
+  def toDouble(emb: Column): Column =
+    emb.cast(org.apache.spark.sql.types.ArrayType(DoubleType))
 
   /** 0.0 + a[1]*b[1] + ... + a[64]*b[64], left-associated. */
   def dot(a: Column, b: Column): Column =
@@ -59,13 +65,23 @@ object VectorFns {
   /** 16-bit random-hyperplane LSH bucket id of a double-array embedding:
     * bit p set iff (0.0 + w(p,1)*a[1] + ...) > 0.
     *
-    * Each plane's projection is a compact zip_with+aggregate (a fold in
-    * element order: ((0.0 + w1*a1) + w2*a2) + ... — the identical IEEE
-    * sequence the oracle's unrolled SQL chain evaluates) instead of a
-    * 64-term unrolled tree: 16 planes unrolled to 1,024 terms used to
-    * push task binaries past 2 MiB (BENCH_r01 tail warnings).
+    * Implemented as a native Catalyst expression with whole-stage
+    * codegen ([[LshBucketExpr]]): the HOF formulation evaluates
+    * interpreted, and the r1 unrolled-literal formulation produced
+    * multi-MiB task binaries. Same IEEE operation sequence as the
+    * oracle's unrolled SQL chains.
     */
   def lshBucket(a: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      LshBucketExpr(
+        org.apache.spark.sql.GraftColumnShim.expression(a),
+        planes.map(_.toArray).toArray))
+
+  /** The pre-expression HOF formulation (compact zip_with+aggregate
+    * folds), kept as the comparison baseline for LshBucketExprSpec:
+    * both must produce identical buckets on every fixture vector.
+    */
+  private[graft] def lshBucketHof(a: Column): Column =
     (0 until Planes).map { p =>
       val proj = aggregate(
         zip_with(typedLit(planes(p)), a, (w, x) => w * x),
