@@ -48,11 +48,14 @@ object VectorFns {
   def toDouble(emb: Column): Column =
     emb.cast(org.apache.spark.sql.types.ArrayType(DoubleType))
 
-  /** 0.0 + a[1]*b[1] + ... + a[64]*b[64], left-associated. */
+  /** 0.0 + a[1]*b[1] + ... + a[64]*b[64], left-associated — a native
+    * codegen loop ([[DotExpr]]) evaluating the identical IEEE sequence
+    * the oracle's unrolled SQL chain does.
+    */
   def dot(a: Column, b: Column): Column =
-    (1 to Dim).foldLeft(lit(0.0)) { (acc, i) =>
-      acc + element_at(a, i) * element_at(b, i)
-    }
+    org.apache.spark.sql.GraftColumnShim.column(DotExpr(
+      org.apache.spark.sql.GraftColumnShim.expression(a),
+      org.apache.spark.sql.GraftColumnShim.expression(b)))
 
   def normSq(a: Column): Column = dot(a, a)
 
