@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Cols, OracleSql => O, Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampType}
@@ -235,6 +236,57 @@ object RelationalOps {
         .select(col("segment"), posexplode(col("top")).as(Seq("pos", "s")))
         .select(col("segment"), (col("pos") + 1).cast(LongType).as("rk"),
           col("s.id").as("c_custkey"), col("s.score").as("balance"))
+    },
+
+    // ── exact median via rank arithmetic ────────────────────────────
+    // Both engines' native percentile/quantile functions interpolate
+    // differently, so the median is computed the deterministic way:
+    // the mean of the middle one-or-two ranked values. One window pass,
+    // partitioned by the group key — no driver-side sort.
+    Q("q_median",
+      """SELECT c_mktsegment AS segment,
+        |       CAST(sum(c_acctbal) / count(*) AS DOUBLE) AS median_bal
+        |FROM (
+        |  SELECT c_mktsegment, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY c_acctbal, c_custkey) AS rn,
+        |         count(*) OVER (PARTITION BY c_mktsegment) AS cnt
+        |  FROM customer) t
+        |WHERE rn * 2 = cnt OR rn * 2 = cnt + 1 OR rn * 2 = cnt + 2
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+      val wc = Window.partitionBy("c_mktsegment")
+      c.select(col("c_mktsegment"), col("c_acctbal"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wc).as("cnt"))
+        .filter(col("rn") * 2 === col("cnt") || col("rn") * 2 === col("cnt") + 1 ||
+          col("rn") * 2 === col("cnt") + 2)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg((sum(col("c_acctbal")) / count(lit(1))).cast(DoubleType).as("median_bal"))
+    },
+
+    // ── covariance / correlation from decimal sums ──────────────────
+    // Spark's corr()/covar_pop() accumulate co-moments in doubles whose
+    // value depends on partition order; here the statistics are derived
+    // from decimal(38,4) sums (order-independent, exact), so the final
+    // double arithmetic is the identical sequence in both engines.
+    Q("q_stats_cov", {
+      def dsum38(x: String) = s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+      val sxy =
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+      s"""SELECT l_returnflag,
+         |  count(*) AS n,
+         |  ($sxy / count(*)) - (${dsum38("l_quantity")} / count(*)) * (${dsum38("l_extendedprice")} / count(*)) AS cov_pop
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    }) { (s, dir) =>
+      val dec = (c: Column) => c.cast(DecimalType(18, 2))
+      val li = Tables.load(s, dir, "lineitem")
+      val n = count(lit(1))
+      val sx = sum(dec(col("l_quantity"))).cast(DoubleType)
+      val sy = sum(dec(col("l_extendedprice"))).cast(DoubleType)
+      val sxy = sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).cast(DoubleType)
+      li.groupBy("l_returnflag")
+        .agg(n.as("n"), ((sxy / n) - (sx / n) * (sy / n)).as("cov_pop"))
     },
 
     // ── scalar functions (string/date/math) ─────────────────────────
