@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Native SimHash signature over an array of token-hash longs: bit b of
+  * the result is set iff the sum over tokens of ((h >> b) & 1) * 2 - 1
+  * is positive. Pure integer arithmetic — trivially engine-identical —
+  * but the per-bit higher-order-aggregate formulation evaluated `bits`
+  * interpreted passes over the token array per row; this is one
+  * generated two-level loop inside whole-stage codegen.
+  */
+final case class SimHashExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Long](bits)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < bits) {
+        counts(b) += ((h >> b) & 1L) * 2L - 1L
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (counts(b) > 0L) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $counts = new long[$bits];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $arr.getLong($i);
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    $counts[$b] += (($h >> $b) & 1L) * 2L - 1L;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < $bits; $b++) {
+         |  if ($counts[$b] > 0L) $sig |= 1L << $b;
+         |}
+         |${ev.value} = $sig;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}

@@ -211,11 +211,11 @@ object DedupOps {
     }) { (s, dir) =>
       val hs = docsAug(s, dir).select(col("doc_id"),
         transform(array_distinct(split(col("text"), " ")), t => Cols.hex60(t)).as("hh"))
-      val simhash = (0 until SimBits).map { b =>
-        val bitSum = aggregate(col("hh"), lit(0L),
-          (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
-        when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _).cast(LongType)
+      // native codegen loop (SimHashExpr) — the per-bit HOF aggregate
+      // formulation cost SimBits interpreted passes over hh per row
+      val simhash = org.apache.spark.sql.GraftColumnShim.column(
+        graft.functions.SimHashExpr(
+          org.apache.spark.sql.GraftColumnShim.expression(col("hh")), SimBits))
       val sim = hs.select(col("doc_id"), simhash.as("simhash"))
       val bandIdx = explode(array((0 until SimBands).map(i => lit(i)): _*)).as("band_i")
       val bands = sim.select(col("doc_id"), col("simhash"), bandIdx)

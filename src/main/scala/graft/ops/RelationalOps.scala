@@ -139,6 +139,29 @@ object RelationalOps {
         .select("c_mktsegment", "c_nationkey", "gid", "n", "bal")
     },
 
+    // ── explicit grouping sets ──────────────────────────────────────
+    // The third grouping-analytics form next to rollup/cube: an
+    // explicit, non-hierarchical set list (per-status totals,
+    // per-priority totals, and the grand total — but NOT the cross
+    // product a cube would add). Plans as one Expand, same as rollup.
+    Q("q_grouping_sets",
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         |  count(*) AS n, ${O.dsum("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("graft_orders_gs")
+      // Spark's SQL grouping() is single-column; grouping_id(a, b) is
+      // the bitmask equivalent of DuckDB's multi-arg grouping(a, b)
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM graft_orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    },
+
     // ── cube ────────────────────────────────────────────────────────
     Q("q_cube",
       s"""SELECT l_returnflag, l_linestatus,
