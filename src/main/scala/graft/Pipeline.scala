@@ -71,7 +71,14 @@ object Pipeline {
         MergeOps.requireKey(primary, spec.key, spec.primary.describe)
         MergeOps.requireKey(secondary, spec.key, spec.secondary.describe)
       }
-      merged = MergeOps.coalesceMerge(primary, secondary, spec.key)
+      // inside a stage: Spark analyzes transformations eagerly, so an
+      // incompatible shared-column type raises AnalysisException at
+      // PLAN time — it must follow the same notify+Left routing, not
+      // escape the fan-out loop
+      merged <- stage("plan-merge",
+        m => s"Error: failed to plan merge: $m") {
+        MergeOps.coalesceMerge(primary, secondary, spec.key)
+      }
       // Unmatched report (O13/O14/O17): failures here are non-fatal —
       // the reference continues to the CSV write when the Slack report
       // errors (gule_test_job.py:195-199).
@@ -81,7 +88,11 @@ object Pipeline {
         CsvSink.writeSingleCsv(merged, spec.destDir, spec.destFile)
       }
       rows <- stage("count", m => s"Error: failed to count output: $m") {
-        spark.read.option("header", value = true).csv(csv.toString).count()
+        // multiLine: quoted embedded newlines are field content, not
+        // record separators (single-object CSV, so the per-file
+        // single-threaded multiLine parse costs nothing)
+        spark.read.option("header", value = true).option("multiLine", value = true)
+          .csv(csv.toString).count()
       }
     } yield {
       notifier.notifySafe(

@@ -28,13 +28,18 @@ final case class LshBucketExpr(
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    // bound by BOTH lengths: a vector shorter than the plane width must
+    // not read past numElements() (UnsafeArrayData would silently return
+    // adjacent buffer bytes, i.e. a nondeterministic bucket)
+    val n = arr.numElements()
     var bucket = 0L
     var p = 0
     while (p < planes.length) {
       val w = planes(p)
+      val m = math.min(n, w.length)
       var acc = 0.0
       var i = 0
-      while (i < w.length) {
+      while (i < m) {
         acc += w(i) * arr.getDouble(i)
         i += 1
       }
@@ -48,16 +53,20 @@ final case class LshBucketExpr(
     val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
     nullSafeCodeGen(ctx, ev, arr => {
       val bucket = ctx.freshName("bucket")
+      val n = ctx.freshName("n")
       val p = ctx.freshName("p")
       val w = ctx.freshName("w")
+      val m = ctx.freshName("m")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
          |long $bucket = 0L;
+         |int $n = $arr.numElements();
          |for (int $p = 0; $p < $planesRef.length; $p++) {
          |  double[] $w = $planesRef[$p];
+         |  int $m = java.lang.Math.min($n, $w.length);
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $w.length; $i++) {
+         |  for (int $i = 0; $i < $m; $i++) {
          |    $acc += $w[$i] * $arr.getDouble($i);
          |  }
          |  if ($acc > 0.0) $bucket |= 1L << $p;

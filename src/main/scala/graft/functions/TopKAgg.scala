@@ -29,7 +29,14 @@ final class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]]
   private def trim(s: Seq[Scored]): Seq[Scored] = s.sorted(ord).take(k)
 
   def zero: Seq[Scored] = Seq.empty
-  def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = trim(b :+ a)
+
+  /** The buffer is kept sorted (trim sorts), so the common case on a
+    * large group — candidate no better than the current kth — is ONE
+    * comparison, not a re-sort per input row.
+    */
+  def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+    if (b.length == k && ord.lteq(b.last, a)) b else trim(b :+ a)
+
   def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = trim(x ++ y)
   def finish(r: Seq[Scored]): Seq[Scored] = r.sorted(ord)
 

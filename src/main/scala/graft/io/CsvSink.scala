@@ -32,11 +32,14 @@ object CsvSink {
     df.coalesce(1)
       .write.mode("overwrite").option("header", value = true)
       .csv(staging.toString)
-    val part = Files.list(staging).iterator.asScala
-      .find(p => p.getFileName.toString.startsWith("part-") &&
-        p.getFileName.toString.endsWith(".csv"))
-      .getOrElse(throw new IllegalStateException(
-        s"CSV write produced no part file under $staging"))
+    val listing = Files.list(staging)
+    val part =
+      try listing.iterator.asScala
+        .find(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".csv"))
+        .getOrElse(throw new IllegalStateException(
+          s"CSV write produced no part file under $staging"))
+      finally listing.close()
     val target = dest.resolve(fileName)
     Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
     deleteRecursively(staging)
@@ -45,6 +48,8 @@ object CsvSink {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+      val walk = Files.walk(p)
+      try walk.iterator.asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
     }
 }

@@ -74,6 +74,7 @@ object PipelineQueries {
     val mergedSchema = MergeOps.coalesceMerge(
       spec.primary.load(s), spec.secondary.load(s), spec.key).schema
     s.read.schema(mergedSchema).option("header", value = true)
+      .option("multiLine", value = true)
       .csv(result.csvPath.toString)
   }
 

@@ -274,10 +274,13 @@ object RelationalOps {
         |         row_number() OVER (PARTITION BY c_mktsegment
         |                            ORDER BY c_acctbal, c_custkey) AS rn,
         |         count(*) OVER (PARTITION BY c_mktsegment) AS cnt
-        |  FROM customer) t
+        |  FROM customer WHERE c_acctbal IS NOT NULL) t
         |WHERE rn * 2 = cnt OR rn * 2 = cnt + 1 OR rn * 2 = cnt + 2
         |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
-      val c = Tables.load(s, dir, "customer")
+      // null balances excluded on BOTH sides: the engines rank nulls
+      // differently (Spark asc = NULLS FIRST, DuckDB ASC = NULLS LAST),
+      // so an unguarded median would select different middle rows
+      val c = Tables.load(s, dir, "customer").filter(col("c_acctbal").isNotNull)
       val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
       val wc = Window.partitionBy("c_mktsegment")
       c.select(col("c_mktsegment"), col("c_acctbal"),

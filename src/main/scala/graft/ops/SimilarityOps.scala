@@ -39,6 +39,29 @@ object SimilarityOps {
   private val vectorsSql =
     s"SELECT vec_id, ${sqlToDouble("embedding")} AS emb FROM embeddings"
 
+  /** The shared ANN query workload: PERTURBED copies of the first
+    * NumQueries corpus vectors (first element +0.01, ids offset by 10M)
+    * — every query has a genuine near-neighbor in the corpus, so ANN
+    * recall is actually exercised. Defined ONCE with its SQL twin;
+    * both ANN queries (LSH and IVF) derive from it, so the
+    * perturbation contract cannot drift between them.
+    */
+  private def perturbedQueries(s: SparkSession, dir: String): DataFrame = {
+    val qEmb = transform(
+      toDouble(col("embedding")), (x, i) => when(i === 0, x + lit(0.01)).otherwise(x))
+    Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") < NumQueries)
+      .select((col("vec_id") + lit(10000000L)).as("q_id"), qEmb.as("emb"))
+      .withColumn("nsq", normSq(col("emb")))
+  }
+
+  private val perturbedQueriesSql =
+    s"""SELECT vec_id + 10000000 AS q_id, qe AS emb, ${sqlNormSq("qe")} AS nsq
+       |FROM (SELECT vec_id,
+       |        list_transform(${sqlToDouble("embedding")},
+       |          (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END) AS qe
+       |      FROM embeddings WHERE vec_id < $NumQueries) t""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     Q("sim_topk_brute",
@@ -72,13 +95,8 @@ object SimilarityOps {
     Q("sim_ann_lsh",
       s"""WITH v AS ($vectorsSql),
          |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq, ${sqlLshBucket("emb")} AS bucket FROM v),
-         |q AS (
-         |  SELECT vec_id + 10000000 AS q_id, qe AS emb, ${sqlNormSq("qe")} AS nsq,
-         |         ${sqlLshBucket("qe")} AS bucket
-         |  FROM (SELECT vec_id,
-         |          list_transform(${sqlToDouble("embedding")},
-         |            (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END) AS qe
-         |        FROM embeddings WHERE vec_id < $NumQueries) t),
+         |pq AS ($perturbedQueriesSql),
+         |q AS (SELECT q_id, emb, nsq, ${sqlLshBucket("emb")} AS bucket FROM pq),
          |s AS (
          |  SELECT q.q_id, c.vec_id AS vec_id,
          |         ${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")} AS score
@@ -91,13 +109,9 @@ object SimilarityOps {
         .withColumn("nsq", normSq(col("emb")))
         .withColumn("bucket", lshBucket(col("emb")))
         .persist()
-      val qEmb = transform(
-        toDouble(col("embedding")), (x, i) => when(i === 0, x + lit(0.01)).otherwise(x))
-      val q = Tables.load(s, dir, "embeddings")
-        .filter(col("vec_id") < NumQueries)
-        .select((col("vec_id") + lit(10000000L)).as("q_id"), qEmb.as("q_emb"))
-        .select(col("q_id"), col("q_emb"),
-          normSq(col("q_emb")).as("q_nsq"), lshBucket(col("q_emb")).as("q_bucket"))
+      val q = perturbedQueries(s, dir)
+        .select(col("q_id"), col("emb").as("q_emb"),
+          col("nsq").as("q_nsq"), lshBucket(col("emb")).as("q_bucket"))
       val scored = n.join(broadcast(q), col("bucket") === col("q_bucket"))
         .select(col("q_id"), col("vec_id"),
           cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score"))
@@ -127,12 +141,7 @@ object SimilarityOps {
          |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
          |cents AS ($centSel),
          |cl AS (${assignSql("n", "vec_id")}),
-         |qv AS (
-         |  SELECT vec_id + 10000000 AS q_id, qe AS emb, ${sqlNormSq("qe")} AS nsq
-         |  FROM (SELECT vec_id,
-         |          list_transform(${sqlToDouble("embedding")},
-         |            (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END) AS qe
-         |        FROM embeddings WHERE vec_id < $NumQueries) t),
+         |qv AS ($perturbedQueriesSql),
          |qcl AS (${assignSql("qv", "q_id")}),
          |s AS (
          |  SELECT q.q_id, c.vec_id,
@@ -162,13 +171,7 @@ object SimilarityOps {
       }
 
       val clustered = assign(n, "vec_id").persist()
-      val qEmb = transform(
-        toDouble(col("embedding")), (x, i) => when(i === 0, x + lit(0.01)).otherwise(x))
-      val qv = Tables.load(s, dir, "embeddings")
-        .filter(col("vec_id") < NumQueries)
-        .select((col("vec_id") + lit(10000000L)).as("q_id"), qEmb.as("emb"))
-        .withColumn("nsq", normSq(col("emb")))
-      val qcl = assign(qv, "q_id")
+      val qcl = assign(perturbedQueries(s, dir), "q_id")
         .select(col("q_id"), col("emb").as("q_emb"),
           col("nsq").as("q_nsq"), col("c_id").as("q_cid"))
 

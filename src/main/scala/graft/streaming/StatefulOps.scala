@@ -62,8 +62,14 @@ object StatefulOps extends Serializable {
     * are emitted; the open session stays in state for the next batch.
     *
     * In-batch event-time disorder is handled by sorting each group's
-    * batch slice; cross-batch disorder is subject to the stream's
-    * watermark discipline, as with any event-time stateful operator.
+    * batch slice, which buffers that key's slice of the CURRENT
+    * micro-batch in executor memory — bounded by rows-per-key-per-
+    * trigger, not by history (the checkpointed STATE is one
+    * OpenSession per active key). A pathologically hot key in a huge
+    * batch is the limit of this approach; shorten the trigger interval
+    * or pre-bucket such keys. Cross-batch disorder is subject to the
+    * stream's watermark discipline, as with any event-time stateful
+    * operator.
     */
   def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
