@@ -315,6 +315,34 @@ object RelationalOps {
         .agg(n.as("n"), ((sxy / n) - (sx / n) * (sy / n)).as("cov_pop"))
     },
 
+    // ── column profiling ────────────────────────────────────────────
+    // The data-quality pass a pipeline runs before training: row count,
+    // per-column null counts, exact distinct cardinalities, min/max —
+    // one aggregation pass over the table.
+    Q("q_profile",
+      s"""SELECT count(*) AS n_rows,
+         |  count(DISTINCT o_custkey) AS d_cust,
+         |  count(DISTINCT o_orderstatus) AS d_status,
+         |  count(DISTINCT o_orderpriority) AS d_prio,
+         |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price,
+         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+         |  CAST(min(o_orderdate) AS TIMESTAMP) AS min_date,
+         |  CAST(max(o_orderdate) AS TIMESTAMP) AS max_date,
+         |  ${O.dsum("o_totalprice")} AS sum_price
+         |FROM orders""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("d_cust"),
+        countDistinct(col("o_orderstatus")).as("d_status"),
+        countDistinct(col("o_orderpriority")).as("d_prio"),
+        sum(when(col("o_totalprice").isNull, 1).otherwise(0)).cast(LongType).as("null_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderdate")).cast(TimestampType).as("min_date"),
+        max(col("o_orderdate")).cast(TimestampType).as("max_date"),
+        Cols.dsum(col("o_totalprice")).as("sum_price"))
+    },
+
     // ── scalar functions (string/date/math) ─────────────────────────
     Q("q_scalar",
       """SELECT o_orderkey,

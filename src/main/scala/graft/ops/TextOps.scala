@@ -139,6 +139,51 @@ object TextOps {
           lit(0L), (acc, x) => acc + x).as("n_chars_tokenized"))
     },
 
+    // ── edit-distance similarity on planted near-duplicate pairs ────
+    // Levenshtein is exact integer arithmetic in both engines; pairs
+    // are each 10th doc vs its 4/5-token truncation (the same planted
+    // near-dups the LSH dedup families hunt), so the distances also
+    // characterize what "near-duplicate" means in this corpus.
+    Q("text_editdist",
+      """SELECT doc_id,
+        |  CAST(levenshtein(text,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest(1, CAST(floor(len(string_split(text, ' ')) * 4 / 5.0) AS INTEGER))), ' ')) AS BIGINT) AS edit_dist,
+        |  CAST(length(text) AS BIGINT) AS len_orig,
+        |  CAST(length(array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest(1, CAST(floor(len(string_split(text, ' ')) * 4 / 5.0) AS INTEGER))), ' ')) AS BIGINT) AS len_trunc
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val keep = greatest(lit(1),
+        floor(size(toks) * 4 / lit(5.0)).cast("int"))
+      val trunc = array_join(slice(toks, lit(1), keep), " ")
+      docs(s, dir).filter(col("doc_id") % 10 === 0).select(
+        col("doc_id"),
+        levenshtein(col("text"), trunc).cast(LongType).as("edit_dist"),
+        length(col("text")).cast(LongType).as("len_orig"),
+        length(trunc).cast(LongType).as("len_trunc"))
+    },
+
+    // ── deterministic train/val/test split ──────────────────────────
+    // The reproducible-sampling operator every training pipeline needs:
+    // the split is a pure function of the document id's hash (no RNG,
+    // no engine-specific TABLESAMPLE), so any engine — and any re-run —
+    // assigns every document to the same 80/10/10 bucket.
+    Q("q_split_train", {
+      val u = graft.OracleSql.unitHash("CAST(doc_id AS VARCHAR)")
+      s"""SELECT split, lang, count(*) AS n FROM (
+         |  SELECT lang,
+         |    CASE WHEN $u < 0.8 THEN 'train'
+         |         WHEN $u < 0.9 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents) t
+         |GROUP BY split, lang""".stripMargin
+    }) { (s, dir) =>
+      val u = graft.Cols.unitHash(col("doc_id").cast("string"))
+      docs(s, dir).select(col("lang"),
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+    },
+
     // ── fingerprinting: content md5 + position-weighted rolling hash ─
     Q("text_fingerprint", {
       val toks = "string_split(text, ' ')"
