@@ -287,6 +287,70 @@ object DedupOps {
         .filter(col("jaccard") >= 0.6)
     },
 
+    // Dedup CLUSTERING: pair lists are not actionable — production
+    // dedup keeps ONE canonical doc per group of transitively-linked
+    // near-duplicates. Edges = the exact-dup digest groups (every doc
+    // linked to its group's min id); components via iterative min-label
+    // propagation, the scalable formulation (each iteration is one
+    // hash join + one aggregation; iterations = graph diameter, which
+    // for dedup graphs is tiny). The oracle computes the same
+    // components with a recursive-CTE transitive closure.
+    Q("dedup_components",
+      """WITH dup_aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |),
+        |grp AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS root
+        |  FROM dup_aug),
+        |edges AS (SELECT doc_id AS a, root AS b FROM grp WHERE doc_id <> root),
+        |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(a, b) AS (
+        |    SELECT a, b FROM und
+        |    UNION
+        |    SELECT r.a, u.b FROM r JOIN und u ON r.b = u.a WHERE u.b <> r.a)
+        |  SELECT * FROM r)
+        |SELECT a AS doc_id, least(a, min(b)) AS component
+        |FROM reach GROUP BY a""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = d.union(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+      val grp = aug.select(col("doc_id"), min(col("doc_id")).over(w).as("root"))
+      val edges = grp.filter(col("doc_id") =!= col("root"))
+        .select(col("doc_id").as("a"), col("root").as("b"))
+      val und = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).persist()
+
+      // min-label propagation to fixpoint: label(x) = min over x and
+      // its neighbors' labels; iterate until stable (diameter bounds
+      // the iteration count — checked each round with one action)
+      var labels = und.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node")).persist()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val viaNeighbors = und
+          .join(labels, und("b") === labels("node"))
+          .select(und("a").as("node"), col("label"))
+        val next = labels.select(col("node"), col("label"))
+          .union(viaNeighbors)
+          .groupBy("node").agg(min("label").as("label"))
+          .persist()
+        val changed = next.as("n")
+          .join(labels.as("o"), col("n.node") === col("o.node"))
+          .filter(col("n.label") =!= col("o.label"))
+          .limit(1).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("component"))
+    },
+
     // Embedding near-dup: random-hyperplane LSH buckets (16 md5-seeded
     // planes, weights inlined as identical literals in both engines),
     // exact cosine >= 0.99 within bucket.

@@ -184,6 +184,42 @@ object TextOps {
         .groupBy("split", "lang").agg(count(lit(1)).as("n"))
     },
 
+    // ── corpus-statistics term weighting (IDF-shaped two-pass) ──────
+    // Per-doc top-3 terms by rarity-weighted frequency: tf * 1e6 / df,
+    // the log-free integer-exact surrogate of tf-idf (ln() can differ
+    // in the last ulp between libm implementations, so the weight stays
+    // rational). The SHAPE is the point at scale: one explode + two
+    // hash aggregations + one token-keyed join + a per-doc top-k — the
+    // classic corpus-statistics pipeline (rare-term extraction,
+    // vocabulary pruning) with no driver-side state.
+    Q("q_term_weights",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tok) t GROUP BY token),
+        |j AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |         CAST(tf.tf * 1000000 AS DOUBLE) / df.df AS weight
+        |  FROM tf JOIN df ON tf.token = df.token)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tf, df, weight FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY weight DESC, token) AS rk
+        |  FROM j) t
+        |WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tok.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+      val j = tf.join(df, "token")
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          ((col("tf") * 1000000L).cast(DoubleType) / col("df")).as("weight"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("weight").desc, col("token"))
+      j.withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "rk", "token", "tf", "df", "weight")
+    },
+
     // ── fingerprinting: content md5 + position-weighted rolling hash ─
     Q("text_fingerprint", {
       val toks = "string_split(text, ' ')"
