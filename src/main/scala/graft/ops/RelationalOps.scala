@@ -343,6 +343,33 @@ object RelationalOps {
         Cols.dsum(col("o_totalprice")).as("sum_price"))
     },
 
+    // ── unpivot (wide -> long) ──────────────────────────────────────
+    // The melt operation feature pipelines use to normalize metric
+    // columns into (key, metric, value) rows. Spark's native unpivot
+    // operator; the oracle is the equivalent UNION ALL expansion.
+    Q("q_unpivot",
+      """SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
+        |FROM lineitem WHERE l_orderkey % 101 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+        |FROM lineitem WHERE l_orderkey % 101 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        |FROM lineitem WHERE l_orderkey % 101 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'tax', l_tax
+        |FROM lineitem WHERE l_orderkey % 101 = 0""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 101 === 0)
+        .select("l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .withColumn("metric", regexp_replace(col("metric"), "^l_", ""))
+    },
+
     // ── scalar functions (string/date/math) ─────────────────────────
     Q("q_scalar",
       """SELECT o_orderkey,
