@@ -146,13 +146,14 @@ object TextOps {
     // characterize what "near-duplicate" means in this corpus.
     Q("text_editdist",
       """SELECT doc_id,
-        |  CAST(levenshtein(text,
-        |    array_to_string(list_slice(string_split(text, ' '), 1,
-        |      greatest(1, CAST(floor(len(string_split(text, ' ')) * 4 / 5.0) AS INTEGER))), ' ')) AS BIGINT) AS edit_dist,
+        |  CAST(levenshtein(text, ttext) AS BIGINT) AS edit_dist,
         |  CAST(length(text) AS BIGINT) AS len_orig,
-        |  CAST(length(array_to_string(list_slice(string_split(text, ' '), 1,
-        |      greatest(1, CAST(floor(len(string_split(text, ' ')) * 4 / 5.0) AS INTEGER))), ' ')) AS BIGINT) AS len_trunc
-        |FROM documents WHERE doc_id % 10 = 0""".stripMargin) { (s, dir) =>
+        |  CAST(length(ttext) AS BIGINT) AS len_trunc
+        |FROM (
+        |  SELECT doc_id, text,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest(1, CAST(floor(len(string_split(text, ' ')) * 4 / 5.0) AS INTEGER))), ' ') AS ttext
+        |  FROM documents WHERE doc_id % 10 = 0) t""".stripMargin) { (s, dir) =>
       val toks = split(col("text"), " ")
       val keep = greatest(lit(1),
         floor(size(toks) * 4 / lit(5.0)).cast("int"))
@@ -208,8 +209,10 @@ object TextOps {
         |WHERE rk <= 3""".stripMargin) { (s, dir) =>
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val df = tok.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")).persist()
+      // df derived from tf (exactly one row per (doc, token) there):
+      // one explode and one fewer shuffle than re-aggregating tok
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val j = tf.join(df, "token")
         .select(col("doc_id"), col("token"), col("tf"), col("df"),
           ((col("tf") * 1000000L).cast(DoubleType) / col("df")).as("weight"))

@@ -45,7 +45,7 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
     val got = spark.table("stateful_sessions")
       .select("user_id", "session_start", "session_end", "n_events", "total")
       .collect().map(_.toString).sorted
@@ -65,7 +65,7 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
     val got = spark.table("stateful_dedup")
     val distinctUsers = spark.read.parquet(staged)
       .select("user_id").distinct().count()

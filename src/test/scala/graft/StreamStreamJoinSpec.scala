@@ -50,7 +50,7 @@ class StreamStreamJoinSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000), "streaming query timed out")
     val got = spark.table("ss_join").collect().map(_.toString).sorted
     val want = joined(clicks(batch), purchases(batch))
       .collect().map(_.toString).sorted

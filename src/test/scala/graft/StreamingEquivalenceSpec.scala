@@ -35,7 +35,7 @@ class StreamingEquivalenceSpec extends AnyFunSuite with SparkSessionTestWrapper 
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
     spark.table(name).collect().map(_.toString).sorted
   }
 

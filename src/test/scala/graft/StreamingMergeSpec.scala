@@ -42,7 +42,7 @@ class StreamingMergeSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
 
     val got = spark.table("stream_merge").collect().map(_.toString).sorted
     val want = MergeOps.coalesceMerge(primary, secondary, "id")

@@ -46,7 +46,7 @@ class WatermarkSpec extends AnyFunSuite with SparkSessionTestWrapper {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "streaming query timed out")
     }
 
     // batch 1: three events in the 10:00 window, one at 11:05 pushing
