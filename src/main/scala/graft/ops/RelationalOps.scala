@@ -291,6 +291,34 @@ object RelationalOps {
         .agg((sum(col("c_acctbal")) / count(lit(1))).cast(DoubleType).as("median_bal"))
     },
 
+    // ── quantile set via deterministic rank selection ───────────────
+    // p25/p50/p75 as the value at rank ceil(q * n) — no interpolation,
+    // so no engine-specific quantile semantics; one window pass plus a
+    // conditional aggregation.
+    Q("q_quantiles",
+      """SELECT c_mktsegment AS segment,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * cnt) AS BIGINT)) THEN c_acctbal END) AS p25,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.50 * cnt) AS BIGINT)) THEN c_acctbal END) AS p50,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * cnt) AS BIGINT)) THEN c_acctbal END) AS p75
+        |FROM (
+        |  SELECT c_mktsegment, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY c_acctbal, c_custkey) AS rn,
+        |         count(*) OVER (PARTITION BY c_mktsegment) AS cnt
+        |  FROM customer WHERE c_acctbal IS NOT NULL) t
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer").filter(col("c_acctbal").isNotNull)
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+      val wc = Window.partitionBy("c_mktsegment")
+      def at(q: Double) = max(when(
+        col("rn") === greatest(lit(1L), ceil(lit(q) * col("cnt")).cast(LongType)),
+        col("c_acctbal")))
+      c.select(col("c_mktsegment"), col("c_acctbal"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wc).as("cnt"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(at(0.25).as("p25"), at(0.50).as("p50"), at(0.75).as("p75"))
+    },
+
     // ── covariance / correlation from decimal sums ──────────────────
     // Spark's corr()/covar_pop() accumulate co-moments in doubles whose
     // value depends on partition order; here the statistics are derived
