@@ -97,4 +97,24 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(result.isRight)
     assert(Files.exists(Paths.get(s"$root/out/nofail.csv")))
   }
+
+  test("quoted embedded newlines survive the CSV round trip and don't inflate counts") {
+    // regression: the count stage used to re-read without multiLine,
+    // splitting a quoted newline into an extra phantom record
+    val nlJson = writeJson("newline.json",
+      """[
+        |  {"id": 1, "qty": 1.0, "note": "line one\nline two"},
+        |  {"id": 2, "qty": 2.0, "note": "plain"}
+        |]""".stripMargin)
+    val notifier = new RecordingNotifier
+    val result = Pipeline.run(spark,
+      spec("newline.csv").copy(primary = JsonArraySource(nlJson)), notifier)
+    assert(result.isRight)
+    assert(result.toOption.get.mergedRows === 2,
+      s"embedded newline split a record: ${result.toOption.get}")
+    val back = spark.read.option("header", value = true).option("multiLine", value = true)
+      .csv(s"$root/out/newline.csv").collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("note")).toMap
+    assert(back("1") === "line one\nline two")
+  }
 }
