@@ -69,6 +69,19 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(plan.contains("LeftOuter"), "merge must stay a left-outer join")
   }
 
+  test("column pruning reaches the scans through projections and conversions") {
+    // events: the wide props column must not be read by window aggs
+    // (the nanos->timestamp conversion in Tables.load must not block
+    // pruning); documents: embedding-free text queries must not drag
+    // other columns
+    val ev = planOf("q_events_tumbling")
+    assert(ev.contains("ReadSchema: struct<ts:bigint,event_type:string,value:double>"),
+      s"events scan reads more than the query needs:\n$ev")
+    val tx = planOf("text_stats")
+    assert(tx.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      s"documents scan reads more than the query needs:\n$tx")
+  }
+
   test("dedup self-joins are hash joins on bucket keys") {
     Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding")
       .foreach { name =>
