@@ -55,24 +55,51 @@ object Config {
       secrets: SecretsProvider = NoSecretsProvider): Seq[TenantConfig] =
     parse(new String(Files.readAllBytes(Paths.get(path)), "UTF-8"), secrets)
 
+  /** Strict parse: the first invalid tenant throws. */
   def parse(
       json: String,
-      secrets: SecretsProvider = NoSecretsProvider): Seq[TenantConfig] = {
+      secrets: SecretsProvider = NoSecretsProvider): Seq[TenantConfig] =
+    parseTenants(json, secrets).map {
+      case Right(t) => t
+      case Left((name, err)) =>
+        throw new IllegalArgumentException(s"config error at $name: $err")
+    }
+
+  /** Per-tenant parse: one tenant's bad config (missing field, unknown
+    * secret) yields a Left for THAT tenant only, so the multi-tenant
+    * fan-out can still run every valid tenant — the reference isolates
+    * tenants from each other (one Glue job per tenant), and eager
+    * secret resolution must not break that.
+    */
+  def parseTenants(
+      json: String,
+      secrets: SecretsProvider = NoSecretsProvider): Seq[Either[(String, String), TenantConfig]] = {
     val root = new ObjectMapper().readTree(json)
     val tenants = req(root, "configs", "<root>")
     tenants.properties().asScala.toSeq.sortBy(_.getKey).map { e =>
       val name = e.getKey
-      val t = e.getValue
-      val dest = req(t, "destination", name)
-      TenantConfig(
-        name = name,
-        primary = source(req(t, "source", name), s"$name.source", secrets),
-        secondary = source(req(t, "secondary", name), s"$name.secondary", secrets),
-        key = opt(t, "key").getOrElse("id"),
-        destDir = txt(dest, "dir", s"$name.destination"),
-        destFile = opt(dest, "file").getOrElse("merged.csv"))
+      try {
+        val t = e.getValue
+        val dest = req(t, "destination", name)
+        Right(TenantConfig(
+          name = name,
+          primary = source(req(t, "source", name), s"$name.source", secrets),
+          secondary = source(req(t, "secondary", name), s"$name.secondary", secrets),
+          key = opt(t, "key").getOrElse("id"),
+          destDir = txt(dest, "dir", s"$name.destination"),
+          destFile = opt(dest, "file").getOrElse("merged.csv")))
+      } catch {
+        case ex: Throwable =>
+          Left(name -> Option(ex.getMessage).getOrElse(ex.toString))
+      }
     }
   }
+
+  /** Per-tenant variant of [[loadFile]]. */
+  def loadFileTenants(
+      path: String,
+      secrets: SecretsProvider = NoSecretsProvider): Seq[Either[(String, String), TenantConfig]] =
+    parseTenants(new String(Files.readAllBytes(Paths.get(path)), "UTF-8"), secrets)
 
   private def source(
       n: JsonNode, where: String, secrets: SecretsProvider): RelationSource =

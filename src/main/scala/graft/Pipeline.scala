@@ -146,25 +146,36 @@ object Pipeline {
         val secrets = rest match {
           case Seq("--secrets", sPath) => new io.FileSecretsProvider(sPath)
           case Seq() => io.NoSecretsProvider
-          case other => sys.error(s"unrecognized arguments: ${other.mkString(" ")}")
+          case other =>
+            System.err.println(
+              s"unrecognized arguments: ${other.mkString(" ")}\n" +
+                "usage: Pipeline --config <tenants.json> [--secrets <secrets.json>]")
+            spark.stop()
+            sys.exit(1)
         }
         val tenants =
-          try Config.loadFile(cfgPath, secrets)
+          try Config.loadFileTenants(cfgPath, secrets)
           catch {
             case e: Throwable =>
               System.err.println(s"cannot load config $cfgPath: ${e.getMessage}")
               spark.stop()
               sys.exit(1)
           }
-        tenants.flatMap { tenant =>
-          run(spark, tenant.toSpec, notifier) match {
-            case Right(r) =>
-              println(s"[${tenant.name}] complete: ${r.mergedRows} rows -> ${r.csvPath}")
-              None
-            case Left(e) =>
-              System.err.println(s"[${tenant.name}] failed at ${e.stage}: ${e.message}")
-              Some(tenant.name)
-          }
+        // per-tenant isolation: a tenant with a broken config (missing
+        // field, unknown secret) fails alone; every valid tenant runs
+        tenants.flatMap {
+          case Left((name, err)) =>
+            System.err.println(s"[$name] invalid config: $err")
+            Some(name)
+          case Right(tenant) =>
+            run(spark, tenant.toSpec, notifier) match {
+              case Right(r) =>
+                println(s"[${tenant.name}] complete: ${r.mergedRows} rows -> ${r.csvPath}")
+                None
+              case Left(e) =>
+                System.err.println(s"[${tenant.name}] failed at ${e.stage}: ${e.message}")
+                Some(tenant.name)
+            }
         }
       case Seq(primary, secondary, destDir, rest @ _*) =>
         val spec = PipelineSpec(

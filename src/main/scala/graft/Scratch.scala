@@ -1,7 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway plan-inspection main (not part of the library surface). */
+/** Plan-inspection development tool (documented in
+  * .claude/skills/verify/SKILL.md): warms the session, optionally dumps
+  * `explain("formatted")` (set SCRATCH_EXPLAIN=1), and prints the warm
+  * execution time of one registered query. Not part of the library
+  * surface.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -5,46 +5,55 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
-/** Native dot product over two double-array columns — the pair-scoring
-  * kernel of every similarity/dedup query. Generates a single loop in
-  * whole-stage codegen instead of the 64-term unrolled expression tree
-  * the foldLeft formulation produced.
+/** Native dot product over exactly `dim` elements of two double-array
+  * columns — the pair-scoring kernel of every similarity/dedup query.
+  * Generates a single loop in whole-stage codegen instead of the
+  * dim-term unrolled expression tree the foldLeft formulation produced.
   *
   * IEEE contract (must match the oracle SQL's chains): acc starts at
   * 0.0 and adds a(i)*b(i) in ascending element order — the identical
-  * operation sequence, so scores are bit-for-bit equal.
+  * operation sequence, so scores are bit-for-bit equal. An input
+  * shorter than `dim` yields NULL, exactly like the oracle's a[i]
+  * out-of-range access (a silent truncation would return a finite but
+  * wrong score). Elements are assumed non-null per the embedding
+  * schema contract.
   */
-final case class DotExpr(left: Expression, right: Expression)
+final case class DotExpr(left: Expression, right: Expression, dim: Int)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += x.getDouble(i) * y.getDouble(i)
-      i += 1
+    if (x.numElements() < dim || y.numElements() < dim) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        acc += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |if ($x.numElements() < $dim || $y.numElements() < $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $acc += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
          |""".stripMargin
     })
 

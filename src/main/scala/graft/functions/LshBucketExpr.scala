@@ -24,54 +24,58 @@ final case class LshBucketExpr(
     planes: Array[Array[Double]]) extends UnaryExpression {
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_lsh_bucket"
+
+  private def dim: Int = if (planes.isEmpty) 0 else planes(0).length
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    // bound by BOTH lengths: a vector shorter than the plane width must
-    // not read past numElements() (UnsafeArrayData would silently return
-    // adjacent buffer bytes, i.e. a nondeterministic bucket)
-    val n = arr.numElements()
-    var bucket = 0L
-    var p = 0
-    while (p < planes.length) {
-      val w = planes(p)
-      val m = math.min(n, w.length)
-      var acc = 0.0
-      var i = 0
-      while (i < m) {
-        acc += w(i) * arr.getDouble(i)
-        i += 1
+    // a vector shorter than the plane width yields NULL, matching the
+    // oracle's out-of-range a[i] access (reading past numElements()
+    // would be an exception interpreted and silent garbage in codegen)
+    if (arr.numElements() < dim) null
+    else {
+      var bucket = 0L
+      var p = 0
+      while (p < planes.length) {
+        val w = planes(p)
+        var acc = 0.0
+        var i = 0
+        while (i < w.length) {
+          acc += w(i) * arr.getDouble(i)
+          i += 1
+        }
+        if (acc > 0.0) bucket |= 1L << p
+        p += 1
       }
-      if (acc > 0.0) bucket |= 1L << p
-      p += 1
+      bucket
     }
-    bucket
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
     nullSafeCodeGen(ctx, ev, arr => {
       val bucket = ctx.freshName("bucket")
-      val n = ctx.freshName("n")
       val p = ctx.freshName("p")
       val w = ctx.freshName("w")
-      val m = ctx.freshName("m")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
-         |long $bucket = 0L;
-         |int $n = $arr.numElements();
-         |for (int $p = 0; $p < $planesRef.length; $p++) {
-         |  double[] $w = $planesRef[$p];
-         |  int $m = java.lang.Math.min($n, $w.length);
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $m; $i++) {
-         |    $acc += $w[$i] * $arr.getDouble($i);
+         |if ($arr.numElements() < $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $bucket = 0L;
+         |  for (int $p = 0; $p < $planesRef.length; $p++) {
+         |    double[] $w = $planesRef[$p];
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $w.length; $i++) {
+         |      $acc += $w[$i] * $arr.getDouble($i);
+         |    }
+         |    if ($acc > 0.0) $bucket |= 1L << $p;
          |  }
-         |  if ($acc > 0.0) $bucket |= 1L << $p;
+         |  ${ev.value} = $bucket;
          |}
-         |${ev.value} = $bucket;
          |""".stripMargin
     })
   }

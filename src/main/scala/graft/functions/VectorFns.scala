@@ -55,7 +55,7 @@ object VectorFns {
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftColumnShim.column(DotExpr(
       org.apache.spark.sql.GraftColumnShim.expression(a),
-      org.apache.spark.sql.GraftColumnShim.expression(b)))
+      org.apache.spark.sql.GraftColumnShim.expression(b), Dim))
 
   def normSq(a: Column): Column = dot(a, a)
 

@@ -7,14 +7,19 @@ import scala.jdk.CollectionConverters._
 /** The reference's only output: ONE headered CSV object under an exact
   * key (`gule_test_job.py:201-211` — driver-side `to_csv` + S3
   * `put_object`). Spark writes a directory of part files, so the
-  * single-object contract is met by `coalesce(1)` + a filesystem rename
-  * of the lone part file to the requested name — a constant-cost
-  * driver-side post-step, not a data-plane collect.
+  * single-object contract is met by a single-partition write + a
+  * filesystem rename of the lone part file to the requested name — a
+  * constant-cost driver-side post-step, not a data-plane collect.
   *
-  * `coalesce(1)` funnels the FINAL write through one task by design
-  * (the output must be one object); upstream stages keep their
-  * parallelism. For outputs too large for a single object, a real
-  * deployment would drop this contract, not parallelize around it.
+  * `repartition(1)`, NOT `coalesce(1)`: coalesce folds into the parent
+  * stage, and because the merge is a broadcast join with no shuffle
+  * between the primary scan and the write, coalesce(1) would collapse
+  * the WHOLE read+join pipeline into one task — recreating the
+  * reference's single-threaded bottleneck. repartition inserts a
+  * shuffle, so upstream stages keep their parallelism and only the
+  * final write is single-task (which the one-object contract forces).
+  * For outputs too large for a single object, a real deployment drops
+  * this contract, not parallelizes around it.
   *
   * Null rendering: Spark's CSV default `nullValue=""` matches the
   * reference's pandas NaN -> empty-field rendering.
@@ -29,7 +34,7 @@ object CsvSink {
     Files.createDirectories(dest)
     val staging = dest.resolve(s".spark-staging-$fileName")
     deleteRecursively(staging)
-    df.coalesce(1)
+    df.repartition(1)
       .write.mode("overwrite").option("header", value = true)
       .csv(staging.toString)
     val listing = Files.list(staging)

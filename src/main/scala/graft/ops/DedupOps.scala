@@ -348,6 +348,11 @@ object DedupOps {
         converged = changed == 0
         iter += 1
       }
+      // unconverged labels are WRONG labels — fail loudly rather than
+      // let a longer-than-expected component chain slip partial results
+      // past the correctness gate
+      require(converged,
+        s"component propagation did not converge within $iter iterations")
       labels.select(col("node").as("doc_id"), col("label").as("component"))
     },
 

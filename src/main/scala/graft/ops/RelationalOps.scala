@@ -152,14 +152,16 @@ object RelationalOps {
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "orders").createOrReplaceTempView("graft_orders_gs")
       // Spark's SQL grouping() is single-column; grouping_id(a, b) is
-      // the bitmask equivalent of DuckDB's multi-arg grouping(a, b)
+      // the bitmask equivalent of DuckDB's multi-arg grouping(a, b).
+      // O.dsum's output is valid in both dialects — reuse the lock-step
+      // helper instead of restating the decimal-sum contract inline.
       s.sql(
-        """SELECT o_orderstatus, o_orderpriority,
-          |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
-          |  count(*) AS n,
-          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-          |FROM graft_orders_gs
-          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+        s"""SELECT o_orderstatus, o_orderpriority,
+           |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           |  count(*) AS n,
+           |  ${O.dsum("o_totalprice")} AS total
+           |FROM graft_orders_gs
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
     },
 
     // ── cube ────────────────────────────────────────────────────────
@@ -321,9 +323,10 @@ object RelationalOps {
 
     // ── covariance / correlation from decimal sums ──────────────────
     // Spark's corr()/covar_pop() accumulate co-moments in doubles whose
-    // value depends on partition order; here the statistics are derived
-    // from decimal(38,4) sums (order-independent, exact), so the final
-    // double arithmetic is the identical sequence in both engines.
+    // value depends on partition order; here the statistics derive from
+    // exact decimal sums — plain columns in (18,2), the product term in
+    // (37,4) — which are order-independent, so the final double
+    // arithmetic is the identical sequence in both engines.
     Q("q_stats_cov", {
       def dsum38(x: String) = s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
       val sxy =
@@ -465,9 +468,7 @@ object RelationalOps {
       Tables.load(s, dir, "customer").createOrReplaceTempView("graft_customer_sq")
       s.sql(
         s"""SELECT c_custkey, c_acctbal FROM graft_customer_sq
-           |WHERE c_acctbal >
-           |  (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(c_acctbal)
-           |   FROM graft_customer_sq)""".stripMargin)
+           |WHERE c_acctbal > (SELECT ${O.davg("c_acctbal")} FROM graft_customer_sq)""".stripMargin)
     },
   )
 }

@@ -96,17 +96,40 @@ class ConfigSpec extends AnyFunSuite {
         assert(o.dbtable === "c_data" && o.user === "svc" && o.password === "pw")
       case other => fail(s"expected JdbcSource, got $other")
     }
-    // unknown secret name -> named error; no provider -> explicit error
-    intercept[NoSuchElementException] {
+    // unknown secret name -> named error in strict parse; no provider
+    // -> explicit error (both wrapped per-tenant)
+    val eUnknown = intercept[IllegalArgumentException] {
       Config.parse(cfg, graft.io.MapSecretsProvider(Map.empty))
     }
-    intercept[NoSuchElementException] { Config.parse(cfg) }
+    assert(eUnknown.getMessage.contains("not found"))
+    intercept[IllegalArgumentException] { Config.parse(cfg) }
     // incomplete secret blob -> the missing key is named
     val e = intercept[IllegalArgumentException] {
       Config.parse(cfg, graft.io.MapSecretsProvider(Map(
         "tenant-c-secret" -> Map("username" -> "svc"))))
     }
     assert(e.getMessage.contains("'db_name'"))
+  }
+
+  test("per-tenant parse isolates one tenant's bad secret from the rest") {
+    val cfg =
+      """{"configs": {
+        |  "good": {
+        |    "source": {"type": "json", "path": "/g/in.json"},
+        |    "secondary": {"type": "parquet", "path": "/g/db.parquet"},
+        |    "destination": {"dir": "/g/out"}},
+        |  "bad": {
+        |    "source": {"type": "json", "path": "/b/in.json"},
+        |    "secondary": {"type": "jdbc", "secret": "missing-secret",
+        |                  "endpoint": "db.example"},
+        |    "destination": {"dir": "/b/out"}}}}""".stripMargin
+    val parsed = Config.parseTenants(cfg, graft.io.MapSecretsProvider(Map.empty))
+    assert(parsed.size === 2)
+    // sorted by name: bad first, good second
+    assert(parsed.head.isLeft)
+    assert(parsed.head.left.toOption.exists { case (n, m) =>
+      n == "bad" && m.contains("missing-secret") })
+    assert(parsed(1).toOption.exists(_.name == "good"))
   }
 
   test("JDBC option map: base options and all-or-nothing partitioning") {

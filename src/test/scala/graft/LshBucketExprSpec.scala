@@ -32,10 +32,22 @@ class LshBucketExprSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(plan.contains("*(1) Project [graft_lsh_bucket"), s"projection not codegen'd:\n$plan")
   }
 
-  test("null embedding yields null bucket") {
+  test("null or too-short embedding yields null bucket (oracle out-of-range semantics)") {
     import spark.implicits._
-    val df = Seq(Some(Seq(1.0, -2.0)), None).toDF("emb")
+    val full = (1 to VectorFns.Dim).map(_.toDouble)
+    val df = Seq(Some(Seq(1.0, -2.0)), None, Some(full)).toDF("emb")
     val out = df.select(VectorFns.lshBucket(col("emb")).as("b")).collect()
+    // short vector AND null input -> null; full-width vector -> a bucket
+    assert(out.count(_.isNullAt(0)) === 2)
+    assert(out.count(!_.isNullAt(0)) === 1)
+  }
+
+  test("too-short arrays yield null dot (oracle out-of-range semantics)") {
+    import spark.implicits._
+    val full = (1 to VectorFns.Dim).map(_.toDouble)
+    val df = Seq((Seq(1.0, 2.0), full), (full, full)).toDF("a", "b")
+    val out = df.select(VectorFns.dot(col("a"), col("b")).as("d")).collect()
     assert(out.count(_.isNullAt(0)) === 1)
+    assert(out.count(!_.isNullAt(0)) === 1)
   }
 }
