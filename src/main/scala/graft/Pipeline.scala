@@ -124,6 +124,47 @@ object Pipeline {
         -1L
     }
 
+  /** Continuous-ingestion spec: a directory where primary JSON-lines
+    * files keep arriving, merged against the (static, periodically
+    * refreshable) secondary.
+    */
+  final case class StreamingSpec(
+      primaryDir: String,
+      primarySchema: org.apache.spark.sql.types.StructType,
+      secondary: RelationSource,
+      key: String = "id",
+      outputDir: String,
+      checkpointDir: String)
+
+  /** The reference pipeline as a CONTINUOUS job: the identical
+    * coalesceMerge kernel (stream-static left-outer join; see
+    * StreamingMergeSpec for the row-level equivalence proof) over a
+    * file stream, appended to parquet with checkpointed exactly-once
+    * file tracking — re-running after a stop resumes from the
+    * checkpoint and processes only files not yet ingested. The
+    * reference itself can only re-run the whole batch
+    * (`max_concurrent_runs = 1`, no incremental state).
+    *
+    * Returns the started query; callers own its lifecycle (the CLI
+    * contract stays batch — streaming deployments supervise queries).
+    */
+  def runStream(
+      spark: SparkSession,
+      spec: StreamingSpec): org.apache.spark.sql.streaming.StreamingQuery = {
+    val secondary = spec.secondary.load(spark)
+    MergeOps.requireKey(secondary, spec.key, spec.secondary.describe)
+    require(spec.primarySchema.fieldNames.contains(spec.key),
+      s"Error: '${spec.key}' column not found in streaming primary schema")
+    val stream = spark.readStream.schema(spec.primarySchema).json(spec.primaryDir)
+    MergeOps.coalesceMerge(stream, secondary, spec.key)
+      .writeStream.format("parquet")
+      .option("path", spec.outputDir)
+      .option("checkpointLocation", spec.checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** CLI entry with the reference's exit-code contract. Two forms:
     *
     *   - `primaryJsonPath secondaryParquetPath destDir [destFile]` —
