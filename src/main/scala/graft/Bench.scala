@@ -63,33 +63,47 @@ object Bench {
     }
     spark.catalog.clearCache() // drop warmup-persisted relations
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries persist() their reused signature relations; drop them so
-      // later queries aren't timed under another query's cached blocks
-      spark.catalog.clearCache()
+      // Best-of-2: a single-shot wall time inherits GC/JIT pauses from
+      // whatever ran before it (one run recorded q_cube at 7.96s when
+      // its warm plan executes in 1.28s). The min of two runs estimates
+      // the plan's cost; one stray pause can no longer make a healthy
+      // query the headline regression.
+      val times = (1 to 2).flatMap { attempt =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name run $attempt failed: ${e.getMessage}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries persist() their reused signature relations; drop them so
+        // later runs aren't timed under another query's cached blocks
+        spark.catalog.clearCache()
+        if (ok) Some(dt) else None
+      }
       // a failed query is marked -1 in the JSON — a crash must not
       // masquerade as a fast run and shrink the total
-      name -> (if (ok) dt else -1.0)
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    val failed = results.values.count(_ < 0)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    spark.stop()
-    // last line of output, after the session's executors are quiet
+    // print BEFORE spark.stop(): nothing else writes to stdout after
+    // this, so the JSON is the last stdout line even if shutdown logging
+    // (stderr) interleaves in a combined capture
     println(json)
+    spark.stop()
+    // a partially failed benchmark run must not look fully successful to
+    // an automated consumer keying on exit status
+    if (failed > 0) sys.exit(1)
   }
 }

@@ -41,13 +41,24 @@ object Config {
       secondary: RelationSource,
       key: String,
       destDir: String,
-      destFile: String) {
+      destFile: String,
+      webhook: Option[String] = None) {
     def toSpec: Pipeline.PipelineSpec = Pipeline.PipelineSpec(
       primary = primary,
       secondary = secondary,
       key = key,
       destDir = destDir,
       destFile = destFile)
+
+    /** The tenant's notification sink: an [[HttpNotifier]] when the
+      * config names a webhook URL (the reference's per-tenant Slack
+      * webhook, `configs.json:2-26`), stdout otherwise. Construction is
+      * lazy and delivery goes through notifySafe, so a dead webhook
+      * never fails the tenant's run.
+      */
+    def notifier: Notifier =
+      webhook.map(u => new HttpNotifier(u): Notifier)
+        .getOrElse(new StdoutNotifier)
   }
 
   def loadFile(
@@ -87,7 +98,8 @@ object Config {
           secondary = source(req(t, "secondary", name), s"$name.secondary", secrets),
           key = opt(t, "key").getOrElse("id"),
           destDir = txt(dest, "dir", s"$name.destination"),
-          destFile = opt(dest, "file").getOrElse("merged.csv")))
+          destFile = opt(dest, "file").getOrElse("merged.csv"),
+          webhook = opt(t, "webhook")))
       } catch {
         case ex: Throwable =>
           Left(name -> Option(ex.getMessage).getOrElse(ex.toString))

@@ -209,7 +209,10 @@ object Pipeline {
             System.err.println(s"[$name] invalid config: $err")
             Some(name)
           case Right(tenant) =>
-            run(spark, tenant.toSpec, notifier) match {
+            // tenant.notifier: the config's webhook (HttpNotifier) when
+            // present, the shared stdout notifier otherwise
+            run(spark, tenant.toSpec,
+              if (tenant.webhook.isDefined) tenant.notifier else notifier) match {
               case Right(r) =>
                 println(s"[${tenant.name}] complete: ${r.mergedRows} rows -> ${r.csvPath}")
                 None

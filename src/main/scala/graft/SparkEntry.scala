@@ -24,7 +24,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ops.MergeQueries.queries.head.run(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Caching contract: some queries `persist()` an internally reused
+    * relation (LSH signatures, shingle sets) and intentionally leave it
+    * cached while their result DataFrame is still being consumed — the
+    * result plan references the cached blocks, so the query cannot
+    * unpersist them itself. A caller iterating many queries in one
+    * session (as Verify and Bench do) should run
+    * `spark.catalog.clearCache()` after fully consuming each result to
+    * keep cached blocks from accumulating across calls.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.run).toMap
 

@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the random-hyperplane LSH bucket id —
   * the one hot-path scalar where the built-in surface falls short:
@@ -21,13 +22,30 @@ import org.apache.spark.sql.types.{DataType, LongType}
   */
 final case class LshBucketExpr(
     child: Expression,
-    planes: Array[Array[Double]]) extends UnaryExpression {
+    planes: Seq[Seq[Double]]) extends UnaryExpression {
+
+  // planes is Seq[Seq[Double]], NOT Array[Array[Double]]: case-class
+  // equality on arrays is reference-based, which would make two
+  // semantically identical LshBucketExpr instances never compare equal
+  // and silently defeat Catalyst canonicalization / subexpression
+  // elimination. The hot loops run over this materialized array form.
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.iterator.map(_.toArray).toArray
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_lsh_bucket"
 
-  private def dim: Int = if (planes.isEmpty) 0 else planes(0).length
+  // binding to a non-array / wrong-element-type column must fail at
+  // analysis, not as a ClassCastException inside generated code
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${other.catalogString}")
+    }
+
+  private def dim: Int = if (planes.isEmpty) 0 else planes.head.length
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -38,8 +56,8 @@ final case class LshBucketExpr(
     else {
       var bucket = 0L
       var p = 0
-      while (p < planes.length) {
-        val w = planes(p)
+      while (p < planeArr.length) {
+        val w = planeArr(p)
         var acc = 0.0
         var i = 0
         while (i < w.length) {
@@ -54,7 +72,7 @@ final case class LshBucketExpr(
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    val planesRef = ctx.addReferenceObj("lshPlanes", planeArr, "double[][]")
     nullSafeCodeGen(ctx, ev, arr => {
       val bucket = ctx.freshName("bucket")
       val p = ctx.freshName("p")

@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native SimHash signature over an array of token-hash longs: bit b of
   * the result is set iff the sum over tokens of ((h >> b) & 1) * 2 - 1
@@ -17,6 +18,15 @@ final case class SimHashExpr(child: Expression, bits: Int)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
+
+  // binding to a non-array / wrong-element-type column must fail at
+  // analysis, not as garbage values inside generated code
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${other.catalogString}")
+    }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

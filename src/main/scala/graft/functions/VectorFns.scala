@@ -77,8 +77,7 @@ object VectorFns {
   def lshBucket(a: Column): Column =
     org.apache.spark.sql.GraftColumnShim.column(
       LshBucketExpr(
-        org.apache.spark.sql.GraftColumnShim.expression(a),
-        planes.map(_.toArray).toArray))
+        org.apache.spark.sql.GraftColumnShim.expression(a), planes))
 
   /** The pre-expression HOF formulation (compact zip_with+aggregate
     * folds), kept as the comparison baseline for LshBucketExprSpec:

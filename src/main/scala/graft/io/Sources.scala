@@ -11,6 +11,16 @@ import org.apache.spark.sql.types.StructType
   * pipeline logic is source-agnostic and offline tests can substitute
   * parquet fixtures for the JDBC side (no live DB exists in this
   * environment — SURVEY.md §7.4(5)).
+  *
+  * Format coverage: parquet, JSON array, JSONL, CSV and ORC are
+  * implemented below. Avro is EXCLUDED by environment, not by design:
+  * `spark.read.format("avro")` lives in the external `spark-avro`
+  * module, which is absent from `/opt/spark/jars` (only the avro-core
+  * runtime jars ship there) and unresolvable offline — adding an
+  * `AvroSource` here would fail at runtime with "Failed to find data
+  * source: avro". In a normal deployment, add
+  * `org.apache.spark:spark-avro_2.13` matching the Spark version and an
+  * `AvroSource(path)` becomes a four-line sibling of [[OrcSource]].
   */
 trait RelationSource {
   def load(spark: SparkSession): DataFrame

@@ -32,12 +32,34 @@ object DedupOps {
   private def MinhashA(j: Int): Long = 1000003L * j + 12345L
   private def MinhashB(j: Int): Long = 7919L * j + 271L
   // SimHash: 60-bit signature (fits positive in both engines' BIGINT),
-  // banded 4 x 15 bits. 32768 buckets per band keeps the candidate set
-  // ~N^2 * 4/2^15 for unrelated docs — r1's 4 x 8-bit banding had only
-  // 1,024 total buckets and degenerated to ~42% of all pairs at sf0.1.
+  // banded into SimBands disjoint bit ranges. Capacity math: a band of
+  // B bits has 2^B buckets, so unrelated docs collide on some band in
+  // ~ SimBands * N^2 / 2^(B+1) candidate pairs — r1's 4 x 8-bit banding
+  // had only 1,024 total buckets and degenerated to ~42% of all pairs
+  // at sf0.1. Recall at Hamming <= 3 is EXACT for ANY band width: 3
+  // differing bits cannot touch all 4 disjoint bands (pigeonhole), so
+  // at least one band always matches verbatim. Hence band width is a
+  // pure precision/cost knob — the query output is invariant to it —
+  // and is chosen from the corpus count at runtime ([[simBandBits]]).
+  // Ceiling: 60 bits / 4 bands caps B at 15 (2^15 buckets/band), so
+  // candidate pairs grow O(N^2 / 2^15) beyond N ~ 2^16; a real 100 TB
+  // corpus must widen the signature itself (e.g. two 60-bit words ->
+  // 8 bands of up to 15 bits, capacity 2^30 for paired bands) — that
+  // changes the dedup definition (Hamming over 120 bits), so it is a
+  // deployment decision, not a silent default.
   private val SimBits = 60
   private val SimBands = 4
-  private val SimBandBits = 15
+  private val SimBandBitsMax = SimBits / SimBands // 15
+
+  /** Band width from corpus size: ceil(log2 n), clamped to [8, 15].
+    * Targets ~2^B >= N buckets per band so expected unrelated-doc
+    * collisions stay ~O(N); the clamp floor keeps tiny corpora out of
+    * degenerate 1-bit bands, the ceiling is the 60-bit signature limit.
+    */
+  private[graft] def simBandBits(n: Long): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.min(SimBandBitsMax, math.max(8, ceilLog2))
+  }
   // sorted-neighborhood rank window for n-gram blocking
   private val NgramWindow = 10
 
@@ -89,6 +111,46 @@ object DedupOps {
 
   private def jaccardSql(a: String, b: String): String =
     s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / (len($a) + len($b) - len(list_intersect($a, $b)))"
+
+  /** SimHash near-dup pairs at Hamming <= 3 over the augmented corpus,
+    * with candidate generation banded at `bandBits` bits per band.
+    * Factored out of the query so SimBandSpec can assert the output is
+    * band-width invariant (the exact-recall pigeonhole argument above).
+    */
+  private[graft] def simhashPairs(s: SparkSession, dir: String, bandBits: Int): DataFrame = {
+    require(bandBits >= 1 && bandBits <= SimBandBitsMax,
+      s"bandBits must be in [1, $SimBandBitsMax], got $bandBits")
+    val hs = docsAug(s, dir).select(col("doc_id"),
+      transform(array_distinct(split(col("text"), " ")), t => Cols.hex60(t)).as("hh"))
+    // native codegen loop (SimHashExpr) — the per-bit HOF aggregate
+    // formulation cost SimBits interpreted passes over hh per row
+    val simhash = org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.SimHashExpr(
+        org.apache.spark.sql.GraftColumnShim.expression(col("hh")), SimBits))
+    val sim = hs.select(col("doc_id"), simhash.as("simhash"))
+    val bandIdx = explode(array((0 until SimBands).map(i => lit(i)): _*)).as("band_i")
+    val bands = sim.select(col("doc_id"), col("simhash"), bandIdx)
+      .withColumn("band_v",
+        expr(s"shiftright(simhash, CAST(band_i * $bandBits AS INT)) & ${(1L << bandBits) - 1}"))
+      .persist()
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_i") === col("b.band_i") && col("a.band_v") === col("b.band_v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .persist()
+    // blocking degradation must be VISIBLE: if the corpus outgrows the
+    // band capacity, this count blowing up (toward N^2) is the signal
+    // to widen the signature — never a silent slow query
+    val nCandidates = pairs.count()
+    println(s"[dedup_simhash] bandBits=$bandBits candidates=$nCandidates")
+    pairs
+      .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+  }
 
   // ── queries ───────────────────────────────────────────────────────
 
@@ -178,10 +240,13 @@ object DedupOps {
     },
 
     // SimHash near-dup: 60-bit signature from md5-derived token hashes;
-    // candidates match on any of the 4 15-bit bands; pairs kept at
+    // candidates match on any of the 4 disjoint bands; pairs kept at
     // Hamming distance <= 3 — with 4 bands the pigeonhole principle
     // makes banded recall EXACT at that threshold (3 differing bits
     // cannot touch all 4 bands, so one band always matches verbatim).
+    // Band width is therefore output-invariant: the Spark side sizes it
+    // from the corpus count ([[simBandBits]]) while the oracle bands at
+    // the fixed 15-bit maximum — same pairs either way (SimBandSpec).
     // The banded relation is persisted so the signature computation
     // runs once, not once per self-join side.
     Q("dedup_simhash", {
@@ -197,7 +262,7 @@ object DedupOps {
          |sim AS (SELECT doc_id, $simhash AS simhash FROM hs),
          |bands AS (
          |  SELECT doc_id, simhash, band_i,
-         |         (simhash >> (band_i * $SimBandBits)) & ${(1 << SimBandBits) - 1} AS band_v
+         |         (simhash >> (band_i * $SimBandBitsMax)) & ${(1 << SimBandBitsMax) - 1} AS band_v
          |  FROM sim CROSS JOIN (VALUES (0),(1),(2),(3)) t(band_i)),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -209,30 +274,11 @@ object DedupOps {
          |  FROM pairs) t
          |WHERE hamming <= 3""".stripMargin
     }) { (s, dir) =>
-      val hs = docsAug(s, dir).select(col("doc_id"),
-        transform(array_distinct(split(col("text"), " ")), t => Cols.hex60(t)).as("hh"))
-      // native codegen loop (SimHashExpr) — the per-bit HOF aggregate
-      // formulation cost SimBits interpreted passes over hh per row
-      val simhash = org.apache.spark.sql.GraftColumnShim.column(
-        graft.functions.SimHashExpr(
-          org.apache.spark.sql.GraftColumnShim.expression(col("hh")), SimBits))
-      val sim = hs.select(col("doc_id"), simhash.as("simhash"))
-      val bandIdx = explode(array((0 until SimBands).map(i => lit(i)): _*)).as("band_i")
-      val bands = sim.select(col("doc_id"), col("simhash"), bandIdx)
-        .withColumn("band_v",
-          expr(s"shiftright(simhash, CAST(band_i * $SimBandBits AS INT)) & ${(1 << SimBandBits) - 1}"))
-        .persist()
-      val pairs = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band_i") === col("b.band_i") && col("a.band_v") === col("b.band_v") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-        .distinct()
-      pairs
-        .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
-        .filter(col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
+      // corpus size from parquet metadata (cheap count) + the 1-in-10
+      // augmentation; an upper-bound estimate is fine — band width only
+      // tunes candidate volume, never the result set
+      val nDocs = Tables.load(s, dir, "documents").count()
+      simhashPairs(s, dir, simBandBits(nDocs + nDocs / 10 + 1))
     },
 
     // n-gram (word bigram) Jaccard with token-prefix blocking PLUS

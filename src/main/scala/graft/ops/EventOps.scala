@@ -21,6 +21,30 @@ object EventOps {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
+  /** Gaps-and-islands sessionization oracle (lag + running flag sum) —
+    * shared by the declarative `session_window` query and the
+    * custom-state `flatMapGroupsWithState` one: both must reduce to the
+    * same SQL-expressible semantics.
+    */
+  private val sessionSql =
+    s"""WITH e AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |),
+       |g AS (
+       |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+       |                             ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM e
+       |)
+       |SELECT user_id, min(ts) AS session_start,
+       |       max(ts) + INTERVAL '30 minutes' AS session_end,
+       |       count(*) AS n_events, ${O.dsum("value")} AS total
+       |FROM g GROUP BY user_id, sid""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ── tumbling window aggregation ─────────────────────────────────
@@ -50,25 +74,22 @@ object EventOps {
     // Spark session_window: a session extends while consecutive events
     // are < gap apart; session end = last ts + gap (half-open). DuckDB
     // mirror: classic gaps-and-islands with lag + running flag sum.
-    Q("q_events_session",
-      s"""WITH e AS (
-         |  SELECT user_id, ts, value,
-         |    CASE WHEN lag(ts) OVER w IS NULL
-         |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
-         |         THEN 1 ELSE 0 END AS new_s
-         |  FROM events
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-         |),
-         |g AS (
-         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-         |                             ROWS UNBOUNDED PRECEDING) AS sid
-         |  FROM e
-         |)
-         |SELECT user_id, min(ts) AS session_start,
-         |       max(ts) + INTERVAL '30 minutes' AS session_end,
-         |       count(*) AS n_events, ${O.dsum("value")} AS total
-         |FROM g GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+    Q("q_events_session", sessionSql) { (s, dir) =>
       graft.streaming.EventWindows.session(events(s, dir))
+    },
+
+    // ── custom-state sessionization, batch-run against the oracle ───
+    // The SAME flatMapGroupsWithState operator the streaming tier uses
+    // (StatefulOps.sessionize), executed in batch with end-of-group
+    // flush — proving the custom-state path against DuckDB's
+    // gaps-and-islands SQL, not merely against Spark's session_window.
+    Q("q_session_stateful", sessionSql) { (s, dir) =>
+      import s.implicits._
+      val ds = events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[graft.streaming.StatefulOps.Ev]
+      graft.streaming.StatefulOps.sessionize(ds, flushOpen = true).toDF()
+        .select("user_id", "session_start", "session_end", "n_events", "total")
     },
 
     // ── as-of join: latest purchase at-or-before each click ─────────

@@ -92,16 +92,18 @@ object MultimodalOps {
     // Feature extraction: the embed step of a multimodal pipeline with
     // the codec stubbed — an 8-dim deterministic feature vector derived
     // from the payload bytes (hash-per-dimension), plus its norm. The
-    // Spark-side shape (binary in, fixed-width array<double> feature
-    // out, per-row in the scan stage) is exactly what a real
-    // model-backed featurizer produces.
+    // vector is emitted as fixed-width scalar columns f0..f7 (not
+    // array<double>) so downstream tabular consumers — and the
+    // row-hashing verify harness — can sort/compare rows; the per-row
+    // scan-stage shape is exactly what a real model-backed featurizer
+    // produces.
     Q("mm_features", {
       val dims = 0 until 8
       val fSql = dims.map(d =>
         s"(('0x' || substr(md5(text || '|$d'), 1, 15))::BIGINT / 1152921504606846976.0)")
       val normSql = fSql.map(f => s"$f*$f").mkString("(0.0 + ", " + ", ")")
       s"""SELECT doc_id,
-         |  ${fSql.mkString("[", ",\n   ", "]")} AS features,
+         |  ${fSql.zipWithIndex.map { case (f, d) => s"$f AS f$d" }.mkString(",\n   ")},
          |  $normSql AS fnorm
          |FROM documents""".stripMargin
     }) { (s, dir) =>
@@ -109,9 +111,9 @@ object MultimodalOps {
       val f = dims.map(d => Cols.unitHash(concat(col("text"), lit(s"|$d"))))
       val fnorm = f.foldLeft(lit(0.0))((acc, x) => acc + x * x)
       Tables.load(s, dir, "documents").select(
-        col("doc_id"),
-        array(f: _*).as("features"),
-        fnorm.as("fnorm"))
+        col("doc_id") +:
+          f.zipWithIndex.map { case (c, d) => c.as(s"f$d") } :+
+          fnorm.as("fnorm"): _*)
     },
 
     // Frame sampling: every 4th 16-byte frame of each payload, exploded

@@ -171,11 +171,21 @@ object RelationalOps {
          |  count(*) AS n, ${O.dsum("l_quantity")} AS qty
          |FROM lineitem
          |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
+      // Pre-aggregate by (flag, status) first, then cube the tiny
+      // intermediate: Expand multiplies ~6 partial rows by 4 grouping
+      // sets instead of quadrupling the whole fact scan — 4x less
+      // Expand/shuffle volume at any scale. Exact because the decimal
+      // partial sums re-sum exactly and the grouping columns are
+      // non-null (a data NULL would be conflated with a cube NULL, so
+      // this rewrite is only valid for non-null grouping keys).
+      val pre = Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("pqty"))
+      pre.cube("l_returnflag", "l_linestatus")
         .agg(grouping_id().cast(LongType).as("gid"),
-          count(lit(1)).as("n"),
-          Cols.dsum(col("l_quantity")).as("qty"))
+          sum(col("pn")).as("n"),
+          sum(col("pqty")).cast(DoubleType).as("qty"))
         .select("l_returnflag", "l_linestatus", "gid", "n", "qty")
     },
 

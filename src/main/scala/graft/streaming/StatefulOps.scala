@@ -70,8 +70,17 @@ object StatefulOps extends Serializable {
     * or pre-bucket such keys. Cross-batch disorder is subject to the
     * stream's watermark discipline, as with any event-time stateful
     * operator.
+    *
+    * `flushOpen`: in BATCH execution there is no later trigger, so an
+    * open session left in state would simply be dropped — pass true to
+    * emit it as closed at end-of-group (the gaps-and-islands batch
+    * semantics, oracle-checked by `q_session_stateful`). Leave false in
+    * streaming, where the open session must survive in state.
     */
-  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
+  def sessionize(
+      events: Dataset[Ev],
+      gapMinutes: Int = 30,
+      flushOpen: Boolean = false): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
 
@@ -100,7 +109,8 @@ object StatefulOps extends Serializable {
               cur = Some(OpenSession(m, m, 1L, cents))
           }
         }
-        cur.foreach(state.update)
+        if (flushOpen) cur.foreach(s => out += close(user, s))
+        else cur.foreach(state.update)
         out.iterator
     }
   }

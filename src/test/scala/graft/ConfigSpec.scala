@@ -47,6 +47,22 @@ class ConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("webhook config selects HttpNotifier; absence selects stdout") {
+    val withHook =
+      """{"configs": {"t": {
+        |  "source":      { "type": "json",    "path": "/d/in.json" },
+        |  "secondary":   { "type": "parquet", "path": "/d/db.parquet" },
+        |  "destination": { "dir": "/d/out" },
+        |  "webhook":     "http://127.0.0.1:9/hook"
+        |}}}""".stripMargin
+    val t = Config.parse(withHook).head
+    assert(t.webhook === Some("http://127.0.0.1:9/hook"))
+    assert(t.notifier.isInstanceOf[HttpNotifier])
+    // no webhook -> stdout; constructing the notifier attempts no I/O
+    assert(Config.parse(twoTenants).head.webhook === None)
+    assert(Config.parse(twoTenants).head.notifier.isInstanceOf[StdoutNotifier])
+  }
+
   test("each tenant resolves to a runnable pipeline spec") {
     val specs = Config.parse(twoTenants).map(_.toSpec)
     assert(specs.map(_.destDir) === Seq("/data/a/out", "/data/b/out"))

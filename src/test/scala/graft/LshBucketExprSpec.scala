@@ -50,4 +50,38 @@ class LshBucketExprSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.count(_.isNullAt(0)) === 1)
     assert(out.count(!_.isNullAt(0)) === 1)
   }
+
+  test("wrong input type fails at analysis, not inside generated code") {
+    import spark.implicits._
+    val df = Seq(("abc", Seq(1L, 2L))).toDF("s", "hh")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorFns.lshBucket(col("s"))).collect()
+    }
+    assert(e1.getMessage.contains("graft_lsh_bucket"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorFns.dot(col("s"), col("s"))).collect()
+    }
+    assert(e2.getMessage.contains("graft_dot"))
+    // a long-array where double-array is required is also a mismatch
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorFns.lshBucket(col("hh"))).collect()
+    }
+    assert(e3.getMessage.contains("graft_lsh_bucket"))
+  }
+
+  test("semantically equal expressions canonicalize equal (plane matrix is structural)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val child = Literal.create(Seq.fill(VectorFns.Dim)(0.5), ArrayType(DoubleType))
+    // rebuild the plane matrix element by element: DISTINCT collection
+    // instances with equal values. An Array-keyed case class compares
+    // these by reference and would break Catalyst canonicalization /
+    // subexpression elimination; the Seq-carried matrix is structural.
+    val rebuilt = VectorFns.planes.map(_.map(identity))
+    val ea = graft.functions.LshBucketExpr(child, VectorFns.planes)
+    val eb = graft.functions.LshBucketExpr(child, rebuilt)
+    assert(ea === eb)
+    assert(ea.canonicalized === eb.canonicalized)
+    assert(ea.semanticEquals(eb))
+  }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import graft.ops.DedupOps
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SimHash band sizing: the band width is a candidate-volume knob, not
+  * a semantics knob. With 4 disjoint bands, Hamming <= 3 recall is
+  * exact by pigeonhole at ANY width, so the pair set must be identical
+  * across widths — that invariance is what lets the query size its
+  * bands from the corpus count while the fixed-width oracle SQL stays
+  * valid.
+  */
+class SimBandSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("simBandBits: ceil(log2 n) clamped to [8, 15]") {
+    assert(DedupOps.simBandBits(1) === 8)
+    assert(DedupOps.simBandBits(200) === 8)
+    assert(DedupOps.simBandBits(256) === 8)
+    assert(DedupOps.simBandBits(257) === 9)
+    assert(DedupOps.simBandBits(5000) === 13)
+    assert(DedupOps.simBandBits(32768) === 15)
+    // saturation: beyond 2^15 docs the 60-bit/4-band scheme is at its
+    // capacity ceiling — candidates grow O(N^2/2^15) and the documented
+    // remedy is a wider signature, not a wider band
+    assert(DedupOps.simBandBits(1000000) === 15)
+    assert(DedupOps.simBandBits(Long.MaxValue) === 15)
+  }
+
+  test("near-dup pair set is invariant to band width (exact recall)") {
+    def pairs(bits: Int): Set[(Long, Long, Long)] =
+      DedupOps.simhashPairs(spark, dir, bits).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val narrow = pairs(8)
+    val wide = pairs(15)
+    assert(narrow.nonEmpty, "fixture must produce at least one near-dup pair")
+    assert(narrow === wide)
+    spark.catalog.clearCache()
+  }
+}
