@@ -1,7 +1,7 @@
 package graft
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import graft.io.{CsvSource, JdbcOptions, JdbcSource, JsonArraySource, JsonLinesSource, NoSecretsProvider, OrcSource, ParquetSource, RelationSource, Secrets, SecretsProvider}
+import graft.io.{BinaryFileSource, CsvSource, JdbcOptions, JdbcSource, JsonArraySource, JsonLinesSource, NoSecretsProvider, OrcSource, ParquetSource, RelationSource, Secrets, SecretsProvider}
 
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
@@ -120,6 +120,7 @@ object Config {
       case "jsonl" => JsonLinesSource(txt(n, "path", where))
       case "csv" => CsvSource(txt(n, "path", where))
       case "orc" => OrcSource(txt(n, "path", where))
+      case "binary" => BinaryFileSource(txt(n, "path", where))
       case "parquet" => ParquetSource(txt(n, "path", where))
       case "jdbc" if n.has("secret") =>
         // the reference's shape: Database block (endpoint/port) + a

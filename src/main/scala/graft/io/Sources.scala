@@ -92,6 +92,22 @@ final case class OrcSource(path: String) extends RelationSource {
   def describe: String = s"orc $path"
 }
 
+/** Opaque media files (images/audio/video) as rows — the ingestion
+  * face of the multimodal tier ([[graft.ops.MultimodalOps]]): each
+  * matched file becomes one row of (path, length, content BINARY),
+  * ready for the partition-parallel decode path. Built on Spark's
+  * `binaryFile` format, so predicate pushdown on path/length and the
+  * `pathGlobFilter` option apply before any bytes are read.
+  * modificationTime is dropped: it is environment-dependent and would
+  * make otherwise-identical corpora compare unequal.
+  */
+final case class BinaryFileSource(pathGlob: String) extends RelationSource {
+  def load(spark: SparkSession): DataFrame =
+    spark.read.format("binaryFile").load(pathGlob)
+      .select("path", "length", "content")
+  def describe: String = s"binary $pathGlob"
+}
+
 /** Whole-table JDBC scan, options-driven — the reference's enrichment
   * input (`gule_test_job.py:82-94`; URL template `data.tf:17-21`,
   * driver jar `common_settings.json:12-15`).

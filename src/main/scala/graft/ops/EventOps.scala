@@ -214,6 +214,73 @@ object EventOps {
             .as("kmv_est"))
     },
 
+    // ── funnel analysis: view → click → purchase, strictly ordered ──
+    // Each stage requires an event strictly AFTER the user's entry into
+    // the previous stage — the product-analytics conversion funnel.
+    // Scale shape: three hash aggregations keyed on user_id with a
+    // per-stage semi-join; no windows over the raw event stream, no
+    // per-user event buffering.
+    Q("q_events_funnel",
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT 'view' AS stage, count(*) AS n_users FROM v
+        |  UNION ALL SELECT 'click', count(*) FROM c
+        |  UNION ALL SELECT 'purchase', count(*) FROM p) t""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.agg(count(lit(1)).as("n_users")).select(lit("view").as("stage"), col("n_users"))
+        .unionAll(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("click").as("stage"), col("n_users")))
+        .unionAll(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("purchase").as("stage"), col("n_users")))
+    },
+
+    // ── cohort retention: first-day cohort × day offset ─────────────
+    // Day arithmetic stays on day-truncated epoch seconds (exact
+    // multiples of 86400 in both engines) — never interval/datediff,
+    // whose edge semantics differ across engines. Two shuffles total:
+    // the first-seen agg and the (cohort, offset) count-distinct.
+    Q("q_events_retention",
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('day', min(ts)) AS cohort
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT e.user_id, f.cohort,
+        |    CAST((epoch(date_trunc('day', e.ts)) - epoch(f.cohort)) / 86400 AS BIGINT) AS day_off
+        |  FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT CAST(cohort AS TIMESTAMP) AS cohort, day_off,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM d GROUP BY cohort, day_off""".stripMargin) { (s, dir) =>
+      val f = events(s, dir).groupBy("user_id")
+        .agg(date_trunc("day", min("ts")).as("cohort"))
+      events(s, dir).join(f, "user_id")
+        .select(col("cohort"),
+          ((unix_timestamp(date_trunc("day", col("ts"))) -
+            unix_timestamp(col("cohort"))) / lit(86400L)).cast(LongType).as("day_off"),
+          col("user_id"))
+        .groupBy("cohort", "day_off")
+        .agg(countDistinct("user_id").as("n_users"))
+    },
+
     // ── time-bucketed rates: events-per-day stats per type ──────────
     Q("q_events_daily",
       s"""SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,

@@ -223,6 +223,151 @@ object TextOps {
         .select("doc_id", "rk", "token", "tf", "df", "weight")
     },
 
+    // ── PII redaction ───────────────────────────────────────────────
+    // The scrubbing pass every training corpus needs before the
+    // tokenizer sees it. The fixture text has no natural PII, so every
+    // 5th doc is augmented with a deterministic email + phone (same
+    // synthesis in the oracle), then ALL docs go through the redactor.
+    // Patterns stay inside the regex subset whose leftmost-longest
+    // semantics are identical in Java regex and RE2: character classes
+    // and bounded/unbounded counts, no backrefs or lookaround. Per-row
+    // expression in the scan stage — no shuffle at any scale.
+    Q("text_pii_redact", {
+      val email = "[a-z0-9._]+@[a-z0-9.]+"
+      val phone = "[0-9]{3}-[0-9]{4}"
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(aug, '$email', '<EMAIL>', 'g'),
+         |                 '$phone', '<PHONE>', 'g') AS clean,
+         |  CAST(len(regexp_extract_all(aug, '$email')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(aug, '$phone')) AS BIGINT) AS n_phone
+         |FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |           || '@mail.example.com or call 555-'
+         |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      ELSE text END AS aug
+         |  FROM documents) t""".stripMargin
+    }) { (s, dir) =>
+      val email = "[a-z0-9._]+@[a-z0-9.]+"
+      val phone = "[0-9]{3}-[0-9]{4}"
+      val aug = when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text"))
+      docs(s, dir).select(col("doc_id"), aug.as("aug")).select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(col("aug"), email, "<EMAIL>"),
+          phone, "<PHONE>").as("clean"),
+        size(regexp_extract_all(col("aug"), lit(email), lit(0)))
+          .cast(LongType).as("n_email"),
+        size(regexp_extract_all(col("aug"), lit(phone), lit(0)))
+          .cast(LongType).as("n_phone"))
+    },
+
+    // ── stratified (rebalancing) sampling ───────────────────────────
+    // Per-stratum rates — downsample the dominant language, keep the
+    // rest — as a pure function of the doc id's hash: no RNG, no
+    // engine-specific TABLESAMPLE, identical membership on any engine
+    // or re-run. Scan-stage filter; at scale this never shuffles.
+    Q("q_sample_stratified", {
+      val u = graft.OracleSql.unitHash("'smp|' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, $u AS u,
+         |    CASE lang WHEN 'en' THEN 0.05 ELSE 0.2 END AS rate
+         |  FROM documents) t
+         |WHERE u < rate""".stripMargin
+    }) { (s, dir) =>
+      val u = graft.Cols.unitHash(concat(lit("smp|"), col("doc_id").cast("string")))
+      val rate = when(col("lang") === "en", lit(0.05)).otherwise(lit(0.2))
+      docs(s, dir).filter(u < rate).select("doc_id", "lang")
+    },
+
+    // ── vocabulary build with cumulative coverage ───────────────────
+    // Top-20 tokens by frequency plus the cumulative share of the
+    // corpus they cover — the vocabulary-pruning / OOV-budget operator.
+    // Scale shape: explode + one hash agg to vocab-sized counts, then
+    // TakeOrdered(20) — the 20-row window runs on the head only, and
+    // its running sum equals the global one because the top-20 are a
+    // prefix of the global (n DESC, token) order.
+    Q("text_vocab",
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        |r AS (
+        |  SELECT token, n,
+        |    row_number() OVER (ORDER BY n DESC, token) AS rk,
+        |    sum(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(n) OVER () AS total
+        |  FROM cnt)
+        |SELECT CAST(rk AS BIGINT) AS rk, token, n,
+        |       CAST(cum AS DOUBLE) / total AS coverage
+        |FROM r WHERE rk <= 20""".stripMargin) { (s, dir) =>
+      val cnt = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .persist()
+      val total = cnt.agg(sum("n").as("total"))
+      val top = cnt.orderBy(col("n").desc, col("token")).limit(20)
+      val ord = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token"))
+      top.crossJoin(broadcast(total))
+        .withColumn("rk", row_number().over(ord).cast(LongType))
+        .withColumn("coverage",
+          sum("n").over(ord.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow))
+            .cast(DoubleType) / col("total"))
+        .select("rk", "token", "n", "coverage")
+    },
+
+    // ── bigram association (PMI-shaped collocation mining) ──────────
+    // score = P(a,b) / (P(a)P(b)) in the log-free rational form
+    // (n_ab * N) / (n_a * n_b): integer products cast to double once,
+    // one division — identical in both engines, where ln() would drift
+    // in the last ulp between libm implementations. Scale shape:
+    // explode to bigrams, two vocab-sized hash aggs, two hash joins on
+    // the token key — no window over the corpus, no driver state.
+    Q("text_ngram_pmi",
+      """WITH tok AS (
+        |  SELECT string_split(text, ' ') AS tokens FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |idx AS (SELECT tokens, unnest(range(1, len(tokens))) AS i FROM tok),
+        |bg AS (SELECT tokens[i] AS w1, tokens[i+1] AS w2 FROM idx),
+        |bc AS (SELECT w1, w2, count(*) AS n_ab,
+        |              sum(count(*)) OVER () AS n_tot
+        |       FROM bg GROUP BY w1, w2),
+        |uc AS (SELECT unnest(tokens) AS token FROM tok),
+        |un AS (SELECT token, count(*) AS n FROM uc GROUP BY token)
+        |SELECT w1, w2, n_ab,
+        |       a.n AS n_a, b.n AS n_b,
+        |       CAST(n_ab * n_tot AS DOUBLE) / CAST(a.n * b.n AS DOUBLE) AS score
+        |FROM bc JOIN un a ON bc.w1 = a.token JOIN un b ON bc.w2 = b.token
+        |WHERE n_ab >= 5""".stripMargin) { (s, dir) =>
+      val toks = tokens(col("text"))
+      val tok = docs(s, dir).filter(size(toks) >= 2)
+        .select(toks.as("tokens")).persist()
+      val bg = tok.select(explode(transform(
+        sequence(lit(1), size(col("tokens")) - 1), i =>
+          struct(element_at(col("tokens"), i).as("w1"),
+            element_at(col("tokens"), i + 1).as("w2")))).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+      // n_tot via a 1-row agg + broadcast, NOT a global window: the
+      // bigram-count relation is vocab^2-sized and a partitionless
+      // window would collapse it onto one task at scale
+      val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab")).persist()
+      val bc = cnt.crossJoin(broadcast(cnt.agg(sum("n_ab").as("n_tot"))))
+      val un = tok.select(explode(col("tokens")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      bc.join(un.select(col("token").as("w1"), col("n").as("n_a")), "w1")
+        .join(un.select(col("token").as("w2"), col("n").as("n_b")), "w2")
+        .filter(col("n_ab") >= 5)
+        .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+          ((col("n_ab") * col("n_tot")).cast(DoubleType) /
+            (col("n_a") * col("n_b")).cast(DoubleType)).as("score"))
+    },
+
     // ── fingerprinting: content md5 + position-weighted rolling hash ─
     Q("text_fingerprint", {
       val toks = "string_split(text, ' ')"

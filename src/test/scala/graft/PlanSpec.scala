@@ -33,9 +33,14 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
   //   - sim_topk_brute: corpus x broadcast(10 query vectors), the
   //     deliberate brute-force baseline (scale path = sim_ann_lsh);
   //   - sim_ann_ivf: corpus x broadcast(8 centroids) for the coarse
-  //     quantizer assignment (the probe join IS key-bucketed).
+  //     quantizer assignment (the probe join IS key-bucketed);
+  //   - text_vocab / text_ngram_pmi: x broadcast(ONE corpus-total row)
+  //     — attaching a scalar has no join key by construction, and a
+  //     1-row broadcast nested loop is the cheapest correct plan.
   private val planOnly =
-    SparkEntry.queries.keySet - "pipeline_e2e" - "sim_topk_brute" - "sim_ann_ivf"
+    SparkEntry.queries.keySet -
+      "pipeline_e2e" - "sim_topk_brute" - "sim_ann_ivf" -
+      "text_vocab" - "text_ngram_pmi"
 
   test("no query plans a cartesian product or nested-loop join") {
     planOnly.foreach { name =>

@@ -2,6 +2,7 @@ package graft
 
 import graft.io._
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -54,6 +55,27 @@ class SourcesSpec extends AnyFunSuite with SparkSessionTestWrapper {
     sample.write.mode("overwrite").orc(s"$root/orc")
     val got = OrcSource(s"$root/orc").load(spark)
     assert(got.collect().map(_.toString).sorted === sample.collect().map(_.toString).sorted)
+  }
+
+  test("binary-file source reads media files as (path, length, content) rows") {
+    Files.createDirectories(Paths.get(s"$root/media"))
+    val bytesA = Array[Byte](0x42, 0x49, 0x4e, 0x00, -1, 127)
+    Files.write(Paths.get(s"$root/media/a.bin"), bytesA)
+    Files.write(Paths.get(s"$root/media/b.bin"), Array[Byte](1, 2, 3))
+    val got = BinaryFileSource(s"$root/media/*.bin").load(spark)
+    assert(got.columns.toSeq === Seq("path", "length", "content"))
+    val rows = got.collect().map(r =>
+      (r.getString(0).split('/').last, r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq("a.bin", "b.bin"))
+    assert(rows(0)._2 === bytesA.length.toLong)
+    assert(rows(0)._3 === bytesA.toSeq)
+    // the ingested bytes feed the multimodal decode path unchanged
+    import spark.implicits._
+    val frames = graft.ops.MultimodalOps.decodeFrames(
+      got.select(col("length").as("doc_id"), col("content"))
+        .as[graft.ops.MultimodalOps.MediaRow], stride = 1)
+    assert(frames.count() === 2) // both payloads < 16 bytes -> 1 frame each
   }
 
   test("pipeline runs with mixed source formats (jsonl primary, orc secondary)") {
