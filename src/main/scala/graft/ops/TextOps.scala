@@ -368,6 +368,61 @@ object TextOps {
             (col("n_a") * col("n_b")).cast(DoubleType)).as("score"))
     },
 
+    // ── end-to-end corpus curation (the flagship LLM-data pipeline) ─
+    // quality-filter -> exact-dedup (keep min doc_id per digest) ->
+    // deterministic split assignment, in ONE pass shape: per-row
+    // expressions in the scan stage, a single hash shuffle on the
+    // content digest, and a hash-free split function — the whole
+    // curation pipeline costs one shuffle at any corpus size. Corpus:
+    // documents + exact copies of every 7th doc (same augmentation as
+    // dedup_exact), so the dedup stage provably drops rows.
+    Q("corpus_curate", {
+      val toks = "string_split(text, ' ')"
+      val quality =
+        s"""(0.5 * (CAST(${sqlCountIn(toks, stopwords)} AS DOUBLE) / len($toks))
+           | + 0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text)))""".stripMargin
+      val u = graft.OracleSql.unitHash("CAST(doc_id AS VARCHAR)")
+      s"""WITH aug AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 20000000 AS doc_id, lang, text
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |q AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    $quality AS quality
+         |  FROM aug),
+         |d AS (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM q WHERE quality >= 0.44)
+         |SELECT doc_id, lang, n_tokens, quality,
+         |  CASE WHEN $u < 0.8 THEN 'train'
+         |       WHEN $u < 0.9 THEN 'val' ELSE 'test' END AS split
+         |FROM d WHERE rn = 1""".stripMargin
+    }) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      val aug = d.union(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + lit(20000000L)).as("doc_id"),
+            col("lang"), col("text")))
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast(LongType)
+      val quality =
+        lit(0.5) * (countIn(toks, stopwords).cast(DoubleType) / nTok) +
+          lit(0.5) * (length(regexp_replace(col("text"), "[^a-z]", ""))
+            .cast(DoubleType) / length(col("text")))
+      val u = graft.Cols.unitHash(col("doc_id").cast("string"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      aug.select(col("doc_id"), col("lang"), col("text"),
+        nTok.as("n_tokens"), quality.as("quality"))
+        .filter(col("quality") >= 0.44)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
+          when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"))
+    },
+
     // ── fingerprinting: content md5 + position-weighted rolling hash ─
     Q("text_fingerprint", {
       val toks = "string_split(text, ' ')"

@@ -87,6 +87,28 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"documents scan reads more than the query needs:\n$tx")
   }
 
+  test("funnel stage filters reach the events scans") {
+    val plan = planOf("q_events_funnel")
+    Seq("view", "click", "purchase").foreach { stage =>
+      assert(plan.contains(s"EqualTo(event_type,$stage)"),
+        s"$stage filter not pushed to scan:\n$plan")
+    }
+  }
+
+  test("per-row text operators prune the documents scan to their columns") {
+    val pii = planOf("text_pii_redact")
+    assert(pii.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"pii scan reads more than (doc_id, text):\n$pii")
+  }
+
+  test("corpus curation is a single-shuffle pipeline") {
+    val plan = planOf("corpus_curate")
+    // one hashpartitioning exchange (the digest window); the quality
+    // filter and split assignment must stay in the scan stage
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles === 1, s"expected exactly 1 hash shuffle, got $shuffles:\n$plan")
+  }
+
   test("dedup self-joins are hash joins on bucket keys") {
     Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding")
       .foreach { name =>
