@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL-surface registration of the native graft expressions via the
+  * public `SparkSessionExtensions` hook — the deployment story for
+  * `spark.sql(...)` users (and JDBC/Thrift clients) who never touch the
+  * Scala DataFrame API:
+  *
+  * {{{
+  * spark.sql.extensions=graft.functions.GraftExtensions   // spark-defaults
+  * // or: SparkSession.builder().withExtensions(new GraftExtensions()(_))
+  *
+  * SELECT graft_dot(emb_a, emb_b, 64)       -- native codegen dot product
+  * SELECT graft_simhash(token_hashes)       -- 60-bit simhash signature
+  * SELECT graft_simhash(token_hashes, 48)   -- custom signature width
+  * SELECT graft_lsh_bucket(emb)             -- 16-plane hyperplane bucket
+  * }}}
+  *
+  * Registration is per-session metadata only — no state, no side
+  * effects — so it is safe to enable globally. The optional int
+  * arguments must be literals (they parameterize generated code).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an INT literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotExpr(a, b, VectorFns.Dim)
+        case Seq(a, b, d) => DotExpr(a, b, litInt(d, "graft_dot dim"))
+        case _ => throw new IllegalArgumentException(
+          "graft_dot(arrayA, arrayB[, dim]) takes 2 or 3 arguments")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a) => SimHashExpr(a, 60)
+        case Seq(a, b) => SimHashExpr(a, litInt(b, "graft_simhash bits"))
+        case _ => throw new IllegalArgumentException(
+          "graft_simhash(hashArray[, bits]) takes 1 or 2 arguments")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucketExpr].getName, "graft_lsh_bucket"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a) => LshBucketExpr(a, VectorFns.planes)
+        case _ => throw new IllegalArgumentException(
+          "graft_lsh_bucket(embedding) takes 1 argument")
+      }))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The graft SQL functions registered through spark.sql.extensions
+  * (GraftExtensions) must behave exactly like their Column-API twins —
+  * same expressions, same codegen, reachable from pure SQL.
+  */
+class GraftExtensionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  test("graft_dot from SQL equals VectorFns.dot, including the dim guard") {
+    val row = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d), 3) AS d,
+        |       graft_dot(array(1.0d), array(1.0d), 3) AS short""".stripMargin)
+      .collect().head
+    assert(row.getDouble(0) === 32.0)
+    assert(row.isNullAt(1)) // under-width input -> NULL, oracle semantics
+  }
+
+  test("graft_dot default dim matches the library constant") {
+    import spark.implicits._
+    val full = (1 to VectorFns.Dim).map(_ => 0.5)
+    val df = Seq((full, full)).toDF("a", "b")
+    df.createOrReplaceTempView("ext_vec")
+    val sql = spark.sql("SELECT graft_dot(a, b) AS d FROM ext_vec").collect().head.getDouble(0)
+    val api = df.select(VectorFns.dot(col("a"), col("b"))).collect().head.getDouble(0)
+    assert(sql === api)
+  }
+
+  test("graft_simhash and graft_lsh_bucket from SQL equal the Column API") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("emb"))
+    emb.createOrReplaceTempView("ext_emb")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_lsh_bucket(emb) AS b FROM ext_emb")
+    val viaApi = emb.select(col("vec_id"), VectorFns.lshBucket(col("emb")).as("b"))
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+    assert(viaApi.exceptAll(viaSql).count() === 0)
+
+    val sig = spark.sql("SELECT graft_simhash(array(7L, 7L, 7L)) AS s").collect().head.getLong(0)
+    assert(sig === 7L) // all tokens vote the same bits
+    val sig48 = spark.sql("SELECT graft_simhash(array(-1L), 48) AS s").collect().head.getLong(0)
+    assert(sig48 === (1L << 48) - 1) // bits arg respected
+  }
+
+  test("non-literal or wrong-arity arguments fail with a named error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0d), array(1.0d), CAST(id AS INT)) FROM range(1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_dot"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_lsh_bucket(array(1.0d), 2)").collect()
+    }
+    assert(e2.getMessage.contains("graft_lsh_bucket"))
+  }
+}

@@ -14,5 +14,8 @@ object SparkSessionTestWrapper {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the production registration path for the graft SQL functions —
+    // tests exercise exactly what spark.sql.extensions deploys
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
 }
