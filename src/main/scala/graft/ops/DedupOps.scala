@@ -152,6 +152,123 @@ object DedupOps {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Connected components over an undirectable edge list (cols a, b)
+    * via iterative min-label propagation — the scalable formulation
+    * (each iteration is one hash join + one aggregation; iterations =
+    * graph diameter, tiny for dedup graphs). Returns (doc_id,
+    * component) for every node that appears in an edge. Fails loudly
+    * if propagation does not converge: unconverged labels are WRONG
+    * labels and must not slip past the correctness gate.
+    */
+  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b"))).persist()
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val viaNeighbors = und
+        .join(labels, und("b") === labels("node"))
+        .select(und("a").as("node"), col("label"))
+      val next = labels.select(col("node"), col("label"))
+        .union(viaNeighbors)
+        .groupBy("node").agg(min("label").as("label"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged,
+      s"component propagation did not converge within $iter iterations")
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
+  /** Recursive-CTE transitive closure — the oracle twin of
+    * [[connectedComponents]]. `edgesCte` names an in-scope CTE with
+    * columns (a, b); the caller splices this after its own WITH list.
+    */
+  private def componentsSql(edgesCte: String): String =
+    s"""und AS (SELECT a, b FROM $edgesCte UNION SELECT b, a FROM $edgesCte),
+       |reach AS (
+       |  WITH RECURSIVE r(a, b) AS (
+       |    SELECT a, b FROM und
+       |    UNION
+       |    SELECT r.a, u.b FROM r JOIN und u ON r.b = u.a WHERE u.b <> r.a)
+       |  SELECT * FROM r)
+       |SELECT a AS doc_id, least(a, min(b)) AS component
+       |FROM reach GROUP BY a""".stripMargin
+
+  /** MinHash+LSH near-dup pair oracle SQL — shared by
+    * `dedup_minhash_lsh` (pairs are the output) and
+    * `dedup_near_components` (pairs are the edge list).
+    */
+  private lazy val minhashPairsSql: String = {
+    val sig = (0 until MinhashK)
+      .map(j => s"list_min(list_transform(hh, h -> (${MinhashA(j)} * h + ${MinhashB(j)}) % $MinhashP))")
+      .mkString("[", ",\n      ", "]")
+    val bandKeys = (0 until Bands)
+      .map(b => s"md5('$b~' || sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])")
+      .mkString("[", ",\n      ", "]")
+    s"""WITH docs_aug AS ($docsAugSql),
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM docs_aug),
+       |sh AS (
+       |  SELECT doc_id, $shingles3Sql AS shingles
+       |  FROM tok WHERE len(tokens) >= 3),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(shingles,
+       |      s -> (('0x' || substr(md5(s), 1, 15))::BIGINT) % $MinhashP) AS hh
+       |  FROM sh),
+       |mh AS (SELECT doc_id, $sig AS sig FROM hs),
+       |bands AS (SELECT doc_id, unnest($bandKeys) AS band_key FROM mh),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT p.doc_a, p.doc_b, ${jaccardSql("x.shingles", "y.shingles")} AS jaccard
+       |  FROM pairs p JOIN sh x ON p.doc_a = x.doc_id JOIN sh y ON p.doc_b = y.doc_id) t
+       |WHERE jaccard >= 0.5""".stripMargin
+  }
+
+  /** MinHash+LSH near-dup pairs, Spark side (the twin of
+    * [[minhashPairsSql]]).
+    */
+  private[graft] def minhashPairsDf(s: SparkSession, dir: String): DataFrame = {
+    val tok = docsAug(s, dir).select(col("doc_id"), split(col("text"), " ").as("tokens"))
+    // persist: shingle sets feed both the band join and (twice) the
+    // exact-Jaccard verification join; signatures cost 12 md5 evals
+    // per shingle and must not be recomputed per consumer
+    val sh = tok.filter(size(col("tokens")) >= 3)
+      .select(col("doc_id"), shingles3(col("tokens")).as("shingles"))
+      .persist()
+    val hs = sh.select(col("doc_id"),
+      transform(col("shingles"), sgl => Cols.hex60(sgl) % lit(MinhashP)).as("hh"))
+    val sig = array((0 until MinhashK).map(j =>
+      array_min(transform(col("hh"),
+        h => (lit(MinhashA(j)) * h + lit(MinhashB(j))) % lit(MinhashP)))): _*)
+    val mh = hs.select(col("doc_id"), sig.as("sig"))
+    val bandKeys = array((0 until Bands).map(b =>
+      md5(concat(lit(s"$b~"), element_at(col("sig"), 2 * b + 1).cast("string"),
+        lit("|"), element_at(col("sig"), 2 * b + 2).cast("string")))): _*)
+    val bands = mh.select(col("doc_id"), explode(bandKeys).as("band_key")).persist()
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   // ── queries ───────────────────────────────────────────────────────
 
   val queries: Seq[Q] = Seq(
@@ -183,60 +300,19 @@ object DedupOps {
     // mod p first so a_j*h stays well inside int64 in both engines.
     // Candidates share a band key over signature pairs; verified with
     // exact Jaccard.
-    Q("dedup_minhash_lsh", {
-      val sig = (0 until MinhashK)
-        .map(j => s"list_min(list_transform(hh, h -> (${MinhashA(j)} * h + ${MinhashB(j)}) % $MinhashP))")
-        .mkString("[", ",\n      ", "]")
-      val bandKeys = (0 until Bands)
-        .map(b => s"md5('$b~' || sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])")
-        .mkString("[", ",\n      ", "]")
-      s"""WITH docs_aug AS ($docsAugSql),
-         |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM docs_aug),
-         |sh AS (
-         |  SELECT doc_id, $shingles3Sql AS shingles
-         |  FROM tok WHERE len(tokens) >= 3),
-         |hs AS (
-         |  SELECT doc_id,
-         |    list_transform(shingles,
-         |      s -> (('0x' || substr(md5(s), 1, 15))::BIGINT) % $MinhashP) AS hh
-         |  FROM sh),
-         |mh AS (SELECT doc_id, $sig AS sig FROM hs),
-         |bands AS (SELECT doc_id, unnest($bandKeys) AS band_key FROM mh),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, jaccard FROM (
-         |  SELECT p.doc_a, p.doc_b, ${jaccardSql("x.shingles", "y.shingles")} AS jaccard
-         |  FROM pairs p JOIN sh x ON p.doc_a = x.doc_id JOIN sh y ON p.doc_b = y.doc_id) t
-         |WHERE jaccard >= 0.5""".stripMargin
-    }) { (s, dir) =>
-      val tok = docsAug(s, dir).select(col("doc_id"), split(col("text"), " ").as("tokens"))
-      // persist: shingle sets feed both the band join and (twice) the
-      // exact-Jaccard verification join; signatures cost 12 md5 evals
-      // per shingle and must not be recomputed per consumer
-      val sh = tok.filter(size(col("tokens")) >= 3)
-        .select(col("doc_id"), shingles3(col("tokens")).as("shingles"))
-        .persist()
-      val hs = sh.select(col("doc_id"),
-        transform(col("shingles"), sgl => Cols.hex60(sgl) % lit(MinhashP)).as("hh"))
-      val sig = array((0 until MinhashK).map(j =>
-        array_min(transform(col("hh"),
-          h => (lit(MinhashA(j)) * h + lit(MinhashB(j))) % lit(MinhashP)))): _*)
-      val mh = hs.select(col("doc_id"), sig.as("sig"))
-      val bandKeys = array((0 until Bands).map(b =>
-        md5(concat(lit(s"$b~"), element_at(col("sig"), 2 * b + 1).cast("string"),
-          lit("|"), element_at(col("sig"), 2 * b + 2).cast("string")))): _*)
-      val bands = mh.select(col("doc_id"), explode(bandKeys).as("band_key")).persist()
-      val pairs = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      pairs
-        .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+    Q("dedup_minhash_lsh", minhashPairsSql)(minhashPairsDf),
+
+    // Near-dup CLUSTERING: the MinHash pair list reduced to what
+    // production dedup actually consumes — one canonical doc per group
+    // of transitively-linked near-duplicates (a truncation chain links
+    // A~B and B~C even when A!~C). Same component machinery as
+    // dedup_components, fed by LSH edges instead of exact-digest edges.
+    Q("dedup_near_components",
+      s"""WITH pairs AS ($minhashPairsSql),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+         |${componentsSql("edges")}""".stripMargin) { (s, dir) =>
+      connectedComponents(minhashPairsDf(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
     },
 
     // SimHash near-dup: 60-bit signature from md5-derived token hashes;
@@ -342,64 +418,24 @@ object DedupOps {
     // for dedup graphs is tiny). The oracle computes the same
     // components with a recursive-CTE transitive closure.
     Q("dedup_components",
-      """WITH dup_aug AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
-        |),
-        |grp AS (
-        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS root
-        |  FROM dup_aug),
-        |edges AS (SELECT doc_id AS a, root AS b FROM grp WHERE doc_id <> root),
-        |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-        |reach AS (
-        |  WITH RECURSIVE r(a, b) AS (
-        |    SELECT a, b FROM und
-        |    UNION
-        |    SELECT r.a, u.b FROM r JOIN und u ON r.b = u.a WHERE u.b <> r.a)
-        |  SELECT * FROM r)
-        |SELECT a AS doc_id, least(a, min(b)) AS component
-        |FROM reach GROUP BY a""".stripMargin) { (s, dir) =>
+      s"""WITH dup_aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+         |),
+         |grp AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS root
+         |  FROM dup_aug),
+         |edges AS (SELECT doc_id AS a, root AS b FROM grp WHERE doc_id <> root),
+         |${componentsSql("edges")}""".stripMargin) { (s, dir) =>
       val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
       val aug = d.union(
         d.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text")))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
       val grp = aug.select(col("doc_id"), min(col("doc_id")).over(w).as("root"))
-      val edges = grp.filter(col("doc_id") =!= col("root"))
-        .select(col("doc_id").as("a"), col("root").as("b"))
-      val und = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).persist()
-
-      // min-label propagation to fixpoint: label(x) = min over x and
-      // its neighbors' labels; iterate until stable (diameter bounds
-      // the iteration count — checked each round with one action)
-      var labels = und.select(col("a").as("node")).distinct()
-        .withColumn("label", col("node")).persist()
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        val viaNeighbors = und
-          .join(labels, und("b") === labels("node"))
-          .select(und("a").as("node"), col("label"))
-        val next = labels.select(col("node"), col("label"))
-          .union(viaNeighbors)
-          .groupBy("node").agg(min("label").as("label"))
-          .persist()
-        val changed = next.as("n")
-          .join(labels.as("o"), col("n.node") === col("o.node"))
-          .filter(col("n.label") =!= col("o.label"))
-          .limit(1).count()
-        labels.unpersist()
-        labels = next
-        converged = changed == 0
-        iter += 1
-      }
-      // unconverged labels are WRONG labels — fail loudly rather than
-      // let a longer-than-expected component chain slip partial results
-      // past the correctness gate
-      require(converged,
-        s"component propagation did not converge within $iter iterations")
-      labels.select(col("node").as("doc_id"), col("label").as("component"))
+      connectedComponents(grp.filter(col("doc_id") =!= col("root"))
+        .select(col("doc_id").as("a"), col("root").as("b")))
     },
 
     // Embedding near-dup: random-hyperplane LSH buckets (16 md5-seeded

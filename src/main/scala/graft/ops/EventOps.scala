@@ -281,6 +281,37 @@ object EventOps {
         .agg(countDistinct("user_id").as("n_users"))
     },
 
+    // ── rolling 7-day active users (WAU per day) ────────────────────
+    // count(DISTINCT) over a sliding window has no efficient windowed
+    // form — per-window distinct state explodes. The scalable shape:
+    // dedup to (user, day) once, expand each activity day into the 7
+    // window-end days it feeds (BOUNDED 7x, like q_events_sliding's
+    // 4x), keep only days that exist in the data (hash join against
+    // the tiny day list), then one count-distinct agg per window day.
+    Q("q_events_wau",
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+        |x AS (
+        |  SELECT user_id, d + (k * INTERVAL '1 day') AS w_day
+        |  FROM du CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) t(k)),
+        |days AS (SELECT DISTINCT d AS w_day FROM du)
+        |SELECT CAST(x.w_day AS TIMESTAMP) AS w_day,
+        |       count(DISTINCT user_id) AS wau
+        |FROM x JOIN days ON x.w_day = days.w_day
+        |GROUP BY x.w_day""".stripMargin) { (s, dir) =>
+      val du = events(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .distinct()
+        .persist()
+      val x = du
+        .select(col("user_id"), col("d"),
+          explode(array((0 to 6).map(lit): _*)).as("k"))
+        .select(col("user_id"), expr("d + k * INTERVAL '1' DAY").as("w_day"))
+      val days = du.select(col("d").as("w_day")).distinct()
+      x.join(broadcast(days), "w_day")
+        .groupBy("w_day").agg(countDistinct("user_id").as("wau"))
+    },
+
     // ── time-bucketed rates: events-per-day stats per type ──────────
     Q("q_events_daily",
       s"""SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
