@@ -83,8 +83,10 @@ object Bench {
         if (ok) Some(dt) else None
       }
       // a failed query is marked -1 in the JSON — a crash must not
-      // masquerade as a fast run and shrink the total
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      // masquerade as a fast run and shrink the total. BOTH runs must
+      // succeed: taking the min of one surviving run would hide an
+      // intermittent crash behind a healthy time and exit 0.
+      name -> (if (times.size == 2) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -52,13 +52,13 @@ object Config {
 
     /** The tenant's notification sink: an [[HttpNotifier]] when the
       * config names a webhook URL (the reference's per-tenant Slack
-      * webhook, `configs.json:2-26`), stdout otherwise. Construction is
-      * lazy and delivery goes through notifySafe, so a dead webhook
-      * never fails the tenant's run.
+      * webhook, `configs.json:2-26`), else the caller's `default` —
+      * single-sourced here so no caller re-implements the fallback.
+      * Construction attempts no I/O and delivery goes through
+      * notifySafe, so a dead webhook never fails the tenant's run.
       */
-    def notifier: Notifier =
-      webhook.map(u => new HttpNotifier(u): Notifier)
-        .getOrElse(new StdoutNotifier)
+    def notifier(default: Notifier): Notifier =
+      webhook.map(u => new HttpNotifier(u): Notifier).getOrElse(default)
   }
 
   def loadFile(

@@ -209,10 +209,9 @@ object Pipeline {
             System.err.println(s"[$name] invalid config: $err")
             Some(name)
           case Right(tenant) =>
-            // tenant.notifier: the config's webhook (HttpNotifier) when
-            // present, the shared stdout notifier otherwise
-            run(spark, tenant.toSpec,
-              if (tenant.webhook.isDefined) tenant.notifier else notifier) match {
+            // the config's webhook (HttpNotifier) when present, the
+            // shared stdout notifier otherwise
+            run(spark, tenant.toSpec, tenant.notifier(notifier)) match {
               case Right(r) =>
                 println(s"[${tenant.name}] complete: ${r.mergedRows} rows -> ${r.csvPath}")
                 None

@@ -22,6 +22,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 final case class DotExpr(left: Expression, right: Expression, dim: Int)
     extends BinaryExpression {
 
+  // dim parameterizes generated code: dim < 1 would make the loop a
+  // silent no-op returning 0.0 for every row — reject at construction
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"

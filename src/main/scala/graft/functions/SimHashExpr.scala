@@ -16,6 +16,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 final case class SimHashExpr(child: Expression, bits: Int)
     extends UnaryExpression {
 
+  // bits parameterizes generated code: out-of-range values would wrap
+  // the 1L << b shift (b >= 64) or blow up array allocation (b < 1) at
+  // RUNTIME per row — reject at construction instead. 63 keeps the
+  // signature positive-representable in an int64 sign bit away.
+  require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
 

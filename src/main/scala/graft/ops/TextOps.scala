@@ -40,6 +40,25 @@ object TextOps {
   private def sqlCountIn(toksSql: String, words: Seq[String]): String =
     s"CAST(len(list_filter($toksSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT)"
 
+  /** THE document quality score — 0.5*stop_ratio + 0.5*alpha_ratio.
+    * Single definition (with its SQL twin below) shared by
+    * `text_quality` and `corpus_curate`, so the curation filter can
+    * never drift from the published score.
+    */
+  private def qualityCol(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast(LongType)
+    lit(0.5) * (countIn(toks, stopwords).cast(DoubleType) / nTok) +
+      lit(0.5) * (length(regexp_replace(text, "[^a-z]", ""))
+        .cast(DoubleType) / length(text))
+  }
+
+  private val qualitySql: String = {
+    val toks = "string_split(text, ' ')"
+    s"""(0.5 * (CAST(${sqlCountIn(toks, stopwords)} AS DOUBLE) / len($toks))
+       | + 0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text)))""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── token / char statistics ─────────────────────────────────────
@@ -66,8 +85,7 @@ object TextOps {
          |  CAST(${sqlCountIn(toks, stopwords)} AS DOUBLE) / len($toks) AS stop_ratio,
          |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
          |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($toks) AS avg_token_len,
-         |  0.5 * (CAST(${sqlCountIn(toks, stopwords)} AS DOUBLE) / len($toks))
-         |    + 0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text)) AS quality
+         |  $qualitySql AS quality
          |FROM documents""".stripMargin
     }) { (s, dir) =>
       val toks = tokens(col("text"))
@@ -81,7 +99,7 @@ object TextOps {
         stopRatio.as("stop_ratio"),
         alphaRatio.as("alpha_ratio"),
         (length(regexp_replace(col("text"), " ", "")).cast(DoubleType) / nTok).as("avg_token_len"),
-        (lit(0.5) * stopRatio + lit(0.5) * alphaRatio).as("quality"))
+        qualityCol(col("text")).as("quality"))
     },
 
     // ── language ID: signature-set scoring, deterministic argmax ────
@@ -324,9 +342,11 @@ object TextOps {
 
     // ── bigram association (PMI-shaped collocation mining) ──────────
     // score = P(a,b) / (P(a)P(b)) in the log-free rational form
-    // (n_ab * N) / (n_a * n_b): integer products cast to double once,
-    // one division — identical in both engines, where ln() would drift
-    // in the last ulp between libm implementations. Scale shape:
+    // (n_ab * N) / (n_a * n_b): each count cast to double FIRST (an
+    // int64 product n_ab*N overflows at ~1e13-bigram corpora; the
+    // double product is one correctly-rounded IEEE multiply, identical
+    // in both engines), one division — where ln() would drift in the
+    // last ulp between libm implementations. Scale shape:
     // explode to bigrams, two vocab-sized hash aggs, two hash joins on
     // the token key — no window over the corpus, no driver state.
     Q("text_ngram_pmi",
@@ -342,7 +362,8 @@ object TextOps {
         |un AS (SELECT token, count(*) AS n FROM uc GROUP BY token)
         |SELECT w1, w2, n_ab,
         |       a.n AS n_a, b.n AS n_b,
-        |       CAST(n_ab * n_tot AS DOUBLE) / CAST(a.n * b.n AS DOUBLE) AS score
+        |       (CAST(n_ab AS DOUBLE) * CAST(n_tot AS DOUBLE))
+        |         / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS score
         |FROM bc JOIN un a ON bc.w1 = a.token JOIN un b ON bc.w2 = b.token
         |WHERE n_ab >= 5""".stripMargin) { (s, dir) =>
       val toks = tokens(col("text"))
@@ -364,8 +385,8 @@ object TextOps {
         .join(un.select(col("token").as("w2"), col("n").as("n_b")), "w2")
         .filter(col("n_ab") >= 5)
         .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
-          ((col("n_ab") * col("n_tot")).cast(DoubleType) /
-            (col("n_a") * col("n_b")).cast(DoubleType)).as("score"))
+          ((col("n_ab").cast(DoubleType) * col("n_tot").cast(DoubleType)) /
+            (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType))).as("score"))
     },
 
     // ── end-to-end corpus curation (the flagship LLM-data pipeline) ─
@@ -378,9 +399,6 @@ object TextOps {
     // dedup_exact), so the dedup stage provably drops rows.
     Q("corpus_curate", {
       val toks = "string_split(text, ' ')"
-      val quality =
-        s"""(0.5 * (CAST(${sqlCountIn(toks, stopwords)} AS DOUBLE) / len($toks))
-           | + 0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text)))""".stripMargin
       val u = graft.OracleSql.unitHash("CAST(doc_id AS VARCHAR)")
       s"""WITH aug AS (
          |  SELECT doc_id, lang, text FROM documents
@@ -390,7 +408,7 @@ object TextOps {
          |q AS (
          |  SELECT doc_id, lang, text,
          |    CAST(len($toks) AS BIGINT) AS n_tokens,
-         |    $quality AS quality
+         |    $qualitySql AS quality
          |  FROM aug),
          |d AS (
          |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -405,17 +423,12 @@ object TextOps {
         d.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + lit(20000000L)).as("doc_id"),
             col("lang"), col("text")))
-      val toks = tokens(col("text"))
-      val nTok = size(toks).cast(LongType)
-      val quality =
-        lit(0.5) * (countIn(toks, stopwords).cast(DoubleType) / nTok) +
-          lit(0.5) * (length(regexp_replace(col("text"), "[^a-z]", ""))
-            .cast(DoubleType) / length(col("text")))
+      val nTok = size(tokens(col("text"))).cast(LongType)
       val u = graft.Cols.unitHash(col("doc_id").cast("string"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
       aug.select(col("doc_id"), col("lang"), col("text"),
-        nTok.as("n_tokens"), quality.as("quality"))
+        nTok.as("n_tokens"), qualityCol(col("text")).as("quality"))
         .filter(col("quality") >= 0.44)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)

@@ -55,12 +55,14 @@ class ConfigSpec extends AnyFunSuite {
         |  "destination": { "dir": "/d/out" },
         |  "webhook":     "http://127.0.0.1:9/hook"
         |}}}""".stripMargin
+    val default = new RecordingNotifier
     val t = Config.parse(withHook).head
     assert(t.webhook === Some("http://127.0.0.1:9/hook"))
-    assert(t.notifier.isInstanceOf[HttpNotifier])
-    // no webhook -> stdout; constructing the notifier attempts no I/O
-    assert(Config.parse(twoTenants).head.webhook === None)
-    assert(Config.parse(twoTenants).head.notifier.isInstanceOf[StdoutNotifier])
+    assert(t.notifier(default).isInstanceOf[HttpNotifier])
+    // no webhook -> the caller's default instance, untouched
+    val plain = Config.parse(twoTenants).head
+    assert(plain.webhook === None)
+    assert(plain.notifier(default) eq default)
   }
 
   test("each tenant resolves to a runnable pipeline spec") {

@@ -56,4 +56,18 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
     assert(e2.getMessage.contains("graft_lsh_bucket"))
   }
+
+  test("out-of-range width literals are rejected at construction, not per row") {
+    // bits >= 64 would silently wrap the 1L << b shift; bits < 1 would
+    // blow up allocation; dim < 1 would no-op to 0.0 — all must fail
+    // before any row is evaluated
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_simhash(array(1L), 100)").collect()
+    }
+    assert(e.getMessage.contains("bits must be in [1, 63]"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0d), array(1.0d), -5)").collect()
+    }
+    assert(e2.getMessage.contains("dim must be >= 1"))
+  }
 }
