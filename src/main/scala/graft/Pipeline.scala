@@ -185,7 +185,17 @@ object Pipeline {
     val failed: Seq[String] = args.toSeq match {
       case Seq("--config", cfgPath, rest @ _*) =>
         val secrets = rest match {
-          case Seq("--secrets", sPath) => new io.FileSecretsProvider(sPath)
+          case Seq("--secrets", sPath) =>
+            // FileSecretsProvider reads eagerly: a missing/corrupt
+            // secrets file must produce the same clean one-line error +
+            // exit 1 as a bad config, not a raw stack trace
+            try new io.FileSecretsProvider(sPath)
+            catch {
+              case e: Throwable =>
+                System.err.println(s"cannot load secrets $sPath: ${e.getMessage}")
+                spark.stop()
+                sys.exit(1)
+            }
           case Seq() => io.NoSecretsProvider
           case other =>
             System.err.println(
@@ -221,6 +231,16 @@ object Pipeline {
             }
         }
       case Seq(primary, secondary, destDir, rest @ _*) =>
+        // reject trailing junk like the --config branch does: silently
+        // dropping e.g. a misplaced "--secrets s.json" would run the
+        // pipeline with different inputs than the user asked for
+        if (rest.length > 1) {
+          System.err.println(
+            s"unrecognized arguments: ${rest.tail.mkString(" ")}\n" +
+              "usage: Pipeline <primary.json> <secondary.parquet> <destDir> [destFile]")
+          spark.stop()
+          sys.exit(1)
+        }
         val spec = PipelineSpec(
           primary = io.JsonArraySource(primary),
           secondary = io.ParquetSource(secondary),

@@ -65,17 +65,52 @@ object DedupOps {
 
   // ── shared corpus augmentation (Spark + SQL twins) ────────────────
 
+  /** First-4/5-tokens truncation — THE planted near-duplicate
+    * transform, defined once (with its SQL twin) and shared by
+    * [[docsAug]] and TextOps.text_editdist, which characterizes the
+    * distances of exactly these planted pairs.
+    */
+  private[graft] def truncatedText(text: Column): Column = {
+    val toks = split(text, " ")
+    val keep = greatest(lit(1), floor(size(toks) * 4 / lit(5.0)).cast(IntegerType))
+    array_join(slice(toks, lit(1), keep), " ")
+  }
+
+  private[graft] val truncatedTextSql: String =
+    """array_to_string(list_slice(string_split(text, ' '), 1,
+      |      greatest(1, CAST(floor(len(string_split(text, ' ')) * 4 / 5.0) AS INTEGER))), ' ')""".stripMargin
+
+  /** documents + EXACT copies of every 7th doc (id + 20,000,000) — the
+    * planted exact-duplicate corpus, defined once (with [[dupAugSql]])
+    * for dedup_exact, dedup_components and TextOps.corpus_curate.
+    * `extraCols` = document columns to carry besides doc_id.
+    */
+  private[graft] def dupAug(
+      s: SparkSession, dir: String, extraCols: Seq[String] = Seq("text")): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(("doc_id" +: extraCols).map(col): _*)
+    d.union(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(20000000L)).as("doc_id") +:
+        extraCols.map(col): _*))
+  }
+
+  private[graft] def dupAugSql(extraCols: Seq[String] = Seq("text")): String = {
+    val cs = ("doc_id" +: extraCols).mkString(", ")
+    val shifted = ("doc_id + 20000000 AS doc_id" +: extraCols).mkString(", ")
+    s"""SELECT $cs FROM documents
+       |  UNION ALL
+       |  SELECT $shifted FROM documents WHERE doc_id % 7 = 0""".stripMargin
+  }
+
   /** documents + near-duplicate variants: every 10th doc re-appears
     * (id + 10,000,000) truncated to its first 4/5 tokens.
     */
   def docsAug(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
-    val toks = split(col("text"), " ")
-    val keep = greatest(lit(1), floor(size(toks) * 4 / lit(5.0)).cast(IntegerType))
     d.select(col("doc_id"), col("text")).union(
       d.filter(col("doc_id") % 10 === 0).select(
         (col("doc_id") + lit(10000000L)).as("doc_id"),
-        array_join(slice(toks, lit(1), keep), " ").as("text")))
+        truncatedText(col("text")).as("text")))
       // The fixture corpus is one small parquet file -> one input split;
       // without this the md5-heavy signature stages downstream run on a
       // single core (measured 13.5s for minhash at sf0.1). Spreading the
@@ -85,12 +120,11 @@ object DedupOps {
   }
 
   val docsAugSql: String =
-    """SELECT doc_id, text FROM documents
-      |UNION ALL
-      |SELECT doc_id + 10000000 AS doc_id,
-      |       array_to_string(list_slice(string_split(text, ' '), 1,
-      |         greatest(1, CAST(floor(len(string_split(text, ' ')) * 4 / 5.0) AS INTEGER))), ' ') AS text
-      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+    s"""SELECT doc_id, text FROM documents
+       |UNION ALL
+       |SELECT doc_id + 10000000 AS doc_id,
+       |       $truncatedTextSql AS text
+       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   /** Word 3-gram shingles (distinct), for docs with >= 3 tokens. */
   private def shingles3(tokens: Column): Column =
@@ -277,18 +311,12 @@ object DedupOps {
     // digest, representative = min id. Corpus: documents + exact copies
     // of every 7th doc.
     Q("dedup_exact",
-      """WITH dup_aug AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
-        |)
-        |SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM dup_aug GROUP BY md5(text)""".stripMargin) { (s, dir) =>
-      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-      val aug = d.union(
-        d.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text")))
-      aug.groupBy(md5(col("text")).as("h"))
+      s"""WITH dup_aug AS (
+         |  ${dupAugSql()}
+         |)
+         |SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM dup_aug GROUP BY md5(text)""".stripMargin) { (s, dir) =>
+      dupAug(s, dir).groupBy(md5(col("text")).as("h"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
     },
 
@@ -419,21 +447,16 @@ object DedupOps {
     // components with a recursive-CTE transitive closure.
     Q("dedup_components",
       s"""WITH dup_aug AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+         |  ${dupAugSql()}
          |),
          |grp AS (
          |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS root
          |  FROM dup_aug),
          |edges AS (SELECT doc_id AS a, root AS b FROM grp WHERE doc_id <> root),
          |${componentsSql("edges")}""".stripMargin) { (s, dir) =>
-      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-      val aug = d.union(
-        d.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text")))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
-      val grp = aug.select(col("doc_id"), min(col("doc_id")).over(w).as("root"))
+      val grp = dupAug(s, dir)
+        .select(col("doc_id"), min(col("doc_id")).over(w).as("root"))
       connectedComponents(grp.filter(col("doc_id") =!= col("root"))
         .select(col("doc_id").as("a"), col("root").as("b")))
     },

@@ -58,12 +58,16 @@ object MergeOps {
 
   /** O8's "first match" (`iloc[0]`, `gule_test_job.py:132`) made
     * deterministic: keep one row per key, "first" defined by ascending
-    * order of the remaining columns (schema order). The window shuffles
+    * order of the remaining columns (schema order), NULLS LAST — Spark's
+    * default ASC is NULLS FIRST while the DuckDB oracle's ASC is NULLS
+    * LAST, so the explicit direction keeps the chosen row identical in
+    * both engines when an ordering column is NULL. The window shuffles
     * only the (small) secondary side.
     */
   def firstMatch(secondary: DataFrame, key: String): DataFrame = {
     val ord: Seq[Column] =
-      secondary.schema.fieldNames.filterNot(_ == key).map(col).toIndexedSeq
+      secondary.schema.fieldNames.filterNot(_ == key)
+        .map(c => col(c).asc_nulls_last).toIndexedSeq
     val w = Window.partitionBy(col(key)).orderBy(ord: _*)
     secondary
       .withColumn("__graft_rn", row_number().over(w))

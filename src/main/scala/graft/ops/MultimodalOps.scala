@@ -123,10 +123,15 @@ object MultimodalOps {
       """SELECT doc_id,
         |  unnest(range(0, CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT), 4)) AS frame_idx,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents""".stripMargin) { (s, dir) =>
+        |FROM documents
+        |WHERE octet_length(encode(text)) > 0""".stripMargin) { (s, dir) =>
       val nBytes = expr("octet_length(text)").cast(LongType)
       val nFrames = ceil(nBytes / lit(16.0)).cast(LongType)
       Tables.load(s, dir, "documents")
+        // a zero-byte payload has no frames: the oracle's range(0,0,4)
+        // yields no rows, but Spark's sequence(0,-1,4) THROWS — filter
+        // empties on both sides so the engines agree on legal input
+        .filter(nBytes > 0)
         .select(col("doc_id"),
           explode(sequence(lit(0L), nFrames - 1, lit(4L))).as("frame_idx"),
           nBytes.as("n_bytes"))

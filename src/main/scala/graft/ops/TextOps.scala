@@ -142,8 +142,8 @@ object TextOps {
          |        t -> regexp_matches(t, '^[A-Za-z]+$$'))) AS BIGINT) AS n_word,
          |  CAST(len(list_filter(regexp_extract_all(text, '$pat'),
          |        t -> regexp_matches(t, '^[0-9]+$$'))) AS BIGINT) AS n_num,
-         |  CAST(list_sum(list_transform(regexp_extract_all(text, '$pat'),
-         |        t -> length(t))) AS BIGINT) AS n_chars_tokenized
+         |  CAST(COALESCE(list_sum(list_transform(regexp_extract_all(text, '$pat'),
+         |        t -> length(t))), 0) AS BIGINT) AS n_chars_tokenized
          |FROM documents""".stripMargin
     }) { (s, dir) =>
       val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
@@ -163,19 +163,17 @@ object TextOps {
     // near-dups the LSH dedup families hunt), so the distances also
     // characterize what "near-duplicate" means in this corpus.
     Q("text_editdist",
-      """SELECT doc_id,
-        |  CAST(levenshtein(text, ttext) AS BIGINT) AS edit_dist,
-        |  CAST(length(text) AS BIGINT) AS len_orig,
-        |  CAST(length(ttext) AS BIGINT) AS len_trunc
-        |FROM (
-        |  SELECT doc_id, text,
-        |    array_to_string(list_slice(string_split(text, ' '), 1,
-        |      greatest(1, CAST(floor(len(string_split(text, ' ')) * 4 / 5.0) AS INTEGER))), ' ') AS ttext
-        |  FROM documents WHERE doc_id % 10 = 0) t""".stripMargin) { (s, dir) =>
-      val toks = split(col("text"), " ")
-      val keep = greatest(lit(1),
-        floor(size(toks) * 4 / lit(5.0)).cast("int"))
-      val trunc = array_join(slice(toks, lit(1), keep), " ")
+      s"""SELECT doc_id,
+         |  CAST(levenshtein(text, ttext) AS BIGINT) AS edit_dist,
+         |  CAST(length(text) AS BIGINT) AS len_orig,
+         |  CAST(length(ttext) AS BIGINT) AS len_trunc
+         |FROM (
+         |  SELECT doc_id, text,
+         |    ${DedupOps.truncatedTextSql} AS ttext
+         |  FROM documents WHERE doc_id % 10 = 0) t""".stripMargin) { (s, dir) =>
+      // DedupOps.truncatedText: the SAME planted-near-dup transform the
+      // LSH dedup families hunt — this query characterizes its distances
+      val trunc = DedupOps.truncatedText(col("text"))
       docs(s, dir).filter(col("doc_id") % 10 === 0).select(
         col("doc_id"),
         levenshtein(col("text"), trunc).cast(LongType).as("edit_dist"),
@@ -401,10 +399,7 @@ object TextOps {
       val toks = "string_split(text, ' ')"
       val u = graft.OracleSql.unitHash("CAST(doc_id AS VARCHAR)")
       s"""WITH aug AS (
-         |  SELECT doc_id, lang, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 20000000 AS doc_id, lang, text
-         |  FROM documents WHERE doc_id % 7 = 0),
+         |  ${DedupOps.dupAugSql(Seq("lang", "text"))}),
          |q AS (
          |  SELECT doc_id, lang, text,
          |    CAST(len($toks) AS BIGINT) AS n_tokens,
@@ -418,11 +413,7 @@ object TextOps {
          |       WHEN $u < 0.9 THEN 'val' ELSE 'test' END AS split
          |FROM d WHERE rn = 1""".stripMargin
     }) { (s, dir) =>
-      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
-      val aug = d.union(
-        d.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + lit(20000000L)).as("doc_id"),
-            col("lang"), col("text")))
+      val aug = DedupOps.dupAug(s, dir, Seq("lang", "text"))
       val nTok = size(tokens(col("text"))).cast(LongType)
       val u = graft.Cols.unitHash(col("doc_id").cast("string"))
       val w = org.apache.spark.sql.expressions.Window

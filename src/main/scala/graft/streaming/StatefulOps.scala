@@ -76,11 +76,21 @@ object StatefulOps extends Serializable {
     * emit it as closed at end-of-group (the gaps-and-islands batch
     * semantics, oracle-checked by `q_session_stateful`). Leave false in
     * streaming, where the open session must survive in state.
+    *
+    * `watermarkDelay`: in a LONG-RUNNING stream, pass the watermark
+    * delay (e.g. "10 minutes") — the input gets `withWatermark` and
+    * the operator uses an event-time TIMEOUT: when the watermark
+    * passes an idle session's gap deadline, the session is emitted as
+    * closed and its state row is EVICTED. Without it (None), an idle
+    * user's open session is never emitted and never evicted — state
+    * then grows with every user ever seen, which is only acceptable
+    * for bounded test streams and batch runs.
     */
   def sessionize(
       events: Dataset[Ev],
       gapMinutes: Int = 30,
-      flushOpen: Boolean = false): Dataset[SessionOut] = {
+      flushOpen: Boolean = false,
+      watermarkDelay: Option[String] = None): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
 
@@ -88,30 +98,50 @@ object StatefulOps extends Serializable {
       SessionOut(user, fromMicros(s.startMicros),
         fromMicros(s.lastMicros + gapMicros), s.n, s.totalCents / 100.0)
 
-    events.groupByKey(_.user_id).flatMapGroupsWithState(
-      OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+    val src = watermarkDelay
+      .map(d => events.withWatermark("ts", d).as[Ev])
+      .getOrElse(events)
+    val timeoutConf =
+      if (watermarkDelay.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    src.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append(), timeoutConf) {
       (user: Long, it: Iterator[Ev], state: GroupState[OpenSession]) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-        var cur = state.getOption
-        it.toIndexedSeq.sortBy(e => micros(e.ts)).foreach { e =>
-          val m = micros(e.ts)
-          val cents = toCents(e.value)
-          cur match {
-            case Some(s) if m - s.lastMicros < gapMicros =>
-              cur = Some(s.copy(
-                lastMicros = math.max(m, s.lastMicros),
-                n = s.n + 1,
-                totalCents = s.totalCents + cents))
-            case Some(s) =>
-              out += close(user, s)
-              cur = Some(OpenSession(m, m, 1L, cents))
-            case None =>
-              cur = Some(OpenSession(m, m, 1L, cents))
+        if (state.hasTimedOut) {
+          // watermark passed lastMicros + gap: the session can no longer
+          // be extended by any non-late event — close it and DROP the
+          // state row (this eviction is what keeps state ~ active keys)
+          val out = state.getOption.map(close(user, _)).iterator
+          state.remove()
+          out
+        } else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var cur = state.getOption
+          it.toIndexedSeq.sortBy(e => micros(e.ts)).foreach { e =>
+            val m = micros(e.ts)
+            val cents = toCents(e.value)
+            cur match {
+              case Some(s) if m - s.lastMicros < gapMicros =>
+                cur = Some(s.copy(
+                  lastMicros = math.max(m, s.lastMicros),
+                  n = s.n + 1,
+                  totalCents = s.totalCents + cents))
+              case Some(s) =>
+                out += close(user, s)
+                cur = Some(OpenSession(m, m, 1L, cents))
+              case None =>
+                cur = Some(OpenSession(m, m, 1L, cents))
+            }
           }
+          if (flushOpen) cur.foreach(s => out += close(user, s))
+          else cur.foreach { s =>
+            state.update(s)
+            if (watermarkDelay.isDefined)
+              state.setTimeoutTimestamp((s.lastMicros + gapMicros) / 1000L)
+          }
+          out.iterator
         }
-        if (flushOpen) cur.foreach(s => out += close(user, s))
-        else cur.foreach(state.update)
-        out.iterator
     }
   }
 

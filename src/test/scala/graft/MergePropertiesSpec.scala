@@ -34,13 +34,15 @@ class MergePropertiesSpec extends AnyFunSuite with SparkSessionTestWrapper {
     StructField("w", StringType)))
 
   /** The deterministic "first match": min by (v, w) ascending with
-    * nulls first — the same ordering MergeOps.firstMatch's window uses.
+    * NULLS LAST — the same ordering MergeOps.firstMatch's window uses
+    * (explicit asc_nulls_last, matching the DuckDB oracle's ASC
+    * default; Spark's own ASC default would be nulls FIRST).
     */
   private def firstMatch(ss: List[S]): Map[Long, S] =
     ss.groupBy(_.id).map { case (id, rows) =>
       id -> rows.minBy(s => (
-        s.v.isDefined, s.v.getOrElse(0.0),   // None sorts first, then value
-        s.w.isDefined, s.w.getOrElse("")))
+        s.v.isEmpty, s.v.getOrElse(0.0),   // None sorts LAST, then value
+        s.w.isEmpty, s.w.getOrElse("")))
     }
 
   private def oracle(ps: List[P], ss: List[S]): Seq[(Long, Option[Double], Option[String])] = {

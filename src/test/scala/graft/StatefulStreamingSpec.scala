@@ -58,6 +58,38 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got === want)
   }
 
+  test("watermarked sessionize emits idle sessions via TIMEOUT and evicts state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val ms = MemoryStream[Ev]
+    val q = StatefulOps.sessionize(ms.toDS(), gapMinutes = 30,
+      watermarkDelay = Some("0 seconds"))
+      .writeStream.format("memory").queryName("timeout_sessions")
+      .outputMode("append")
+      .start()
+    try {
+      // user 1 is active at 10:00/10:10 then goes silent FOREVER —
+      // without the timeout path this session is never emitted
+      ms.addData(Ev(1L, ts(0), 1.0), Ev(1L, ts(10), 2.5))
+      q.processAllAvailable()
+      // other users' later events advance the watermark past 10:40
+      ms.addData(Ev(2L, Timestamp.valueOf("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(2L, Timestamp.valueOf("2024-01-01 12:01:00"), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("timeout_sessions")
+        .filter(col("user_id") === 1L).collect()
+      assert(got.length === 1, "idle session must be closed by event-time timeout")
+      val r = got.head
+      assert(r.getAs[Timestamp]("session_start") === ts(0))
+      assert(r.getAs[Timestamp]("session_end") === ts(40)) // last + gap
+      assert(r.getAs[Long]("n_events") === 2L)
+      assert(r.getAs[Double]("total") === 3.5)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark emits exactly the distinct key set") {
     val q = StatefulOps.dedupWithinWatermark(
       streamEvents, Seq("user_id"), "ts", "1 hour")
