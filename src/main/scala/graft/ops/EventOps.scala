@@ -312,6 +312,27 @@ object EventOps {
         .groupBy("w_day").agg(countDistinct("user_id").as("wau"))
     },
 
+    // ── skew-salted aggregation (two-phase, provably exact) ─────────
+    // The hot-key pattern for 100 TB: events skew heavily onto 5
+    // event_types, so a direct groupBy puts each type's whole volume
+    // on one reducer. Salting by a DETERMINISTIC hash of event_id
+    // (reproducible, unlike rand()) splits each type across 16
+    // sub-keys for the partial agg; the final agg re-combines 16 tiny
+    // rows per type. Decimal partials re-sum exactly, so the result is
+    // bit-identical to the oracle's direct GROUP BY — the equivalence
+    // is the point: salting is a physical rewrite, never a semantic one.
+    Q("q_skew_salted_agg",
+      s"""SELECT event_type, count(*) AS n, ${O.dsum("value")} AS total
+         |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val salted = events(s, dir)
+        .withColumn("salt", pmod(hash(col("event_id")), lit(16)))
+      salted.groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast(DecimalType(18, 2))).as("pv"))
+        .groupBy("event_type")
+        .agg(sum("pn").as("n"), sum("pv").cast(DoubleType).as("total"))
+    },
+
     // ── time-bucketed rates: events-per-day stats per type ──────────
     Q("q_events_daily",
       s"""SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
