@@ -17,15 +17,19 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // warm the session so timings aren't init noise
-    try SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")
-      .write.format("noop").mode("overwrite").save()
-    catch { case e: Throwable => println(s"warmup failed: ${e.getMessage}") }
-    val df = SparkEntry.queries(args(0))(spark, dir)
-    if (sys.env.contains("SCRATCH_EXPLAIN")) df.explain("formatted")
-    val t0 = System.nanoTime()
-    df.write.format("noop").mode("overwrite").save()
-    println(f"ELAPSED ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    args.foreach { name =>
+      // warm the session so timings aren't init noise
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => println(s"warmup $name failed: ${e.getMessage}") }
+      spark.catalog.clearCache()
+      val df = SparkEntry.queries(name)(spark, dir)
+      if (sys.env.contains("SCRATCH_EXPLAIN")) df.explain("formatted")
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"ELAPSED $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
