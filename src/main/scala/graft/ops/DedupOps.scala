@@ -227,7 +227,7 @@ object DedupOps {
     * [[connectedComponents]]. `edgesCte` names an in-scope CTE with
     * columns (a, b); the caller splices this after its own WITH list.
     */
-  private def componentsSql(edgesCte: String): String =
+  private[graft] def componentsSql(edgesCte: String): String =
     s"""und AS (SELECT a, b FROM $edgesCte UNION SELECT b, a FROM $edgesCte),
        |reach AS (
        |  WITH RECURSIVE r(a, b) AS (
@@ -242,7 +242,7 @@ object DedupOps {
     * `dedup_minhash_lsh` (pairs are the output) and
     * `dedup_near_components` (pairs are the edge list).
     */
-  private lazy val minhashPairsSql: String = {
+  private[graft] lazy val minhashPairsSql: String = {
     val sig = (0 until MinhashK)
       .map(j => s"list_min(list_transform(hh, h -> (${MinhashA(j)} * h + ${MinhashB(j)}) % $MinhashP))")
       .mkString("[", ",\n      ", "]")

@@ -427,6 +427,47 @@ object TextOps {
           when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"))
     },
 
+    // ── near-dup curation: the composed production dedup pipeline ───
+    // MinHash pairs -> connected components -> keep ONLY each group's
+    // canonical (min-id) member -> quality filter -> split assignment,
+    // over the near-dup-augmented corpus. Every stage reuses the
+    // factored machinery (minhashPairs*, connectedComponents,
+    // qualityCol, unitHash) — the point is that the library composes:
+    // a real curation run is exactly this chain at 100 TB, where each
+    // stage is the bucketed/one-shuffle shape proven by its own query.
+    Q("curate_neardup", {
+      val u = graft.OracleSql.unitHash("CAST(doc_id AS VARCHAR)")
+      s"""WITH pairs AS (${DedupOps.minhashPairsSql}),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+         |comp AS (WITH ${DedupOps.componentsSql("edges")}),
+         |corpus AS (${DedupOps.docsAugSql})
+         |SELECT doc_id, n_tokens, quality,
+         |  CASE WHEN $u < 0.8 THEN 'train'
+         |       WHEN $u < 0.9 THEN 'val' ELSE 'test' END AS split
+         |FROM (
+         |  SELECT c.doc_id AS doc_id, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    $qualitySql AS quality
+         |  FROM corpus c LEFT JOIN comp k ON c.doc_id = k.doc_id
+         |  WHERE k.doc_id IS NULL OR k.component = c.doc_id) t
+         |WHERE quality >= 0.44""".stripMargin
+    }) { (s, dir) =>
+      val comp = DedupOps.connectedComponents(
+        DedupOps.minhashPairsDf(s, dir)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .withColumnRenamed("doc_id", "cid")
+      val u = graft.Cols.unitHash(col("doc_id").cast("string"))
+      DedupOps.docsAug(s, dir)
+        .join(comp, col("doc_id") === col("cid"), "left")
+        .filter(col("cid").isNull || col("component") === col("doc_id"))
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+          qualityCol(col("text")).as("quality"))
+        .filter(col("quality") >= 0.44)
+        .withColumn("split",
+          when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"))
+    },
+
     // ── fingerprinting: content md5 + position-weighted rolling hash ─
     Q("text_fingerprint", {
       val toks = "string_split(text, ' ')"
