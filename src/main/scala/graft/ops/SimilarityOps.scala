@@ -119,6 +119,62 @@ object SimilarityOps {
       scored.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= 3)
     },
 
+    // ANN quality measurement: recall@3 of the LSH path against the
+    // exact brute-force ground truth, per query — the evaluation
+    // harness any ANN deployment needs before trusting its buckets.
+    // Ground truth costs one broadcast pass over the corpus (Q=10
+    // queries); the LSH side reuses the bucket join. recall = n_hit/3
+    // is one exact-int division, identical in both engines.
+    Q("sim_ann_recall",
+      s"""WITH v AS ($vectorsSql),
+         |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq, ${sqlLshBucket("emb")} AS bucket FROM v),
+         |pq AS ($perturbedQueriesSql),
+         |q AS (SELECT q_id, emb, nsq, ${sqlLshBucket("emb")} AS bucket FROM pq),
+         |truth AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")} DESC, c.vec_id) AS rk
+         |    FROM q CROSS JOIN n c) t
+         |  WHERE rk <= 3),
+         |approx AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")} DESC, c.vec_id) AS rk
+         |    FROM q JOIN n c ON c.bucket = q.bucket) t
+         |  WHERE rk <= 3),
+         |hits AS (
+         |  SELECT t.q_id, count(*) AS n_hit
+         |  FROM truth t JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+         |  GROUP BY t.q_id)
+         |SELECT q.q_id, COALESCE(h.n_hit, 0) AS n_hit,
+         |       COALESCE(h.n_hit, 0) / 3.0 AS recall
+         |FROM (SELECT q_id FROM pq) q LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin) { (s, dir) =>
+      val n = vectors(s, dir)
+        .withColumn("nsq", normSq(col("emb")))
+        .withColumn("bucket", lshBucket(col("emb")))
+        .persist()
+      val q = perturbedQueries(s, dir)
+        .select(col("q_id"), col("emb").as("q_emb"), col("nsq").as("q_nsq"))
+        .withColumn("q_bucket", lshBucket(col("q_emb")))
+      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+      def top3(scored: DataFrame): DataFrame =
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3).select("q_id", "vec_id")
+      val truth = top3(n.crossJoin(broadcast(q))
+        .select(col("q_id"), col("vec_id"),
+          cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score")))
+      val approx = top3(n.join(broadcast(q), col("bucket") === col("q_bucket"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score")))
+      val hits = truth.join(approx, Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      q.select("q_id").join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)) / lit(3.0)).as("recall"))
+    },
+
     // ANN via IVF (inverted file): a coarse quantizer of NumCentroids
     // deterministically-sampled corpus vectors partitions the corpus by
     // nearest centroid; a query probes only its own centroid's cell.

@@ -37,10 +37,12 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
   //   - text_vocab / text_ngram_pmi: x broadcast(ONE corpus-total row)
   //     — attaching a scalar has no join key by construction, and a
   //     1-row broadcast nested loop is the cheapest correct plan.
+  //   - sim_ann_recall: its ground-truth side is sim_topk_brute's
+  //     broadcast brute-force pass by construction.
   private val planOnly =
     SparkEntry.queries.keySet -
       "pipeline_e2e" - "sim_topk_brute" - "sim_ann_ivf" -
-      "text_vocab" - "text_ngram_pmi"
+      "text_vocab" - "text_ngram_pmi" - "sim_ann_recall"
 
   test("no query plans a cartesian product or nested-loop join") {
     planOnly.foreach { name =>
