@@ -62,6 +62,77 @@ object SimilarityOps {
        |          (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END) AS qe
        |      FROM embeddings WHERE vec_id < $NumQueries) t""".stripMargin
 
+  /** Probe set for a query's LSH lookup: its own bucket, plus (multi-
+    * probe) the Planes buckets at Hamming distance 1 — the standard
+    * recall/cost dial for a single hash table.
+    */
+  private def recallSql(multiProbe: Boolean): String = {
+    val qCte =
+      if (!multiProbe)
+        s"SELECT q_id, emb, nsq, ${sqlLshBucket("emb")} AS probe FROM pq"
+      else {
+        val probes = ("bucket" +: (0 until Planes).map(p => s"xor(bucket, ${1L << p})"))
+          .mkString(", ")
+        s"""SELECT q_id, emb, nsq, unnest([$probes]) AS probe
+           |FROM (SELECT q_id, emb, nsq, ${sqlLshBucket("emb")} AS bucket FROM pq) b""".stripMargin
+      }
+    s"""WITH v AS ($vectorsSql),
+       |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq, ${sqlLshBucket("emb")} AS bucket FROM v),
+       |pq AS ($perturbedQueriesSql),
+       |q AS ($qCte),
+       |truth AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT p.q_id, c.vec_id,
+       |      row_number() OVER (PARTITION BY p.q_id
+       |        ORDER BY ${sqlCosine(sqlDot("p.emb", "c.emb"), "p.nsq", "c.nsq")} DESC, c.vec_id) AS rk
+       |    FROM pq p CROSS JOIN n c) t
+       |  WHERE rk <= 3),
+       |approx AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, c.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")} DESC, c.vec_id) AS rk
+       |    FROM q JOIN n c ON c.bucket = q.probe) t
+       |  WHERE rk <= 3),
+       |hits AS (
+       |  SELECT t.q_id, count(*) AS n_hit
+       |  FROM truth t JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+       |  GROUP BY t.q_id)
+       |SELECT q.q_id, COALESCE(h.n_hit, 0) AS n_hit,
+       |       COALESCE(h.n_hit, 0) / 3.0 AS recall
+       |FROM (SELECT q_id FROM pq) q LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin
+  }
+
+  private def recallDf(s: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
+    val n = vectors(s, dir)
+      .withColumn("nsq", normSq(col("emb")))
+      .withColumn("bucket", lshBucket(col("emb")))
+      .persist()
+    val qBase = perturbedQueries(s, dir)
+      .select(col("q_id"), col("emb").as("q_emb"), col("nsq").as("q_nsq"))
+      .withColumn("q_bucket", lshBucket(col("q_emb")))
+    val q =
+      if (!multiProbe) qBase.withColumn("probe", col("q_bucket"))
+      else qBase.withColumn("probe", explode(array(
+        col("q_bucket") +:
+          (0 until Planes).map(p => expr(s"q_bucket ^ ${1L << p}")): _*)))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    def top3(scored: DataFrame): DataFrame =
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3).select("q_id", "vec_id")
+    val truth = top3(n.crossJoin(broadcast(qBase))
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score")))
+    val approx = top3(n.join(broadcast(q), col("bucket") === col("probe"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score")))
+    val hits = truth.join(approx, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    qBase.select("q_id").join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) / lit(3.0)).as("recall"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("sim_topk_brute",
@@ -124,56 +195,20 @@ object SimilarityOps {
     // harness any ANN deployment needs before trusting its buckets.
     // Ground truth costs one broadcast pass over the corpus (Q=10
     // queries); the LSH side reuses the bucket join. recall = n_hit/3
-    // is one exact-int division, identical in both engines.
-    Q("sim_ann_recall",
-      s"""WITH v AS ($vectorsSql),
-         |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq, ${sqlLshBucket("emb")} AS bucket FROM v),
-         |pq AS ($perturbedQueriesSql),
-         |q AS (SELECT q_id, emb, nsq, ${sqlLshBucket("emb")} AS bucket FROM pq),
-         |truth AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT q.q_id, c.vec_id,
-         |      row_number() OVER (PARTITION BY q.q_id
-         |        ORDER BY ${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")} DESC, c.vec_id) AS rk
-         |    FROM q CROSS JOIN n c) t
-         |  WHERE rk <= 3),
-         |approx AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT q.q_id, c.vec_id,
-         |      row_number() OVER (PARTITION BY q.q_id
-         |        ORDER BY ${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")} DESC, c.vec_id) AS rk
-         |    FROM q JOIN n c ON c.bucket = q.bucket) t
-         |  WHERE rk <= 3),
-         |hits AS (
-         |  SELECT t.q_id, count(*) AS n_hit
-         |  FROM truth t JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
-         |  GROUP BY t.q_id)
-         |SELECT q.q_id, COALESCE(h.n_hit, 0) AS n_hit,
-         |       COALESCE(h.n_hit, 0) / 3.0 AS recall
-         |FROM (SELECT q_id FROM pq) q LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin) { (s, dir) =>
-      val n = vectors(s, dir)
-        .withColumn("nsq", normSq(col("emb")))
-        .withColumn("bucket", lshBucket(col("emb")))
-        .persist()
-      val q = perturbedQueries(s, dir)
-        .select(col("q_id"), col("emb").as("q_emb"), col("nsq").as("q_nsq"))
-        .withColumn("q_bucket", lshBucket(col("q_emb")))
-      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
-      def top3(scored: DataFrame): DataFrame =
-        scored.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3).select("q_id", "vec_id")
-      val truth = top3(n.crossJoin(broadcast(q))
-        .select(col("q_id"), col("vec_id"),
-          cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score")))
-      val approx = top3(n.join(broadcast(q), col("bucket") === col("q_bucket"))
-        .select(col("q_id"), col("vec_id"),
-          cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score")))
-      val hits = truth.join(approx, Seq("q_id", "vec_id"))
-        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
-      q.select("q_id").join(hits, Seq("q_id"), "left")
-        .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          (coalesce(col("n_hit"), lit(0L)) / lit(3.0)).as("recall"))
-    },
+    // is one exact-int division, identical in both engines. Two
+    // registered variants measure the probe dial: single-probe (the
+    // sim_ann_lsh plan) and MULTI-PROBE, where each query also probes
+    // the 16 buckets at Hamming distance 1 — up to 17x the candidate
+    // work, recall can only increase, still a key-bucketed hash join.
+    // (On this sparse fixture — 2^16 buckets, ~500 vectors — the
+    // Hamming-1 shells add few candidates and recall ties; on a dense
+    // production corpus the dial is where single-table LSH recovers
+    // recall without more tables.)
+    Q("sim_ann_recall", recallSql(multiProbe = false))(
+      recallDf(_, _, multiProbe = false)),
+
+    Q("sim_ann_recall_mp", recallSql(multiProbe = true))(
+      recallDf(_, _, multiProbe = true)),
 
     // ANN via IVF (inverted file): a coarse quantizer of NumCentroids
     // deterministically-sampled corpus vectors partitions the corpus by

@@ -42,7 +42,7 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val planOnly =
     SparkEntry.queries.keySet -
       "pipeline_e2e" - "sim_topk_brute" - "sim_ann_ivf" -
-      "text_vocab" - "text_ngram_pmi" - "sim_ann_recall"
+      "text_vocab" - "text_ngram_pmi" - "sim_ann_recall" - "sim_ann_recall_mp"
 
   test("no query plans a cartesian product or nested-loop join") {
     planOnly.foreach { name =>
