@@ -124,6 +124,56 @@ object RelationalOps {
         lead(col("o_totalprice"), 1).over(ord).as("next_price"))
     },
 
+    // ── window: time-RANGE frame (trailing 1 hour per user) ─────────
+    // A RANGE frame over event time, not ROWS: every event aggregates
+    // its user's events in the trailing hour regardless of how many
+    // there are. Both engines order by exact epoch MICROS (integer) —
+    // ordering by a second-truncated cast would move events across the
+    // window boundary differently per engine. Ties are RANGE-peers and
+    // included in full, so tie order cannot change the result.
+    Q("q_window_range_time",
+      """SELECT user_id, event_id, ts,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_1h,
+        |  CAST(count(*)
+        |       OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h
+        |FROM events""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.load(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("ts"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType).as("trailing_1h"),
+        count(lit(1)).over(w).as("n_1h"))
+    },
+
+    // ── full-outer join with exclusive rows on BOTH sides ───────────
+    // The two filters guarantee each side has keys the other lacks, so
+    // the null-extension branches are actually exercised; USING /
+    // Seq-join coalesces the key identically in both engines.
+    Q("q_full_outer",
+      s"""WITH c AS (
+         |  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000),
+         |o AS (
+         |  SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+         |         ${O.dsum("o_totalprice")} AS spend
+         |  FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey)
+         |SELECT c_custkey, c_acctbal, n_orders, spend
+         |FROM c FULL JOIN o USING (c_custkey)""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 150000)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          Cols.dsum(col("o_totalprice")).as("spend"))
+      c.join(o, Seq("c_custkey"), "full_outer")
+        .select("c_custkey", "c_acctbal", "n_orders", "spend")
+    },
+
     // ── rollup with grouping id ─────────────────────────────────────
     Q("q_rollup",
       s"""SELECT c_mktsegment, c_nationkey,
