@@ -174,6 +174,47 @@ object RelationalOps {
         .select("c_custkey", "c_acctbal", "n_orders", "spend")
     },
 
+    // ── multiset set ops: INTERSECT ALL / EXCEPT ALL ────────────────
+    // Bag semantics (min-of-multiplicities / multiplicity-subtracting)
+    // — both engines implement the same standard, and the row-hash
+    // compare verifies multiplicities, not just membership.
+    Q("q_setops_all",
+      """SELECT 'ia' AS op, key FROM (
+        |  SELECT o_custkey AS key FROM orders WHERE o_totalprice > 100000
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') ia(key)
+        |UNION ALL
+        |SELECT 'ea' AS op, key FROM (
+        |  SELECT o_custkey AS key FROM orders WHERE o_totalprice > 100000
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') ea(key)""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val a = o.filter(col("o_totalprice") > 100000).select(col("o_custkey").as("key"))
+      val b = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("key"))
+      a.intersectAll(b).select(lit("ia").as("op"), col("key"))
+        .unionAll(a.exceptAll(b).select(lit("ea").as("op"), col("key")))
+    },
+
+    // ── distribution windows: percent_rank / cume_dist / ntile ──────
+    // The ordering includes the unique c_custkey tie-break, so ranks
+    // (and therefore all three rank-derived statistics) are fully
+    // deterministic; percent_rank's (rank-1)/(n-1) and cume_dist's
+    // rn/n are single exact-int divisions, identical in both engines.
+    Q("q_window_dist",
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.load(s, dir, "customer").select(
+        col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).cast(LongType).as("quartile"))
+    },
+
     // ── rollup with grouping id ─────────────────────────────────────
     Q("q_rollup",
       s"""SELECT c_mktsegment, c_nationkey,
