@@ -127,13 +127,13 @@ object DedupOps {
        |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   /** Word 3-gram shingles (distinct), for docs with >= 3 tokens. */
-  private def shingles3(tokens: Column): Column =
+  private[ops] def shingles3(tokens: Column): Column =
     array_distinct(transform(sequence(lit(1), size(tokens) - 2), i =>
       concat(element_at(tokens, i), lit(" "),
         element_at(tokens, i + 1), lit(" "),
         element_at(tokens, i + 2))))
 
-  private val shingles3Sql =
+  private[ops] val shingles3Sql =
     """list_distinct(list_transform(range(1, len(tokens) - 1),
       |  i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))""".stripMargin
 

@@ -571,5 +571,51 @@ object RelationalOps {
         s"""SELECT c_custkey, c_acctbal FROM graft_customer_sq
            |WHERE c_acctbal > (SELECT ${O.davg("c_acctbal")} FROM graft_customer_sq)""".stripMargin)
     },
+
+    // ── correlated-inequality EXISTS ────────────────────────────────
+    // The correlated-predicate shape q_semi_join doesn't cover: the
+    // subquery references the OUTER row's value in an inequality
+    // (order worth > 20x the customer's balance). Spark plans it as a
+    // left-semi HASH join on the equi key with the inequality as the
+    // join residual — the key-bucketed plan; the correlation never
+    // degrades to a nested loop.
+    Q("q_exists_corr",
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > c.c_acctbal * 20)""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o,
+        o("o_custkey") === c("c_custkey") &&
+          o("o_totalprice") > c("c_acctbal") * 20,
+        "left_semi")
+        .select("c_custkey", "c_acctbal")
+    },
+
+    // ── navigation window functions (lead/lag/first_value) ──────────
+    // Per-customer order timeline: previous/next order value and the
+    // delta vs the previous — the sequential-navigation window family.
+    // Deterministic order by (o_orderdate, o_orderkey); one shuffle on
+    // the partition key. Double subtraction is a single IEEE op —
+    // bit-identical cross-engine.
+    Q("q_window_leadlag",
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  o_totalprice - lag(o_totalprice) OVER w AS delta
+        |FROM orders
+        |WHERE o_custkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") % 50 === 0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          first("o_totalprice").over(w).as("first_price"),
+          (col("o_totalprice") - lag("o_totalprice", 1).over(w)).as("delta"))
+    },
   )
 }

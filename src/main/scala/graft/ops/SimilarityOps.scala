@@ -103,6 +103,38 @@ object SimilarityOps {
        |FROM (SELECT q_id FROM pq) q LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin
   }
 
+  /** Nearest-centroid assignment, shared by `sim_ann_ivf` and
+    * `q_kmeans_step`: replicate the O(1)-bounded centroid table to
+    * every row (a broadcast map-side replicate, never a data-dependent
+    * blowup) and keep the cosine-argmax centroid, ties to the smaller
+    * centroid id. At scale this is the per-row map stage of any
+    * coarse-quantizer/IVF/k-means pipeline.
+    */
+  private def assignSql(rel: String, idCol: String): String =
+    s"""SELECT $idCol, emb, nsq, c_id FROM (
+       |  SELECT t.*, c.c_id,
+       |         row_number() OVER (PARTITION BY t.$idCol
+       |           ORDER BY ${sqlCosine(sqlDot("t.emb", "c.c_emb"), "t.nsq", "c.c_nsq")} DESC, c.c_id) AS crn
+       |  FROM $rel t CROSS JOIN cents c) z
+       |WHERE crn = 1""".stripMargin
+
+  private def assign(rel: DataFrame, idCol: String, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(
+      cosine(dot(col("emb"), col("c_emb")), col("nsq"), col("c_nsq")).desc,
+      col("c_id").asc)
+    rel.crossJoin(broadcast(cents))
+      .withColumn("__crn", row_number().over(w))
+      .filter(col("__crn") === 1)
+      .select(col(idCol), col("emb"), col("nsq"), col("c_id"))
+  }
+
+  private val centsSql =
+    s"SELECT vec_id AS c_id, emb AS c_emb, nsq AS c_nsq FROM n WHERE vec_id < $NumCentroids"
+
+  private def cents(n: DataFrame): DataFrame =
+    n.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"), col("nsq").as("c_nsq"))
+
   private def recallDf(s: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
     val n = vectors(s, dir)
       .withColumn("nsq", normSq(col("emb")))
@@ -220,17 +252,9 @@ object SimilarityOps {
     // the same perturbed near-neighbors sim_ann_lsh plants, so recall
     // is actually exercised.
     Q("sim_ann_ivf", {
-      val centSel = s"SELECT vec_id AS c_id, emb AS c_emb, nsq AS c_nsq FROM n WHERE vec_id < $NumCentroids"
-      def assignSql(rel: String, idCol: String) =
-        s"""SELECT $idCol, emb, nsq, c_id FROM (
-           |  SELECT t.*, c.c_id,
-           |         row_number() OVER (PARTITION BY t.$idCol
-           |           ORDER BY ${sqlCosine(sqlDot("t.emb", "c.c_emb"), "t.nsq", "c.c_nsq")} DESC, c.c_id) AS crn
-           |  FROM $rel t CROSS JOIN cents c) z
-           |WHERE crn = 1""".stripMargin
       s"""WITH v AS ($vectorsSql),
          |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
-         |cents AS ($centSel),
+         |cents AS ($centsSql),
          |cl AS (${assignSql("n", "vec_id")}),
          |qv AS ($perturbedQueriesSql),
          |qcl AS (${assignSql("qv", "q_id")}),
@@ -244,25 +268,10 @@ object SimilarityOps {
          |WHERE rk <= 3""".stripMargin
     }) { (s, dir) =>
       val n = vectors(s, dir).withColumn("nsq", normSq(col("emb"))).persist()
-      val cents = n.filter(col("vec_id") < NumCentroids)
-        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"), col("nsq").as("c_nsq"))
+      val cs = cents(n)
 
-      // nearest-centroid assignment: replicate the O(1)-bounded centroid
-      // table to every row (broadcast cross join — 8 rows, a map-side
-      // replicate, not a data-dependent blowup), then keep the best
-      // centroid per row (ties to the smaller centroid id)
-      def assign(rel: org.apache.spark.sql.DataFrame, idCol: String) = {
-        val w = Window.partitionBy(col(idCol)).orderBy(
-          cosine(dot(col("emb"), col("c_emb")), col("nsq"), col("c_nsq")).desc,
-          col("c_id").asc)
-        rel.crossJoin(broadcast(cents))
-          .withColumn("__crn", row_number().over(w))
-          .filter(col("__crn") === 1)
-          .select(col(idCol), col("emb"), col("nsq"), col("c_id"))
-      }
-
-      val clustered = assign(n, "vec_id").persist()
-      val qcl = assign(perturbedQueries(s, dir), "q_id")
+      val clustered = assign(n, "vec_id", cs).persist()
+      val qcl = assign(perturbedQueries(s, dir), "q_id", cs)
         .select(col("q_id"), col("emb").as("q_emb"),
           col("nsq").as("q_nsq"), col("c_id").as("q_cid"))
 
@@ -271,6 +280,45 @@ object SimilarityOps {
           cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score"))
       val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
       scored.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= 3)
+    },
+
+    // One Lloyd iteration of (spherical) k-means over the corpus:
+    // cosine-argmax assignment against the current centroids (the
+    // shared `assign` broadcast map stage), then per-cluster per-dim
+    // means as the NEW centroids. Iterating = repeating this exact
+    // plan with the output fed back as `cents` — each step is one
+    // broadcast map + one (cluster, dim)-keyed hash agg, the scalable
+    // k-means formulation (no driver-side state beyond k centroids).
+    // Cross-engine determinism: per-dim values are floor-quantized to
+    // 1e-9 BEFORE summing (floor on a double is exact and identical in
+    // both engines; BIGINT sums are order-independent), so the mean is
+    // one exact-integer sum and one double division — bit-identical,
+    // where a naive double sum would drift with accumulation order.
+    Q("q_kmeans_step",
+      s"""WITH v AS ($vectorsSql),
+         |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
+         |cents AS ($centsSql),
+         |cl AS (${assignSql("n", "vec_id")}),
+         |d AS (
+         |  SELECT c_id, CAST(u.s.dim AS BIGINT) AS dim,
+         |         CAST(floor(u.s.x * 1000000000.0) AS BIGINT) AS qx
+         |  FROM cl, unnest(list_transform(emb,
+         |         (x, i) -> struct_pack(dim := i, x := x))) u(s))
+         |SELECT c_id, dim, count(*) AS n,
+         |       CAST(sum(qx) AS DOUBLE) / (count(*) * 1000000000.0) AS c_val
+         |FROM d GROUP BY c_id, dim""".stripMargin) { (s, dir) =>
+      val n = vectors(s, dir).withColumn("nsq", normSq(col("emb"))).persist()
+      val clustered = assign(n, "vec_id", cents(n))
+      clustered
+        .select(col("c_id"), posexplode(col("emb")).as(Seq("pos", "x")))
+        // DuckDB's list_transform index is 1-based; posexplode is
+        // 0-based — align on the 1-based dim
+        .select(col("c_id"), (col("pos") + 1).cast(LongType).as("dim"),
+          floor(col("x") * lit(1000000000.0)).cast(LongType).as("qx"))
+        .groupBy("c_id", "dim")
+        .agg(count(lit(1)).as("n"),
+          (sum("qx").cast(org.apache.spark.sql.types.DoubleType) /
+            (count(lit(1)) * lit(1000000000.0))).as("c_val"))
     },
   )
 }

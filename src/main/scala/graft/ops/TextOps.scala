@@ -22,6 +22,14 @@ object TextOps {
   /** Fixed stopword list for quality scoring (shared with oracle SQL). */
   val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
 
+  /** Sequence-packing knobs: tokens per packed bin, and the number of
+    * independent packing shards per language (each shard packs its own
+    * contiguous stream, which is what keeps the packing window
+    * partition-parallel at scale).
+    */
+  val PackBudget = 512
+  val PackShards = 8
+
   /** Per-language signature token sets for the n-gram language-ID
     * heuristic. Deterministic argmax, ties broken by this fixed order.
     */
@@ -488,6 +496,277 @@ object TextOps {
         md5(col("text")).as("fp_md5"),
         (aggregate(weighted, lit(0L), (acc, x) => acc + x) % lit(2147483648L))
           .cast(LongType).as("fp_roll"))
+    },
+
+    // ── sequence packing (concat-and-chunk token binning) ───────────
+    // The pre-training batcher's shape: documents are concatenated into
+    // a token stream and cut every PackBudget tokens; each doc records
+    // the bin it STARTS in and its offset there. Packing is per
+    // (lang, shard) — shard = doc_id % PackShards — because a single
+    // global order would serialize the window onto one task: sharded
+    // packing is exactly what a distributed packer does (each worker
+    // packs its own shard), and the shard key makes the window
+    // partition-parallel at any corpus size. All-BIGINT arithmetic —
+    // bit-identical on any engine.
+    Q("text_seq_pack", {
+      val toks = "string_split(text, ' ')"
+      s"""SELECT doc_id, lang, shard, n_tokens,
+         |  CAST(floor((cum - n_tokens) / ${PackBudget}.0) AS BIGINT) AS bin_id,
+         |  (cum - n_tokens) % $PackBudget AS bin_off
+         |FROM (
+         |  SELECT doc_id, lang, doc_id % $PackShards AS shard,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    sum(CAST(len($toks) AS BIGINT))
+         |      OVER (PARTITION BY lang, doc_id % $PackShards
+         |            ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM documents) t""".stripMargin
+    }) { (s, dir) =>
+      val nTok = size(tokens(col("text"))).cast(LongType)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          (col("doc_id") % PackShards).as("shard"), nTok.as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / lit(PackBudget.toDouble))
+            .cast(LongType).as("bin_id"),
+          ((col("cum") - col("n_tokens")) % PackBudget).as("bin_off"))
+    },
+
+    // ── benchmark decontamination (n-gram overlap flagging) ─────────
+    // The eval-leak guard every training corpus needs: any document
+    // sharing a word 3-gram with the benchmark set is flagged with its
+    // overlap count. Benchmark = every 97th doc (stand-in for an eval
+    // suite; production swaps in the real benchmark corpus, same
+    // plumbing — the 3-gram width is the dial, 8-13 in production).
+    // Scale shape: the benchmark shingle set is tiny relative to the
+    // corpus -> broadcast hash join against it; corpus side is one
+    // explode, one map-side-combinable count. No all-pairs anything.
+    Q("text_decontam",
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         |s AS (
+         |  SELECT doc_id, unnest(${DedupOps.shingles3Sql}) AS sh
+         |  FROM t WHERE len(tokens) >= 3),
+         |bench AS (SELECT DISTINCT sh FROM s WHERE doc_id % 97 = 0)
+         |SELECT s.doc_id, count(*) AS n_hits
+         |FROM s JOIN bench ON s.sh = bench.sh
+         |WHERE s.doc_id % 97 <> 0
+         |GROUP BY s.doc_id""".stripMargin) { (s, dir) =>
+      val sh = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tokens"))
+        .filter(size(col("tokens")) >= 3)
+        .select(col("doc_id"), explode(DedupOps.shingles3(col("tokens"))).as("sh"))
+        .persist()
+      val bench = sh.filter(col("doc_id") % 97 === 0).select("sh").distinct()
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    },
+
+    // ── repetition ratios (Gopher-style quality signals) ────────────
+    // Per-doc "most common 2-gram" token share and duplicate-token
+    // ratio — the repetition filters of Gopher/C4-class curation.
+    // Scale shape: explode to (doc, bigram) -> one hash agg (map-side
+    // combinable) -> one per-doc agg; never a per-row O(n^2) scan.
+    // top2_share = tokens covered by the modal bigram / n_tokens;
+    // dup_ratio = 1 - distinct/total tokens. Integer counts + one
+    // double division each — bit-identical cross-engine.
+    Q("text_rep_ratio",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, tokens[i] || ' ' || tokens[i+1] AS bigram
+        |  FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens))) AS i FROM t) x),
+        |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+        |top AS (SELECT doc_id, max(c) AS top_cnt FROM bc GROUP BY doc_id),
+        |st AS (
+        |  SELECT doc_id,
+        |    CAST(len(tokens) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(tokens)) AS BIGINT) AS n_uniq
+        |  FROM t)
+        |SELECT st.doc_id, n_tokens, top_cnt,
+        |  CAST(2 * top_cnt AS DOUBLE) / n_tokens AS top2_share,
+        |  1.0 - CAST(n_uniq AS DOUBLE) / n_tokens AS dup_ratio
+        |FROM st JOIN top ON st.doc_id = top.doc_id""".stripMargin) { (s, dir) =>
+      val t = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tokens"))
+        .filter(size(col("tokens")) >= 2)
+        .persist()
+      val bg = t.select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("tokens")) - 1), i =>
+          concat(element_at(col("tokens"), i), lit(" "),
+            element_at(col("tokens"), i + 1)))).as("bigram"))
+      val top = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_cnt"))
+      t.select(col("doc_id"),
+        size(col("tokens")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("tokens"))).cast(LongType).as("n_uniq"))
+        .join(top, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("top_cnt"),
+          ((col("top_cnt") * 2).cast(DoubleType) / col("n_tokens")).as("top2_share"),
+          (lit(1.0) - col("n_uniq").cast(DoubleType) / col("n_tokens")).as("dup_ratio"))
+    },
+
+    // ── count-min sketch (bounded-memory frequency estimation) ──────
+    // The heavy-hitter sketch: token counts folded into a fixed
+    // d=3 x w=1024 cell grid (three independent hash rows), probed for
+    // the stopword list and compared against the exact counts —
+    // est >= exact always, and the overcount column measures collision
+    // error. Scale shape: the cell grid is a FIXED-size relation (3072
+    // rows at any corpus size; the explode is a constant 3x) built by
+    // one hash agg; the probe is a broadcast join on the (row, bucket)
+    // key. Pure integer arithmetic — bit-identical cross-engine.
+    Q("q_sketch_cms", {
+      val probeVals = stopwords.map(w => s"('$w')").mkString(", ")
+      def bucket(tok: String, j: String) =
+        s"(${graft.OracleSql.hex60(s"'cms' || $j || '|' || $tok")} % 1024)"
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         |cells AS (
+         |  SELECT j, bucket, count(*) AS cell_n FROM (
+         |    SELECT j, ${bucket("t", "CAST(j AS VARCHAR)")} AS bucket
+         |    FROM tok, unnest([0, 1, 2]) u(j)) x
+         |  GROUP BY j, bucket),
+         |probes AS (SELECT token FROM (VALUES $probeVals) p(token)),
+         |pj AS (
+         |  SELECT token, j, ${bucket("token", "CAST(j AS VARCHAR)")} AS bucket
+         |  FROM probes, unnest([0, 1, 2]) u(j)),
+         |est AS (
+         |  SELECT token, min(COALESCE(cell_n, 0)) AS est
+         |  FROM pj LEFT JOIN cells USING (j, bucket) GROUP BY token),
+         |ex AS (SELECT t AS token, count(*) AS exact FROM tok GROUP BY t)
+         |SELECT token, est, COALESCE(exact, 0) AS exact,
+         |       est - COALESCE(exact, 0) AS overcount
+         |FROM est LEFT JOIN ex USING (token)""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      def bucket(tok: Column, j: Column): Column =
+        graft.Cols.hex60(concat(lit("cms"), j.cast("string"), lit("|"), tok)) % 1024
+      val js = explode(array((0 until 3).map(j => lit(j)): _*)).as("j")
+      val tok = docs(s, dir).select(explode(tokens(col("text"))).as("t")).persist()
+      val cells = tok.select(col("t"), js)
+        .select(col("j"), bucket(col("t"), col("j")).as("bucket"))
+        .groupBy("j", "bucket").agg(count(lit(1)).as("cell_n"))
+      val pj = stopwords.toDF("token").select(col("token"), js)
+        .select(col("token"), col("j"), bucket(col("token"), col("j")).as("bucket"))
+      // the cell grid is FIXED-size (3 x 1024 at any corpus scale) —
+      // broadcast it to the probe side
+      val est = pj.join(broadcast(cells), Seq("j", "bucket"), "left")
+        .groupBy("token").agg(min(coalesce(col("cell_n"), lit(0L))).as("est"))
+      val ex = tok.filter(col("t").isInCollection(stopwords))
+        .groupBy(col("t").as("token")).agg(count(lit(1)).as("exact"))
+      est.join(ex, Seq("token"), "left")
+        .select(col("token"), col("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"),
+          (col("est") - coalesce(col("exact"), lit(0L))).as("overcount"))
+    },
+
+    // ── BM25 retrieval ranking ──────────────────────────────────────
+    // Top-10 documents for a fixed 3-term query under BM25 with the
+    // LOG-FREE rational idf (N - df + 0.5)/(df + 0.5) — monotone in the
+    // true idf, so ranks are BM25 ranks, while ln() would drift in the
+    // last ulp between libm implementations (same policy as
+    // q_term_weights / text_ngram_pmi). k1=1.2, b=0.75. The per-doc
+    // score sums its 3 term contributions in FIXED textual order
+    // (conditional aggregates, not a data-ordered sum), so every double
+    // op is one IEEE evaluation — bit-identical cross-engine. Scale
+    // shape: explode -> tf hash agg -> broadcast the 3-term df row ->
+    // per-doc conditional agg -> TakeOrdered(10); the classic
+    // inverted-index scoring pipeline with no driver state.
+    Q("q_bm25", {
+      val terms = Seq("fast", "query", "data")
+      val termVals = terms.map(t => s"('$t')").mkString(", ")
+      // CAST(tf AS DOUBLE) before the 2.2 multiply: DuckDB would
+      // otherwise compute BIGINT * DECIMAL exactly (6.6 vs Spark's
+      // double 6.600000000000001) and drift in the last ulp
+      val contrib = terms.map(t =>
+        s"""COALESCE(sum(CASE WHEN token = '$t' THEN
+           |  ((CAST(n_docs - df + 0.5 AS DOUBLE) / (df + 0.5)))
+           |  * (CAST(tf AS DOUBLE) * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+           |  END), 0.0)""".stripMargin).mkString("(", " + ", ")")
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         |st AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM d),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(len(tokens)) AS DOUBLE) / count(*) AS avgdl FROM d),
+         |tok AS (SELECT doc_id, unnest(tokens) AS token FROM d),
+         |q AS (SELECT term FROM (VALUES $termVals) v(term)),
+         |tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM tok
+         |  WHERE token IN (SELECT term FROM q) GROUP BY doc_id, token),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |sc AS (
+         |  SELECT tf.doc_id, $contrib AS score
+         |  FROM tf JOIN df USING (token)
+         |       JOIN st ON tf.doc_id = st.doc_id, g
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, score, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM sc) t
+         |WHERE rk <= 10""".stripMargin
+    }) { (s, dir) =>
+      val terms = Seq("fast", "query", "data")
+      val d = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("tokens")).persist()
+      val st = d.select(col("doc_id"), size(col("tokens")).cast(LongType).as("dl"))
+      val g = d.agg(count(lit(1)).cast(LongType).as("n_docs"),
+        (sum(size(col("tokens"))).cast(DoubleType) / count(lit(1))).as("avgdl"))
+      val tf = d.select(col("doc_id"), explode(col("tokens")).as("token"))
+        .filter(col("token").isInCollection(terms))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val joined = tf.join(broadcast(df), "token")
+        .join(st, "doc_id")
+        .crossJoin(broadcast(g))
+      val contrib = terms.map(t =>
+        coalesce(sum(when(col("token") === t,
+          ((col("n_docs") - col("df") + 0.5).cast(DoubleType) / (col("df") + 0.5))
+            * (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast(DoubleType) / col("avgdl")))))), lit(0.0)))
+        .reduce(_ + _)
+      val sc = joined.groupBy(col("doc_id")).agg(contrib.as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      sc.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= 10)
+    },
+
+    // ── domain-mixture rebalancing weights ──────────────────────────
+    // The data-mixing operator: per-language token shares plus the
+    // sampling multiplier that moves the mixture to a uniform target
+    // (weight = target_share / actual_share = total / (n_langs *
+    // lang_tokens)). Production swaps the uniform target for a tuned
+    // mixture vector; the plumbing — one hash agg to a domain-sized
+    // relation, one 1-row broadcast of the corpus totals — is the
+    // entire cost at any scale. Exact-integer counts, one double
+    // division — bit-identical cross-engine.
+    Q("q_mix_weights",
+      """WITH pl AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |               count(*) AS n_langs FROM pl)
+        |SELECT lang, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / tot_tokens AS share,
+        |  CAST(tot_tokens AS DOUBLE) / (n_langs * n_tokens) AS weight
+        |FROM pl, tot""".stripMargin) { (s, dir) =>
+      val pl = docs(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text"))).cast(LongType)).as("n_tokens"))
+        .persist()
+      val tot = pl.agg(sum("n_tokens").as("tot_tokens"),
+        count(lit(1)).as("n_langs"))
+      // 1-row broadcast corpus-total attach (same pattern as text_vocab)
+      pl.crossJoin(broadcast(tot)).select(
+        col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast(DoubleType) / col("tot_tokens")).as("share"),
+        (col("tot_tokens").cast(DoubleType) / (col("n_langs") * col("n_tokens")))
+          .as("weight"))
     },
   )
 }

@@ -39,10 +39,15 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
   //     1-row broadcast nested loop is the cheapest correct plan.
   //   - sim_ann_recall: its ground-truth side is sim_topk_brute's
   //     broadcast brute-force pass by construction.
+  //   - q_kmeans_step: corpus x broadcast(8 centroids), the same
+  //     coarse-assignment map stage as sim_ann_ivf;
+  //   - q_mix_weights / q_bm25: x broadcast(ONE corpus-total row),
+  //     same scalar attach as text_vocab.
   private val planOnly =
     SparkEntry.queries.keySet -
       "pipeline_e2e" - "sim_topk_brute" - "sim_ann_ivf" -
-      "text_vocab" - "text_ngram_pmi" - "sim_ann_recall" - "sim_ann_recall_mp"
+      "text_vocab" - "text_ngram_pmi" - "sim_ann_recall" - "sim_ann_recall_mp" -
+      "q_kmeans_step" - "q_mix_weights" - "q_bm25"
 
   test("no query plans a cartesian product or nested-loop join") {
     planOnly.foreach { name =>
