@@ -617,20 +617,23 @@ object TextOps {
     // d=3 x w=1024 cell grid (three independent hash rows), probed for
     // the stopword list and compared against the exact counts —
     // est >= exact always, and the overcount column measures collision
-    // error. Scale shape: the cell grid is a FIXED-size relation (3072
-    // rows at any corpus size; the explode is a constant 3x) built by
-    // one hash agg; the probe is a broadcast join on the (row, bucket)
-    // key. Pure integer arithmetic — bit-identical cross-engine.
+    // error. Scale shape: one map-side-combinable hash agg to
+    // VOCAB-sized token counts, then the constant 3x explode folds that
+    // small relation into the FIXED-size cell grid (3072 rows at any
+    // corpus size) — the corpus-sized stream is exploded zero extra
+    // times. The probe is a broadcast join on the (row, bucket) key.
+    // Pure integer arithmetic — bit-identical cross-engine.
     Q("q_sketch_cms", {
       val probeVals = stopwords.map(w => s"('$w')").mkString(", ")
       def bucket(tok: String, j: String) =
         s"(${graft.OracleSql.hex60(s"'cms' || $j || '|' || $tok")} % 1024)"
       s"""WITH tok AS (
          |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         |tc AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
          |cells AS (
-         |  SELECT j, bucket, count(*) AS cell_n FROM (
-         |    SELECT j, ${bucket("t", "CAST(j AS VARCHAR)")} AS bucket
-         |    FROM tok, unnest([0, 1, 2]) u(j)) x
+         |  SELECT j, bucket, CAST(sum(n) AS BIGINT) AS cell_n FROM (
+         |    SELECT n, j, ${bucket("t", "CAST(j AS VARCHAR)")} AS bucket
+         |    FROM tc, unnest([0, 1, 2]) u(j)) x
          |  GROUP BY j, bucket),
          |probes AS (SELECT token FROM (VALUES $probeVals) p(token)),
          |pj AS (
@@ -639,7 +642,7 @@ object TextOps {
          |est AS (
          |  SELECT token, min(COALESCE(cell_n, 0)) AS est
          |  FROM pj LEFT JOIN cells USING (j, bucket) GROUP BY token),
-         |ex AS (SELECT t AS token, count(*) AS exact FROM tok GROUP BY t)
+         |ex AS (SELECT t AS token, n AS exact FROM tc)
          |SELECT token, est, COALESCE(exact, 0) AS exact,
          |       est - COALESCE(exact, 0) AS overcount
          |FROM est LEFT JOIN ex USING (token)""".stripMargin
@@ -648,18 +651,19 @@ object TextOps {
       def bucket(tok: Column, j: Column): Column =
         graft.Cols.hex60(concat(lit("cms"), j.cast("string"), lit("|"), tok)) % 1024
       val js = explode(array((0 until 3).map(j => lit(j)): _*)).as("j")
-      val tok = docs(s, dir).select(explode(tokens(col("text"))).as("t")).persist()
-      val cells = tok.select(col("t"), js)
-        .select(col("j"), bucket(col("t"), col("j")).as("bucket"))
-        .groupBy("j", "bucket").agg(count(lit(1)).as("cell_n"))
+      val tc = docs(s, dir).select(explode(tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("n")).persist()
+      val cells = tc.select(col("t"), col("n"), js)
+        .select(col("n"), col("j"), bucket(col("t"), col("j")).as("bucket"))
+        .groupBy("j", "bucket").agg(sum("n").as("cell_n"))
       val pj = stopwords.toDF("token").select(col("token"), js)
         .select(col("token"), col("j"), bucket(col("token"), col("j")).as("bucket"))
       // the cell grid is FIXED-size (3 x 1024 at any corpus scale) —
       // broadcast it to the probe side
       val est = pj.join(broadcast(cells), Seq("j", "bucket"), "left")
         .groupBy("token").agg(min(coalesce(col("cell_n"), lit(0L))).as("est"))
-      val ex = tok.filter(col("t").isInCollection(stopwords))
-        .groupBy(col("t").as("token")).agg(count(lit(1)).as("exact"))
+      val ex = tc.filter(col("t").isInCollection(stopwords))
+        .select(col("t").as("token"), col("n").as("exact"))
       est.join(ex, Seq("token"), "left")
         .select(col("token"), col("est"),
           coalesce(col("exact"), lit(0L)).as("exact"),
