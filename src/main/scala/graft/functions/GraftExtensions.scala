@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Divide, Expression, ExpressionInfo, Literal, Md5, Substring}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** SQL-surface registration of the native graft expressions via the
   * public `SparkSessionExtensions` hook — the deployment story for
@@ -18,7 +18,13 @@ import org.apache.spark.sql.types.IntegerType
   * SELECT graft_simhash(token_hashes)       -- 60-bit simhash signature
   * SELECT graft_simhash(token_hashes, 48)   -- custom signature width
   * SELECT graft_lsh_bucket(emb)             -- 16-plane hyperplane bucket
+  * SELECT graft_unit_hash(CAST(id AS STRING)) -- deterministic U[0,1)
   * }}}
+  *
+  * `graft_unit_hash` is the reproducible-sampling primitive behind
+  * q_split_train / q_sample_stratified (Cols.unitHash): a pure
+  * engine-portable hash to [0, 1), for `WHERE graft_unit_hash(key) <
+  * rate` sampling and split assignment directly from SQL.
   *
   * Registration is per-session metadata only — no state, no side
   * effects — so it is safe to enable globally. The optional int
@@ -58,6 +64,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a) => LshBucketExpr(a, VectorFns.planes)
         case _ => throw new IllegalArgumentException(
           "graft_lsh_bucket(embedding) takes 1 argument")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_unit_hash"),
+      new ExpressionInfo(classOf[Md5].getName, "graft_unit_hash"),
+      (args: Seq[Expression]) => args match {
+        // the same built-in chain as Cols.unitHash — first 60 bits of
+        // md5 scaled to [0,1); implicit casts resolve string -> binary
+        case Seq(a) => Divide(
+          Cast(Conv(Substring(Md5(a), Literal(1), Literal(15)),
+            Literal(16), Literal(10)), LongType),
+          Literal(1.152921504606846976e18))
+        case _ => throw new IllegalArgumentException(
+          "graft_unit_hash(key) takes 1 argument")
       }))
   }
 }

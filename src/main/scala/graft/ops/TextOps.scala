@@ -308,6 +308,29 @@ object TextOps {
       docs(s, dir).filter(u < rate).select("doc_id", "lang")
     },
 
+    // ── fixed-size per-stratum sampling ─────────────────────────────
+    // Exactly K docs per language, selected by hash order — the
+    // "give me 1000 eval docs per domain" operator. Ranking by a pure
+    // hash of the id is a uniform draw without replacement that any
+    // engine reproduces; ties broken by doc_id. One shuffle on the
+    // stratum key; the per-stratum sort is window-local.
+    Q("q_sample_fixed_k", {
+      val u = graft.OracleSql.unitHash("'fk|' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY $u, doc_id) AS rk
+         |  FROM documents) t
+         |WHERE rk <= 5""".stripMargin
+    }) { (s, dir) =>
+      val u = graft.Cols.unitHash(concat(lit("fk|"), col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(u, col("doc_id"))
+      docs(s, dir)
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 5)
+        .select("doc_id", "lang", "rk")
+    },
+
     // ── vocabulary build with cumulative coverage ───────────────────
     // Top-20 tokens by frequency plus the cumulative share of the
     // corpus they cover — the vocabulary-pruning / OOV-budget operator.

@@ -45,6 +45,18 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(sig48 === (1L << 48) - 1) // bits arg respected
   }
 
+  test("graft_unit_hash from SQL equals Cols.unitHash and lands in [0,1)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").cast("string").as("k"))
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql("SELECT k, graft_unit_hash(k) AS u FROM ext_docs")
+    val viaApi = docs.select(col("k"), Cols.unitHash(col("k")).as("u"))
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+    assert(viaApi.exceptAll(viaSql).count() === 0)
+    val bounds = viaSql.agg(min("u"), max("u")).collect().head
+    assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) < 1.0)
+  }
+
   test("non-literal or wrong-arity arguments fail with a named error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_dot(array(1.0d), array(1.0d), CAST(id AS INT)) FROM range(1)")
