@@ -145,6 +145,49 @@ object StatefulOps extends Serializable {
     }
   }
 
+  /** One packing-input document: its token count plus the (lang, shard)
+    * stream it packs into.
+    */
+  final case class DocTok(doc_id: Long, lang: String, shard: Long, n_tokens: Long)
+
+  /** A packed document: the bin its tokens start in and the offset
+    * there.
+    */
+  final case class PackedDoc(
+      doc_id: Long, lang: String, shard: Long,
+      n_tokens: Long, bin_id: Long, bin_off: Long)
+
+  /** Streaming sequence packing — the continuous-ingestion face of the
+    * batch `text_seq_pack` operator: documents are appended to their
+    * (lang, shard) token stream as they arrive and cut into
+    * `budget`-token bins (bin = cumulative-tokens-before / budget).
+    *
+    * State per key is ONE long — the stream's running token count — so
+    * total state is bounded by langs x shards FOREVER; no watermark or
+    * timeout is ever needed, unlike time-keyed state. In-batch disorder
+    * is handled by sorting each group's trigger slice on doc_id; across
+    * triggers the packing order is arrival order (the streaming
+    * contract — identical to the batch doc_id order whenever ingestion
+    * is id-ordered, which the equivalence spec drives).
+    */
+  def packStream(docs: Dataset[DocTok], budget: Long): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    require(budget > 0, s"budget must be positive, got $budget")
+    docs.groupByKey(d => (d.lang, d.shard)).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (_: (String, Long), it: Iterator[DocTok], state: GroupState[Long]) =>
+        var cum = state.getOption.getOrElse(0L)
+        val out = it.toIndexedSeq.sortBy(_.doc_id).map { d =>
+          val before = cum
+          cum += d.n_tokens
+          PackedDoc(d.doc_id, d.lang, d.shard, d.n_tokens,
+            before / budget, before % budget)
+        }
+        state.update(cum)
+        out.iterator
+    }
+  }
+
   /** Streaming exact dedup with BOUNDED state: first occurrence per key
     * combination is emitted; duplicate arrivals within the watermark
     * horizon are dropped, and key state older than the watermark is

@@ -90,6 +90,37 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("streaming packer == batch text_seq_pack across multiple triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulOps.DocTok
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val input = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % ops.TextOps.PackShards).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .as[DocTok].collect().sortBy(_.doc_id)
+    val ms = MemoryStream[DocTok]
+    val q = StatefulOps.packStream(ms.toDS(), ops.TextOps.PackBudget)
+      .writeStream.format("memory").queryName("stream_pack")
+      .outputMode("append")
+      .start()
+    try {
+      // id-ordered ingestion split over several triggers: bins must
+      // carry the cumulative state across trigger boundaries
+      input.grouped(120).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("stream_pack").collect().map(_.toString).sorted
+      val want = SparkEntry.queries("text_seq_pack")(spark, dir)
+        .select("doc_id", "lang", "shard", "n_tokens", "bin_id", "bin_off")
+        .collect().map(_.toString).sorted
+      assert(got.nonEmpty)
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark emits exactly the distinct key set") {
     val q = StatefulOps.dedupWithinWatermark(
       streamEvents, Seq("user_id"), "ts", "1 hour")
