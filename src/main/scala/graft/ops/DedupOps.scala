@@ -343,6 +343,25 @@ object DedupOps {
         .select(col("doc_a").as("a"), col("doc_b").as("b")))
     },
 
+    // Near-dup graph diagnostics: the degree distribution of the
+    // MinHash pair graph — the health check run before trusting any
+    // LSH blocking config (a heavy-tailed distribution means a hot
+    // shingle pattern is flooding one block). Two hash aggregations
+    // over the pair list; pairs are distinct with doc_a < doc_b, so
+    // the bag-union of both endpoints counts each neighbor once.
+    Q("dedup_degree_dist",
+      s"""WITH pairs AS ($minhashPairsSql),
+         |und AS (SELECT doc_a AS node FROM pairs
+         |        UNION ALL SELECT doc_b FROM pairs),
+         |deg AS (SELECT node, count(*) AS degree FROM und GROUP BY node)
+         |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree""".stripMargin) { (s, dir) =>
+      val pairs = minhashPairsDf(s, dir)
+      val und = pairs.select(col("doc_a").as("node"))
+        .union(pairs.select(col("doc_b").as("node")))
+      und.groupBy("node").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    },
+
     // SimHash near-dup: 60-bit signature from md5-derived token hashes;
     // candidates match on any of the 4 disjoint bands; pairs kept at
     // Hamming distance <= 3 — with 4 bands the pigeonhole principle

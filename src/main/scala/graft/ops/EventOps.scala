@@ -344,5 +344,25 @@ object EventOps {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"),
           graft.Cols.dsum(col("value")).as("total"))
     },
+
+    // ── windowed trending top-k ─────────────────────────────────────
+    // Top-3 event types per day by volume — the "what's trending this
+    // window" leaderboard. Scale shape: one hash agg to (window, type)
+    // counts — a tiny relation at any event volume — then a window-
+    // partitioned rank over it; the corpus-sized stream is touched once.
+    Q("q_events_trending",
+      """SELECT w_start, event_type, n, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type, count(*) AS n,
+        |         row_number() OVER (PARTITION BY CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |                            ORDER BY count(*) DESC, event_type) AS rk
+        |  FROM events GROUP BY 1, 2) t
+        |WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      val agg = events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("w_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("w_start").orderBy(col("n").desc, col("event_type"))
+      agg.withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 3)
+    },
   )
 }

@@ -575,21 +575,43 @@ object RelationalOps {
     // ── correlated-inequality EXISTS ────────────────────────────────
     // The correlated-predicate shape q_semi_join doesn't cover: the
     // subquery references the OUTER row's value in an inequality
-    // (order worth > 20x the customer's balance). Spark plans it as a
-    // left-semi HASH join on the equi key with the inequality as the
-    // join residual — the key-bucketed plan; the correlation never
-    // degrades to a nested loop.
+    // (order worth > 80x the customer's balance — the multiplier is
+    // sized so the residual actually filters ~40% of the plain-semi
+    // result at gate scale; a dropped residual cannot slip through the
+    // oracle compare). Spark plans it as a left-semi HASH join on the
+    // equi key with the inequality as the join residual — the
+    // key-bucketed plan; the correlation never degrades to a nested
+    // loop.
     Q("q_exists_corr",
       """SELECT c_custkey, c_acctbal FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey
-        |                AND o.o_totalprice > c.c_acctbal * 20)""".stripMargin) { (s, dir) =>
+        |                AND o.o_totalprice > c.c_acctbal * 80)""".stripMargin) { (s, dir) =>
       val c = Tables.load(s, dir, "customer")
       val o = Tables.load(s, dir, "orders")
       c.join(o,
         o("o_custkey") === c("c_custkey") &&
-          o("o_totalprice") > c("c_acctbal") * 20,
+          o("o_totalprice") > c("c_acctbal") * 80,
         "left_semi")
+        .select("c_custkey", "c_acctbal")
+    },
+
+    // ── correlated-inequality NOT EXISTS (anti-join complement) ─────
+    // The exact complement of q_exists_corr via a left-ANTI hash join
+    // with the same correlated residual — together the two partition
+    // `customer`, which the oracle verifies independently on both
+    // sides.
+    Q("q_not_exists_corr",
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > c.c_acctbal * 80)""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o,
+        o("o_custkey") === c("c_custkey") &&
+          o("o_totalprice") > c("c_acctbal") * 80,
+        "left_anti")
         .select("c_custkey", "c_acctbal")
     },
 

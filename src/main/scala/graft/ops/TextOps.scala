@@ -42,6 +42,24 @@ object TextOps {
 
   private def tokens(c: Column): Column = split(c, " ")
 
+  /** Adjacent word-bigram pairs — ONE definition (with its SQL twin)
+    * shared by `text_ngram_pmi` and `text_rep_ratio`, so the
+    * collocation and repetition metrics can never disagree on what a
+    * bigram is (the same single-sourcing discipline as
+    * [[DedupOps.shingles3]]).
+    */
+  private def bigramPairs(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 1), i =>
+      struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2")))
+
+  /** SQL twin of [[bigramPairs]]: a (w1, w2) relation over `src`, which
+    * must expose a `tokens` list column; `keyCols` (e.g. `"doc_id, "`)
+    * is carried through.
+    */
+  private def bigramSql(src: String, keyCols: String = ""): String =
+    s"""SELECT ${keyCols}tokens[i] AS w1, tokens[i+1] AS w2
+       |FROM (SELECT ${keyCols}tokens, unnest(range(1, len(tokens))) AS i FROM $src) x""".stripMargin
+
   private def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(words.map(lit): _*), t))).cast(LongType)
 
@@ -379,29 +397,25 @@ object TextOps {
     // explode to bigrams, two vocab-sized hash aggs, two hash joins on
     // the token key — no window over the corpus, no driver state.
     Q("text_ngram_pmi",
-      """WITH tok AS (
-        |  SELECT string_split(text, ' ') AS tokens FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 2),
-        |idx AS (SELECT tokens, unnest(range(1, len(tokens))) AS i FROM tok),
-        |bg AS (SELECT tokens[i] AS w1, tokens[i+1] AS w2 FROM idx),
-        |bc AS (SELECT w1, w2, count(*) AS n_ab,
-        |              sum(count(*)) OVER () AS n_tot
-        |       FROM bg GROUP BY w1, w2),
-        |uc AS (SELECT unnest(tokens) AS token FROM tok),
-        |un AS (SELECT token, count(*) AS n FROM uc GROUP BY token)
-        |SELECT w1, w2, n_ab,
-        |       a.n AS n_a, b.n AS n_b,
-        |       (CAST(n_ab AS DOUBLE) * CAST(n_tot AS DOUBLE))
-        |         / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS score
-        |FROM bc JOIN un a ON bc.w1 = a.token JOIN un b ON bc.w2 = b.token
-        |WHERE n_ab >= 5""".stripMargin) { (s, dir) =>
+      s"""WITH tok AS (
+         |  SELECT string_split(text, ' ') AS tokens FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |bg AS (${bigramSql("tok")}),
+         |bc AS (SELECT w1, w2, count(*) AS n_ab,
+         |              sum(count(*)) OVER () AS n_tot
+         |       FROM bg GROUP BY w1, w2),
+         |uc AS (SELECT unnest(tokens) AS token FROM tok),
+         |un AS (SELECT token, count(*) AS n FROM uc GROUP BY token)
+         |SELECT w1, w2, n_ab,
+         |       a.n AS n_a, b.n AS n_b,
+         |       (CAST(n_ab AS DOUBLE) * CAST(n_tot AS DOUBLE))
+         |         / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS score
+         |FROM bc JOIN un a ON bc.w1 = a.token JOIN un b ON bc.w2 = b.token
+         |WHERE n_ab >= 5""".stripMargin) { (s, dir) =>
       val toks = tokens(col("text"))
       val tok = docs(s, dir).filter(size(toks) >= 2)
         .select(toks.as("tokens")).persist()
-      val bg = tok.select(explode(transform(
-        sequence(lit(1), size(col("tokens")) - 1), i =>
-          struct(element_at(col("tokens"), i).as("w1"),
-            element_at(col("tokens"), i + 1).as("w2")))).as("p"))
+      val bg = tok.select(explode(bigramPairs(col("tokens"))).as("p"))
         .select(col("p.w1"), col("p.w2"))
       // n_tot via a 1-row agg + broadcast, NOT a global window: the
       // bigram-count relation is vocab^2-sized and a partitionless
@@ -591,47 +605,44 @@ object TextOps {
     },
 
     // ── repetition ratios (Gopher-style quality signals) ────────────
-    // Per-doc "most common 2-gram" token share and duplicate-token
-    // ratio — the repetition filters of Gopher/C4-class curation.
-    // Scale shape: explode to (doc, bigram) -> one hash agg (map-side
-    // combinable) -> one per-doc agg; never a per-row O(n^2) scan.
-    // top2_share = tokens covered by the modal bigram / n_tokens;
+    // Per-doc modal-bigram share and duplicate-token ratio — the
+    // repetition filters of Gopher/C4-class curation. Scale shape:
+    // explode to (doc, bigram) -> one hash agg (map-side combinable)
+    // -> one per-doc agg; never a per-row O(n^2) scan.
+    // top_share = modal bigram occurrences / bigram slots (n_tokens-1),
+    // bounded in (0, 1] even for overlapping repeats like "a a a a";
     // dup_ratio = 1 - distinct/total tokens. Integer counts + one
     // double division each — bit-identical cross-engine.
     Q("text_rep_ratio",
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 2),
-        |bg AS (
-        |  SELECT doc_id, tokens[i] || ' ' || tokens[i+1] AS bigram
-        |  FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens))) AS i FROM t) x),
-        |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
-        |top AS (SELECT doc_id, max(c) AS top_cnt FROM bc GROUP BY doc_id),
-        |st AS (
-        |  SELECT doc_id,
-        |    CAST(len(tokens) AS BIGINT) AS n_tokens,
-        |    CAST(len(list_distinct(tokens)) AS BIGINT) AS n_uniq
-        |  FROM t)
-        |SELECT st.doc_id, n_tokens, top_cnt,
-        |  CAST(2 * top_cnt AS DOUBLE) / n_tokens AS top2_share,
-        |  1.0 - CAST(n_uniq AS DOUBLE) / n_tokens AS dup_ratio
-        |FROM st JOIN top ON st.doc_id = top.doc_id""".stripMargin) { (s, dir) =>
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |bg AS (${bigramSql("t", "doc_id, ")}),
+         |bc AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY doc_id, w1, w2),
+         |top AS (SELECT doc_id, max(c) AS top_cnt FROM bc GROUP BY doc_id),
+         |st AS (
+         |  SELECT doc_id,
+         |    CAST(len(tokens) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(tokens)) AS BIGINT) AS n_uniq
+         |  FROM t)
+         |SELECT st.doc_id, n_tokens, top_cnt,
+         |  CAST(top_cnt AS DOUBLE) / (n_tokens - 1) AS top_share,
+         |  1.0 - CAST(n_uniq AS DOUBLE) / n_tokens AS dup_ratio
+         |FROM st JOIN top ON st.doc_id = top.doc_id""".stripMargin) { (s, dir) =>
       val t = docs(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("tokens"))
         .filter(size(col("tokens")) >= 2)
         .persist()
-      val bg = t.select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("tokens")) - 1), i =>
-          concat(element_at(col("tokens"), i), lit(" "),
-            element_at(col("tokens"), i + 1)))).as("bigram"))
-      val top = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      val bg = t.select(col("doc_id"), explode(bigramPairs(col("tokens"))).as("p"))
+        .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      val top = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(max("c").as("top_cnt"))
       t.select(col("doc_id"),
         size(col("tokens")).cast(LongType).as("n_tokens"),
         size(array_distinct(col("tokens"))).cast(LongType).as("n_uniq"))
         .join(top, "doc_id")
         .select(col("doc_id"), col("n_tokens"), col("top_cnt"),
-          ((col("top_cnt") * 2).cast(DoubleType) / col("n_tokens")).as("top2_share"),
+          (col("top_cnt").cast(DoubleType) / (col("n_tokens") - 1)).as("top_share"),
           (lit(1.0) - col("n_uniq").cast(DoubleType) / col("n_tokens")).as("dup_ratio"))
     },
 

@@ -43,11 +43,24 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
   //     coarse-assignment map stage as sim_ann_ivf;
   //   - q_mix_weights / q_bm25: x broadcast(ONE corpus-total row),
   //     same scalar attach as text_vocab.
+  // Each exemption is a BUDGET, not a free pass: the query may plan at
+  // most this many BroadcastNestedLoopJoins (its documented O(1)
+  // replicates) — its other joins stay under the hash-join rule, so a
+  // regression that degrades a corpus-sized equi join to a nested loop
+  // still fails here.
+  private val nljBudget = Map(
+    "sim_topk_brute" -> 1,   // corpus x broadcast(10 queries)
+    "sim_ann_ivf" -> 2,      // corpus + query-side centroid assignment
+    "sim_ann_recall" -> 1,   // brute-force ground-truth side
+    "sim_ann_recall_mp" -> 1,
+    "q_kmeans_step" -> 1,    // corpus x broadcast(8 centroids)
+    "text_vocab" -> 1,       // 1-row corpus-total attach
+    "text_ngram_pmi" -> 1,
+    "q_mix_weights" -> 1,
+    "q_bm25" -> 1)
+
   private val planOnly =
-    SparkEntry.queries.keySet -
-      "pipeline_e2e" - "sim_topk_brute" - "sim_ann_ivf" -
-      "text_vocab" - "text_ngram_pmi" - "sim_ann_recall" - "sim_ann_recall_mp" -
-      "q_kmeans_step" - "q_mix_weights" - "q_bm25"
+    SparkEntry.queries.keySet - "pipeline_e2e" -- nljBudget.keySet
 
   test("no query plans a cartesian product or nested-loop join") {
     planOnly.foreach { name =>
@@ -57,6 +70,19 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
           s"$name plans a cartesian product")
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join")
+      }
+    }
+  }
+
+  test("exempted queries stay within their documented nested-loop budget") {
+    nljBudget.foreach { case (name, budget) =>
+      val plan = planOf(name)
+      withClue(s"$name:") {
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plans a cartesian product")
+        val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+        assert(nlj <= budget,
+          s"$name plans $nlj nested-loop joins, budget is $budget")
       }
     }
   }

@@ -18,23 +18,28 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     (df, rows)
   }
 
-  test("text_seq_pack: offsets stay inside the bin and bins fill contiguously") {
+  test("text_seq_pack: bin assignment equals concat-and-chunk replay of each stream") {
     val (_, rows) = run("text_seq_pack")
     assert(rows.nonEmpty)
-    val budget = ops.TextOps.PackBudget
+    val budget = ops.TextOps.PackBudget.toLong
     rows.foreach { r =>
       val off = r.getAs[Long]("bin_off")
       assert(off >= 0 && off < budget, s"bin_off $off outside [0, $budget)")
     }
-    // within a (lang, shard) stream, bin ids never decrease along doc order
-    // and every bin index up to the max is used (chunking leaves no gaps)
+    // replay each (lang, shard) stream: the reported bin/offset must be
+    // exactly where the doc's tokens start in the concatenated stream.
+    // (A doc longer than the budget legitimately spans bins no later
+    // doc starts in, so "no gaps" is NOT an invariant — position is.)
     rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
-      .foreach { case (_, rs) =>
-        val ordered = rs.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Long]("bin_id"))
-        assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b },
-          "bin_id decreased along the packing order")
-        val used = ordered.toSet
-        assert((0L to ordered.max).forall(used.contains), "a bin was skipped")
+      .foreach { case (key, rs) =>
+        var cum = 0L
+        rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+          assert(r.getAs[Long]("bin_id") === cum / budget,
+            s"$key doc ${r.getAs[Long]("doc_id")}: bin_id != stream position")
+          assert(r.getAs[Long]("bin_off") === cum % budget,
+            s"$key doc ${r.getAs[Long]("doc_id")}: bin_off != stream position")
+          cum += r.getAs[Long]("n_tokens")
+        }
       }
   }
 
