@@ -22,6 +22,20 @@ object TextOps {
   /** Fixed stopword list for quality scoring (shared with oracle SQL). */
   val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
 
+  /** Curation quality floor shared by corpus_curate / curate_neardup
+    * and the streaming curation path (StreamingCurateSpec).
+    */
+  private[graft] val QualityMin = 0.44
+
+  /** The 80/10/10 split assignment as a pure function of the document
+    * id — ONE definition for q_split_train, corpus_curate,
+    * curate_neardup and the streaming curation path.
+    */
+  private[graft] def splitCol(docId: Column): Column = {
+    val u = graft.Cols.unitHash(docId.cast("string"))
+    when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+  }
+
   /** Sequence-packing knobs: tokens per packed bin, and the number of
     * independent packing shards per language (each shard packs its own
     * contiguous stream, which is what keeps the packing window
@@ -71,7 +85,7 @@ object TextOps {
     * `text_quality` and `corpus_curate`, so the curation filter can
     * never drift from the published score.
     */
-  private def qualityCol(text: Column): Column = {
+  private[graft] def qualityCol(text: Column): Column = {
     val toks = tokens(text)
     val nTok = size(toks).cast(LongType)
     lit(0.5) * (countIn(toks, stopwords).cast(DoubleType) / nTok) +
@@ -221,9 +235,7 @@ object TextOps {
          |  FROM documents) t
          |GROUP BY split, lang""".stripMargin
     }) { (s, dir) =>
-      val u = graft.Cols.unitHash(col("doc_id").cast("string"))
-      docs(s, dir).select(col("lang"),
-        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"))
+      docs(s, dir).select(col("lang"), splitCol(col("doc_id")).as("split"))
         .groupBy("split", "lang").agg(count(lit(1)).as("n"))
     },
 
@@ -460,16 +472,15 @@ object TextOps {
     }) { (s, dir) =>
       val aug = DedupOps.dupAug(s, dir, Seq("lang", "text"))
       val nTok = size(tokens(col("text"))).cast(LongType)
-      val u = graft.Cols.unitHash(col("doc_id").cast("string"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
       aug.select(col("doc_id"), col("lang"), col("text"),
         nTok.as("n_tokens"), qualityCol(col("text")).as("quality"))
-        .filter(col("quality") >= 0.44)
+        .filter(col("quality") >= QualityMin)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
-          when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"))
+          splitCol(col("doc_id")).as("split"))
     },
 
     // ── near-dup curation: the composed production dedup pipeline ───
@@ -501,16 +512,14 @@ object TextOps {
         DedupOps.minhashPairsDf(s, dir)
           .select(col("doc_a").as("a"), col("doc_b").as("b")))
         .withColumnRenamed("doc_id", "cid")
-      val u = graft.Cols.unitHash(col("doc_id").cast("string"))
       DedupOps.docsAug(s, dir)
         .join(comp, col("doc_id") === col("cid"), "left")
         .filter(col("cid").isNull || col("component") === col("doc_id"))
         .select(col("doc_id"),
           size(tokens(col("text"))).cast(LongType).as("n_tokens"),
           qualityCol(col("text")).as("quality"))
-        .filter(col("quality") >= 0.44)
-        .withColumn("split",
-          when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"))
+        .filter(col("quality") >= QualityMin)
+        .withColumn("split", splitCol(col("doc_id")))
     },
 
     // ── fingerprinting: content md5 + position-weighted rolling hash ─

@@ -188,6 +188,34 @@ object StatefulOps extends Serializable {
     }
   }
 
+  /** Arrival-order exact dedup over an UNBOUNDED horizon: the first
+    * record per key is emitted, every later arrival is dropped. State
+    * is one boolean per key EVER seen — use this when the dedup horizon
+    * really is "forever" (content-digest dedup of a curated corpus,
+    * where a duplicate a year later is still a duplicate); when a time
+    * horizon is acceptable, [[dedupWithinWatermark]] keeps state
+    * bounded instead. Within one trigger, "first" follows the group
+    * iterator; across triggers it is arrival order — the
+    * backfill-then-incremental ingestion contract
+    * (StreamingCurateSpec drives originals before copies and gets the
+    * batch min-id keeper exactly).
+    */
+  def keepFirstByKey[T, K](
+      docs: Dataset[T], key: T => K)(
+      implicit et: org.apache.spark.sql.Encoder[T],
+      ek: org.apache.spark.sql.Encoder[K]): Dataset[T] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(key).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (_: K, it: Iterator[T], state: GroupState[Boolean]) =>
+        if (state.exists) Iterator.empty
+        else {
+          state.update(true)
+          it.take(1)
+        }
+    }
+  }
+
   /** Streaming exact dedup with BOUNDED state: first occurrence per key
     * combination is emitted; duplicate arrivals within the watermark
     * horizon are dropped, and key state older than the watermark is
