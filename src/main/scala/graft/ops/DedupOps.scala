@@ -362,6 +362,44 @@ object DedupOps {
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
     },
 
+    // One PageRank iteration over the (undirected) near-dup graph from
+    // uniform pr0 = 1: pr1(v) = 0.15 + 0.85 * sum_{u~v} 1/deg(u) —
+    // the centrality signal that ranks which document sits at the hub
+    // of a duplication cluster. Iterating = repeating this exact plan
+    // (edge join + per-node hash agg) with pr fed back, the scalable
+    // PageRank formulation. Cross-engine determinism: each neighbor
+    // contribution is floor-quantized to 1e-12 units (one exact
+    // integer division per edge), so the per-node sum is
+    // order-independent BIGINT arithmetic and the final damping is two
+    // IEEE ops — bit-identical (same policy as q_kmeans_step).
+    Q("dedup_pagerank_step",
+      s"""WITH pairs AS ($minhashPairsSql),
+         |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT a, count(*) AS degree FROM und GROUP BY a),
+         |contrib AS (
+         |  SELECT u.b AS node, 1000000000000 // d.degree AS c
+         |  FROM und u JOIN deg d ON u.a = d.a)
+         |SELECT c.node, d.degree,
+         |  0.15 + 0.85 * (CAST(sum(c.c) AS DOUBLE) / 1000000000000.0) AS pr1
+         |FROM contrib c JOIN deg d ON c.node = d.a
+         |GROUP BY c.node, d.degree""".stripMargin) { (s, dir) =>
+      val pairs = minhashPairsDf(s, dir)
+      val und = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .persist()
+      val deg = und.groupBy("a").agg(count(lit(1)).as("degree"))
+      val contrib = und.join(deg, "a")
+        // SQL DIV: exact int64 division (Column./ would detour through
+        // double), mirroring DuckDB's `//`
+        .select(col("b").as("node"),
+          expr("1000000000000 div degree").cast(LongType).as("c"))
+      contrib.join(deg.select(col("a").as("node"), col("degree")), "node")
+        .groupBy("node", "degree")
+        .agg((lit(0.15) + lit(0.85) *
+          (sum("c").cast(DoubleType) / lit(1000000000000.0))).as("pr1"))
+    },
+
     // SimHash near-dup: 60-bit signature from md5-derived token hashes;
     // candidates match on any of the 4 disjoint bands; pairs kept at
     // Hamming distance <= 3 — with 4 bands the pigeonhole principle
