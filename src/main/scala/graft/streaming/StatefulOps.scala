@@ -188,6 +188,33 @@ object StatefulOps extends Serializable {
     }
   }
 
+  /** One mixture-monitor input: a document's language and token count. */
+  final case class LangTok(lang: String, n_tokens: Long)
+
+  /** A running per-language snapshot of the ingested corpus mixture. */
+  final case class MixSnapshot(lang: String, n_docs: Long, n_tokens: Long)
+
+  /** Streaming domain-mixture monitor — the ingestion-time face of the
+    * batch `q_mix_weights` operator: per language, the running document
+    * and token totals, re-emitted after every trigger that touches the
+    * language. Downstream alerting divides by the cross-language total
+    * to watch the mixture drift DURING ingestion instead of auditing it
+    * after. State is two longs per language — bounded by the domain
+    * vocabulary forever. The final snapshot per language equals the
+    * batch aggregation exactly (integer counts; StreamingMixtureSpec).
+    */
+  def mixtureMonitor(docs: Dataset[LangTok]): Dataset[MixSnapshot] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.lang).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (lang: String, it: Iterator[LangTok], state: GroupState[(Long, Long)]) =>
+        var (d, t) = state.getOption.getOrElse((0L, 0L))
+        it.foreach { x => d += 1; t += x.n_tokens }
+        state.update((d, t))
+        Iterator(MixSnapshot(lang, d, t))
+    }
+  }
+
   /** Arrival-order exact dedup over an UNBOUNDED horizon: the first
     * record per key is emitted, every later arrival is dropped. State
     * is one boolean per key EVER seen — use this when the dedup horizon
