@@ -422,6 +422,51 @@ object RelationalOps {
         .agg(at(0.25).as("p25"), at(0.50).as("p50"), at(0.75).as("p75"))
     },
 
+    // ── winsorized (outlier-clamped) aggregation ────────────────────
+    // Robust per-segment totals: balances clamped to the exact
+    // [p05, p95] before summing, plus how many rows each tail clipped.
+    // Two passes, one shuffle each at any scale: pass 1 derives the
+    // cut points with the same ceil-rank percentile q_quantiles uses;
+    // pass 2 broadcasts the segment-sized cut table, clamps in the
+    // scan stage, and decimal-sums (order-independent, so the total is
+    // bit-identical cross-engine).
+    Q("q_winsorize",
+      s"""WITH r AS (
+         |  SELECT c_mktsegment, c_acctbal,
+         |         row_number() OVER (PARTITION BY c_mktsegment
+         |                            ORDER BY c_acctbal, c_custkey) AS rn,
+         |         count(*) OVER (PARTITION BY c_mktsegment) AS cnt
+         |  FROM customer WHERE c_acctbal IS NOT NULL),
+         |cuts AS (
+         |  SELECT c_mktsegment AS segment,
+         |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * cnt) AS BIGINT)) THEN c_acctbal END) AS lo,
+         |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * cnt) AS BIGINT)) THEN c_acctbal END) AS hi
+         |  FROM r GROUP BY c_mktsegment)
+         |SELECT segment, count(*) AS n,
+         |  CAST(sum(CASE WHEN c_acctbal < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+         |  CAST(sum(CASE WHEN c_acctbal > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+         |  ${O.dsum("least(greatest(c_acctbal, lo), hi)")} AS wsum
+         |FROM customer c JOIN cuts ON c.c_mktsegment = cuts.segment
+         |WHERE c_acctbal IS NOT NULL
+         |GROUP BY segment""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer").filter(col("c_acctbal").isNotNull)
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+      val wc = Window.partitionBy("c_mktsegment")
+      def at(q: Double) = max(when(
+        col("rn") === greatest(lit(1L), ceil(lit(q) * col("cnt")).cast(LongType)),
+        col("c_acctbal")))
+      val cuts = c.select(col("c_mktsegment"), col("c_acctbal"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wc).as("cnt"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(at(0.05).as("lo"), at(0.95).as("hi"))
+      c.join(broadcast(cuts), col("c_mktsegment") === col("segment"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c_acctbal") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("c_acctbal") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+          Cols.dsum(least(greatest(col("c_acctbal"), col("lo")), col("hi"))).as("wsum"))
+    },
+
     // ── covariance / correlation from decimal sums ──────────────────
     // Spark's corr()/covar_pop() accumulate co-moments in doubles whose
     // value depends on partition order; here the statistics derive from
