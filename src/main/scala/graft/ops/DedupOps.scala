@@ -43,10 +43,11 @@ object DedupOps {
   // and is chosen from the corpus count at runtime ([[simBandBits]]).
   // Ceiling: 60 bits / 4 bands caps B at 15 (2^15 buckets/band), so
   // candidate pairs grow O(N^2 / 2^15) beyond N ~ 2^16; a real 100 TB
-  // corpus must widen the signature itself (e.g. two 60-bit words ->
-  // 8 bands of up to 15 bits, capacity 2^30 for paired bands) — that
+  // corpus must widen the signature itself. That path is IMPLEMENTED
+  // as `dedup_simhash_wide` ([[simhashPairsWide]]): two independently
+  // salted 60-bit words -> 8 bands, paired-band capacity 2^30. It
   // changes the dedup definition (Hamming over 120 bits), so it is a
-  // deployment decision, not a silent default.
+  // parallel query, not a silent default swap.
   private val SimBits = 60
   private val SimBands = 4
   private val SimBandBitsMax = SimBits / SimBands // 15
@@ -182,6 +183,52 @@ object DedupOps {
     println(s"[dedup_simhash] bandBits=$bandBits candidates=$nCandidates")
     pairs
       .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** WIDE SimHash near-dup pairs: the documented capacity remedy for
+    * corpora beyond N ~ 2^16 — a 120-bit signature as TWO 60-bit words
+    * (independently salted token hashes), banded into 8 disjoint bands
+    * (4 per word). Paired-band capacity is 2^(2*bandBits) (2^30 at max
+    * width) vs the single-word 2^15 ceiling. Hamming distance is over
+    * all 120 bits; recall at <= 3 stays EXACT by pigeonhole at any
+    * band width (3 bits cannot touch all 8 bands), asserted
+    * band-width-invariant by SimBandSpec like the 60-bit family.
+    */
+  private[graft] def simhashPairsWide(s: SparkSession, dir: String, bandBits: Int): DataFrame = {
+    require(bandBits >= 1 && bandBits <= SimBandBitsMax,
+      s"bandBits must be in [1, $SimBandBitsMax], got $bandBits")
+    val toks = array_distinct(split(col("text"), " "))
+    val hs = docsAug(s, dir).select(col("doc_id"),
+      transform(toks, t => Cols.hex60(t)).as("hh1"),
+      transform(toks, t => Cols.hex60(concat(lit("w2|"), t))).as("hh2"))
+    def sig(c: String) = org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.SimHashExpr(
+        org.apache.spark.sql.GraftColumnShim.expression(col(c)), SimBits))
+    val sim = hs.select(col("doc_id"), sig("hh1").as("s1"), sig("hh2").as("s2"))
+    val bandIdx = explode(array((0 until 2 * SimBands).map(i => lit(i)): _*)).as("band_i")
+    val bands = sim.select(col("doc_id"), col("s1"), col("s2"), bandIdx)
+      .withColumn("band_v", expr(
+        s"""CASE WHEN band_i < $SimBands
+           |  THEN shiftright(s1, CAST(band_i * $bandBits AS INT)) & ${(1L << bandBits) - 1}
+           |  ELSE shiftright(s2, CAST((band_i - $SimBands) * $bandBits AS INT)) & ${(1L << bandBits) - 1}
+           |END""".stripMargin))
+      .persist()
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_i") === col("b.band_i") && col("a.band_v") === col("b.band_v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.s1").as("s1a"), col("a.s2").as("s2a"),
+        col("b.s1").as("s1b"), col("b.s2").as("s2b"))
+      .distinct()
+      .persist()
+    val nCandidates = pairs.count()
+    println(s"[dedup_simhash_wide] bandBits=$bandBits candidates=$nCandidates")
+    pairs
+      .withColumn("hamming",
+        expr("CAST(bit_count(s1a ^ s1b) + bit_count(s2a ^ s2b) AS BIGINT)"))
       .filter(col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming")
   }
@@ -440,6 +487,50 @@ object DedupOps {
       // tunes candidate volume, never the result set
       val nDocs = Tables.load(s, dir, "documents").count()
       simhashPairs(s, dir, simBandBits(nDocs + nDocs / 10 + 1))
+    },
+
+    // WIDE SimHash (120-bit signature, 8 bands) — the deployment path
+    // past the 60-bit family's N ~ 2^16 band-capacity ceiling (see the
+    // capacity math at the constants above). Distance is Hamming over
+    // both words; threshold 3 keeps pigeonhole-exact recall (3 bits
+    // cannot touch all 8 disjoint bands). The oracle bands at the fixed
+    // 15-bit max while the Spark side sizes bands from the corpus —
+    // same output either way (SimBandSpec).
+    Q("dedup_simhash_wide", {
+      def simhashSql(c: String) = (0 until SimBits)
+        .map(b => s"(CASE WHEN list_sum(list_transform($c, h -> ((h >> $b) & 1)*2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString("CAST((", "\n      + ", ") AS BIGINT)")
+      val bandVals = (0 until 2 * SimBands).map(i => s"($i)").mkString(",")
+      val mask = (1 << SimBandBitsMax) - 1
+      s"""WITH docs_aug AS ($docsAugSql),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform(list_distinct(string_split(text, ' ')),
+         |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hh1,
+         |    list_transform(list_distinct(string_split(text, ' ')),
+         |      t -> ('0x' || substr(md5('w2|' || t), 1, 15))::BIGINT) AS hh2
+         |  FROM docs_aug),
+         |sim AS (SELECT doc_id, ${simhashSql("hh1")} AS s1, ${simhashSql("hh2")} AS s2 FROM hs),
+         |bands AS (
+         |  SELECT doc_id, s1, s2, band_i,
+         |    CASE WHEN band_i < $SimBands
+         |      THEN (s1 >> (band_i * $SimBandBitsMax)) & $mask
+         |      ELSE (s2 >> ((band_i - $SimBands) * $SimBandBitsMax)) & $mask
+         |    END AS band_v
+         |  FROM sim CROSS JOIN (VALUES $bandVals) t(band_i)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.s1 AS s1a, a.s2 AS s2a, b.s1 AS s1b, b.s2 AS s2b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT doc_a, doc_b,
+         |    CAST(bit_count(xor(s1a, s1b)) + bit_count(xor(s2a, s2b)) AS BIGINT) AS hamming
+         |  FROM pairs) t
+         |WHERE hamming <= 3""".stripMargin
+    }) { (s, dir) =>
+      val nDocs = Tables.load(s, dir, "documents").count()
+      simhashPairsWide(s, dir, simBandBits(nDocs + nDocs / 10 + 1))
     },
 
     // n-gram (word bigram) Jaccard with token-prefix blocking PLUS

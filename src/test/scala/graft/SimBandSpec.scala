@@ -38,4 +38,15 @@ class SimBandSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(narrow === wide)
     spark.catalog.clearCache()
   }
+
+  test("120-bit wide pair set is invariant to band width (8-band pigeonhole)") {
+    def pairs(bits: Int): Set[(Long, Long, Long)] =
+      DedupOps.simhashPairsWide(spark, dir, bits).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val narrow = pairs(8)
+    val wide = pairs(15)
+    assert(narrow.nonEmpty, "fixture must produce at least one near-dup pair")
+    assert(narrow === wide)
+    spark.catalog.clearCache()
+  }
 }
