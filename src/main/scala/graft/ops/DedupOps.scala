@@ -45,9 +45,10 @@ object DedupOps {
   // candidate pairs grow O(N^2 / 2^15) beyond N ~ 2^16; a real 100 TB
   // corpus must widen the signature itself. That path is IMPLEMENTED
   // as `dedup_simhash_wide` ([[simhashPairsWide]]): two independently
-  // salted 60-bit words -> 8 bands, paired-band capacity 2^30. It
-  // changes the dedup definition (Hamming over 120 bits), so it is a
-  // parallel query, not a silent default swap.
+  // salted 60-bit words bucketed on 4 PAIRED band keys of
+  // 2*bandBits each — capacity 2^30 at max width. It changes the
+  // dedup definition (Hamming over 120 bits), so it is a parallel
+  // query, not a silent default swap.
   private val SimBits = 60
   private val SimBands = 4
   private val SimBandBitsMax = SimBits / SimBands // 15
@@ -152,86 +153,88 @@ object DedupOps {
     * Factored out of the query so SimBandSpec can assert the output is
     * band-width invariant (the exact-recall pigeonhole argument above).
     */
-  private[graft] def simhashPairs(s: SparkSession, dir: String, bandBits: Int): DataFrame = {
+  /** Shared banding/join/filter core for both SimHash families. `sim`
+    * carries doc_id plus one 60-bit signature column per WORD; a doc
+    * lands in SimBands buckets, each keyed by the i-th band of EVERY
+    * word concatenated (band key width = words * bandBits, capacity
+    * 2^(words*bandBits) buckets per band — with two words, 2^30 at max
+    * width, the beyond-2^16 capacity the wide family exists for).
+    * Pairs pass at summed Hamming <= 3, and recall there is EXACT by
+    * pigeonhole at ANY band width: a differing bit corrupts exactly
+    * one of the SimBands paired keys, so 3 bits leave at least one of
+    * the 4 keys matching verbatim (SimBandSpec asserts the invariance
+    * for both families).
+    */
+  private def simhashPairsCore(
+      sim: DataFrame, sigCols: Seq[String], bandBits: Int, tag: String): DataFrame = {
     require(bandBits >= 1 && bandBits <= SimBandBitsMax,
       s"bandBits must be in [1, $SimBandBitsMax], got $bandBits")
-    val hs = docsAug(s, dir).select(col("doc_id"),
-      transform(array_distinct(split(col("text"), " ")), t => Cols.hex60(t)).as("hh"))
-    // native codegen loop (SimHashExpr) — the per-bit HOF aggregate
-    // formulation cost SimBits interpreted passes over hh per row
-    val simhash = org.apache.spark.sql.GraftColumnShim.column(
-      graft.functions.SimHashExpr(
-        org.apache.spark.sql.GraftColumnShim.expression(col("hh")), SimBits))
-    val sim = hs.select(col("doc_id"), simhash.as("simhash"))
+    val mask = (1L << bandBits) - 1
     val bandIdx = explode(array((0 until SimBands).map(i => lit(i)): _*)).as("band_i")
-    val bands = sim.select(col("doc_id"), col("simhash"), bandIdx)
-      .withColumn("band_v",
-        expr(s"shiftright(simhash, CAST(band_i * $bandBits AS INT)) & ${(1L << bandBits) - 1}"))
+    val bandKey = sigCols
+      .map(c => s"(shiftright($c, CAST(band_i * $bandBits AS INT)) & $mask)")
+      .reduceLeft((acc, s) => s"(($acc) * ${1L << bandBits} + $s)")
+    val bands = sim.select(col("doc_id") +: sigCols.map(col) :+ bandIdx: _*)
+      .withColumn("band_v", expr(bandKey))
       .persist()
     val pairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band_i") === col("b.band_i") && col("a.band_v") === col("b.band_v") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .select(col("a.doc_id").as("doc_a") +: col("b.doc_id").as("doc_b") +:
+        sigCols.flatMap(c => Seq(col(s"a.$c").as(s"a_$c"), col(s"b.$c").as(s"b_$c"))): _*)
       .distinct()
       .persist()
     // blocking degradation must be VISIBLE: if the corpus outgrows the
     // band capacity, this count blowing up (toward N^2) is the signal
     // to widen the signature — never a silent slow query
     val nCandidates = pairs.count()
-    println(s"[dedup_simhash] bandBits=$bandBits candidates=$nCandidates")
+    println(s"[$tag] bandBits=$bandBits candidates=$nCandidates")
+    val hammingSql = sigCols.map(c => s"bit_count(a_$c ^ b_$c)").mkString(" + ")
     pairs
-      .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+      .withColumn("hamming", expr(s"CAST($hammingSql AS BIGINT)"))
       .filter(col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** WIDE SimHash near-dup pairs: the documented capacity remedy for
-    * corpora beyond N ~ 2^16 — a 120-bit signature as TWO 60-bit words
-    * (independently salted token hashes), banded into 8 disjoint bands
-    * (4 per word). Paired-band capacity is 2^(2*bandBits) (2^30 at max
-    * width) vs the single-word 2^15 ceiling. Hamming distance is over
-    * all 120 bits; recall at <= 3 stays EXACT by pigeonhole at any
-    * band width (3 bits cannot touch all 8 bands), asserted
-    * band-width-invariant by SimBandSpec like the 60-bit family.
+  /** The native-codegen 60-bit signature of a token-hash array column
+    * (SimHashExpr — the per-bit HOF aggregate formulation cost SimBits
+    * interpreted passes over the array per row).
+    */
+  private def sigOf(c: String): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.SimHashExpr(
+        org.apache.spark.sql.GraftColumnShim.expression(col(c)), SimBits))
+
+  private[graft] def simhashPairs(s: SparkSession, dir: String, bandBits: Int): DataFrame = {
+    val hs = docsAug(s, dir).select(col("doc_id"),
+      transform(array_distinct(split(col("text"), " ")), t => Cols.hex60(t)).as("hh"))
+    simhashPairsCore(
+      hs.select(col("doc_id"), sigOf("hh").as("s1")),
+      Seq("s1"), bandBits, "dedup_simhash")
+  }
+
+  /** WIDE SimHash near-dup pairs: the capacity remedy for corpora
+    * beyond N ~ 2^16 — a 120-bit signature as TWO independently salted
+    * 60-bit words, bucketed on PAIRED band keys (see
+    * [[simhashPairsCore]]). Hamming distance spans both words.
     */
   private[graft] def simhashPairsWide(s: SparkSession, dir: String, bandBits: Int): DataFrame = {
-    require(bandBits >= 1 && bandBits <= SimBandBitsMax,
-      s"bandBits must be in [1, $SimBandBitsMax], got $bandBits")
     val toks = array_distinct(split(col("text"), " "))
     val hs = docsAug(s, dir).select(col("doc_id"),
       transform(toks, t => Cols.hex60(t)).as("hh1"),
       transform(toks, t => Cols.hex60(concat(lit("w2|"), t))).as("hh2"))
-    def sig(c: String) = org.apache.spark.sql.GraftColumnShim.column(
-      graft.functions.SimHashExpr(
-        org.apache.spark.sql.GraftColumnShim.expression(col(c)), SimBits))
-    val sim = hs.select(col("doc_id"), sig("hh1").as("s1"), sig("hh2").as("s2"))
-    val bandIdx = explode(array((0 until 2 * SimBands).map(i => lit(i)): _*)).as("band_i")
-    val bands = sim.select(col("doc_id"), col("s1"), col("s2"), bandIdx)
-      .withColumn("band_v", expr(
-        s"""CASE WHEN band_i < $SimBands
-           |  THEN shiftright(s1, CAST(band_i * $bandBits AS INT)) & ${(1L << bandBits) - 1}
-           |  ELSE shiftright(s2, CAST((band_i - $SimBands) * $bandBits AS INT)) & ${(1L << bandBits) - 1}
-           |END""".stripMargin))
-      .persist()
-    val pairs = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band_i") === col("b.band_i") && col("a.band_v") === col("b.band_v") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.s1").as("s1a"), col("a.s2").as("s2a"),
-        col("b.s1").as("s1b"), col("b.s2").as("s2b"))
-      .distinct()
-      .persist()
-    val nCandidates = pairs.count()
-    println(s"[dedup_simhash_wide] bandBits=$bandBits candidates=$nCandidates")
-    pairs
-      .withColumn("hamming",
-        expr("CAST(bit_count(s1a ^ s1b) + bit_count(s2a ^ s2b) AS BIGINT)"))
-      .filter(col("hamming") <= 3)
-      .select("doc_a", "doc_b", "hamming")
+    simhashPairsCore(
+      hs.select(col("doc_id"), sigOf("hh1").as("s1"), sigOf("hh2").as("s2")),
+      Seq("s1", "s2"), bandBits, "dedup_simhash_wide")
   }
+
+  /** DuckDB twin of the 60-bit SimHash signature over a token-hash
+    * list column — shared by both family oracles.
+    */
+  private def simhashSqlExpr(c: String): String = (0 until SimBits)
+    .map(b => s"(CASE WHEN list_sum(list_transform($c, h -> ((h >> $b) & 1)*2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)")
+    .mkString("CAST((", "\n      + ", ") AS BIGINT)")
 
   /** Connected components over an undirectable edge list (cols a, b)
     * via iterative min-label propagation — the scalable formulation
@@ -443,8 +446,14 @@ object DedupOps {
           expr("1000000000000 div degree").cast(LongType).as("c"))
       contrib.join(deg.select(col("a").as("node"), col("degree")), "node")
         .groupBy("node", "degree")
+        // sum in DECIMAL(38,0): a hub of degree d accumulates up to
+        // d*1e12, which wraps int64 past d ~ 9.2M — exactly the
+        // boilerplate-duplication hubs this op targets. DuckDB's sum
+        // promotes to HUGEINT; decimal(38,0) is the Spark twin, both
+        // exact, so the final double conversion still agrees
         .agg((lit(0.15) + lit(0.85) *
-          (sum("c").cast(DoubleType) / lit(1000000000000.0))).as("pr1"))
+          (sum(col("c").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast(DoubleType) / lit(1000000000000.0))).as("pr1"))
     },
 
     // SimHash near-dup: 60-bit signature from md5-derived token hashes;
@@ -458,16 +467,13 @@ object DedupOps {
     // The banded relation is persisted so the signature computation
     // runs once, not once per self-join side.
     Q("dedup_simhash", {
-      val simhash = (0 until SimBits)
-        .map(b => s"(CASE WHEN list_sum(list_transform(hh, h -> ((h >> $b) & 1)*2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)")
-        .mkString("CAST((", "\n      + ", ") AS BIGINT)")
       s"""WITH docs_aug AS ($docsAugSql),
          |hs AS (
          |  SELECT doc_id,
          |    list_transform(list_distinct(string_split(text, ' ')),
          |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hh
          |  FROM docs_aug),
-         |sim AS (SELECT doc_id, $simhash AS simhash FROM hs),
+         |sim AS (SELECT doc_id, ${simhashSqlExpr("hh")} AS simhash FROM hs),
          |bands AS (
          |  SELECT doc_id, simhash, band_i,
          |         (simhash >> (band_i * $SimBandBitsMax)) & ${(1 << SimBandBitsMax) - 1} AS band_v
@@ -489,18 +495,16 @@ object DedupOps {
       simhashPairs(s, dir, simBandBits(nDocs + nDocs / 10 + 1))
     },
 
-    // WIDE SimHash (120-bit signature, 8 bands) — the deployment path
-    // past the 60-bit family's N ~ 2^16 band-capacity ceiling (see the
-    // capacity math at the constants above). Distance is Hamming over
-    // both words; threshold 3 keeps pigeonhole-exact recall (3 bits
-    // cannot touch all 8 disjoint bands). The oracle bands at the fixed
-    // 15-bit max while the Spark side sizes bands from the corpus —
-    // same output either way (SimBandSpec).
+    // WIDE SimHash (120-bit signature, 4 PAIRED 30-bit band keys) —
+    // the deployment path past the 60-bit family's N ~ 2^16
+    // band-capacity ceiling (capacity math at the constants above).
+    // Distance is Hamming over both words; threshold 3 keeps
+    // pigeonhole-exact recall (a bit corrupts exactly one paired key,
+    // so 3 bits leave one of the 4 matching). The oracle bands at the
+    // fixed 15-bit max while the Spark side sizes bands from the
+    // corpus — same output either way (SimBandSpec).
     Q("dedup_simhash_wide", {
-      def simhashSql(c: String) = (0 until SimBits)
-        .map(b => s"(CASE WHEN list_sum(list_transform($c, h -> ((h >> $b) & 1)*2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)")
-        .mkString("CAST((", "\n      + ", ") AS BIGINT)")
-      val bandVals = (0 until 2 * SimBands).map(i => s"($i)").mkString(",")
+      val bandVals = (0 until SimBands).map(i => s"($i)").mkString(",")
       val mask = (1 << SimBandBitsMax) - 1
       s"""WITH docs_aug AS ($docsAugSql),
          |hs AS (
@@ -510,13 +514,11 @@ object DedupOps {
          |    list_transform(list_distinct(string_split(text, ' ')),
          |      t -> ('0x' || substr(md5('w2|' || t), 1, 15))::BIGINT) AS hh2
          |  FROM docs_aug),
-         |sim AS (SELECT doc_id, ${simhashSql("hh1")} AS s1, ${simhashSql("hh2")} AS s2 FROM hs),
+         |sim AS (SELECT doc_id, ${simhashSqlExpr("hh1")} AS s1, ${simhashSqlExpr("hh2")} AS s2 FROM hs),
          |bands AS (
          |  SELECT doc_id, s1, s2, band_i,
-         |    CASE WHEN band_i < $SimBands
-         |      THEN (s1 >> (band_i * $SimBandBitsMax)) & $mask
-         |      ELSE (s2 >> ((band_i - $SimBands) * $SimBandBitsMax)) & $mask
-         |    END AS band_v
+         |    ((s1 >> (band_i * $SimBandBitsMax)) & $mask) * ${mask + 1}
+         |      + ((s2 >> (band_i * $SimBandBitsMax)) & $mask) AS band_v
          |  FROM sim CROSS JOIN (VALUES $bandVals) t(band_i)),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Cols, OracleSql => O, Q, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampType}
@@ -18,6 +18,34 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampT
 object RelationalOps {
 
   private def ts(s: String) = lit(s).cast(TimestampType)
+
+  /** Customer balances ranked within segment (rn + group count) — the
+    * shared substrate of the exact ceil-rank percentile family
+    * (q_quantiles, q_winsorize), with its SQL twin, so the rank
+    * convention (order, tie-break, null filter) has ONE definition.
+    */
+  private def segRanked(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+    val wc = Window.partitionBy("c_mktsegment")
+    Tables.load(s, dir, "customer").filter(col("c_acctbal").isNotNull)
+      .select(col("c_mktsegment"), col("c_acctbal"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wc).as("cnt"))
+  }
+
+  private val segRankedSql =
+    """SELECT c_mktsegment, c_acctbal,
+      |         row_number() OVER (PARTITION BY c_mktsegment
+      |                            ORDER BY c_acctbal, c_custkey) AS rn,
+      |         count(*) OVER (PARTITION BY c_mktsegment) AS cnt
+      |  FROM customer WHERE c_acctbal IS NOT NULL""".stripMargin
+
+  /** Exact ceil-rank percentile selection over [[segRanked]]. */
+  private def pctAt(q: Double): Column = max(when(
+    col("rn") === greatest(lit(1L), ceil(lit(q) * col("cnt")).cast(LongType)),
+    col("c_acctbal")))
+
+  private def pctAtSql(q: String): String =
+    s"max(CASE WHEN rn = greatest(1, CAST(ceil($q * cnt) AS BIGINT)) THEN c_acctbal END)"
 
   val queries: Seq[Q] = Seq(
 
@@ -399,27 +427,15 @@ object RelationalOps {
     // so no engine-specific quantile semantics; one window pass plus a
     // conditional aggregation.
     Q("q_quantiles",
-      """SELECT c_mktsegment AS segment,
-        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * cnt) AS BIGINT)) THEN c_acctbal END) AS p25,
-        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.50 * cnt) AS BIGINT)) THEN c_acctbal END) AS p50,
-        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * cnt) AS BIGINT)) THEN c_acctbal END) AS p75
-        |FROM (
-        |  SELECT c_mktsegment, c_acctbal,
-        |         row_number() OVER (PARTITION BY c_mktsegment
-        |                            ORDER BY c_acctbal, c_custkey) AS rn,
-        |         count(*) OVER (PARTITION BY c_mktsegment) AS cnt
-        |  FROM customer WHERE c_acctbal IS NOT NULL) t
-        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
-      val c = Tables.load(s, dir, "customer").filter(col("c_acctbal").isNotNull)
-      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
-      val wc = Window.partitionBy("c_mktsegment")
-      def at(q: Double) = max(when(
-        col("rn") === greatest(lit(1L), ceil(lit(q) * col("cnt")).cast(LongType)),
-        col("c_acctbal")))
-      c.select(col("c_mktsegment"), col("c_acctbal"),
-        row_number().over(w).as("rn"), count(lit(1)).over(wc).as("cnt"))
+      s"""SELECT c_mktsegment AS segment,
+         |  ${pctAtSql("0.25")} AS p25,
+         |  ${pctAtSql("0.50")} AS p50,
+         |  ${pctAtSql("0.75")} AS p75
+         |FROM ($segRankedSql) t
+         |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      segRanked(s, dir)
         .groupBy(col("c_mktsegment").as("segment"))
-        .agg(at(0.25).as("p25"), at(0.50).as("p50"), at(0.75).as("p75"))
+        .agg(pctAt(0.25).as("p25"), pctAt(0.50).as("p50"), pctAt(0.75).as("p75"))
     },
 
     // ── winsorized (outlier-clamped) aggregation ────────────────────
@@ -431,16 +447,11 @@ object RelationalOps {
     // scan stage, and decimal-sums (order-independent, so the total is
     // bit-identical cross-engine).
     Q("q_winsorize",
-      s"""WITH r AS (
-         |  SELECT c_mktsegment, c_acctbal,
-         |         row_number() OVER (PARTITION BY c_mktsegment
-         |                            ORDER BY c_acctbal, c_custkey) AS rn,
-         |         count(*) OVER (PARTITION BY c_mktsegment) AS cnt
-         |  FROM customer WHERE c_acctbal IS NOT NULL),
+      s"""WITH r AS ($segRankedSql),
          |cuts AS (
          |  SELECT c_mktsegment AS segment,
-         |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * cnt) AS BIGINT)) THEN c_acctbal END) AS lo,
-         |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * cnt) AS BIGINT)) THEN c_acctbal END) AS hi
+         |    ${pctAtSql("0.05")} AS lo,
+         |    ${pctAtSql("0.95")} AS hi
          |  FROM r GROUP BY c_mktsegment)
          |SELECT segment, count(*) AS n,
          |  CAST(sum(CASE WHEN c_acctbal < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
@@ -450,15 +461,9 @@ object RelationalOps {
          |WHERE c_acctbal IS NOT NULL
          |GROUP BY segment""".stripMargin) { (s, dir) =>
       val c = Tables.load(s, dir, "customer").filter(col("c_acctbal").isNotNull)
-      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
-      val wc = Window.partitionBy("c_mktsegment")
-      def at(q: Double) = max(when(
-        col("rn") === greatest(lit(1L), ceil(lit(q) * col("cnt")).cast(LongType)),
-        col("c_acctbal")))
-      val cuts = c.select(col("c_mktsegment"), col("c_acctbal"),
-        row_number().over(w).as("rn"), count(lit(1)).over(wc).as("cnt"))
+      val cuts = segRanked(s, dir)
         .groupBy(col("c_mktsegment").as("segment"))
-        .agg(at(0.05).as("lo"), at(0.95).as("hi"))
+        .agg(pctAt(0.05).as("lo"), pctAt(0.95).as("hi"))
       c.join(broadcast(cuts), col("c_mktsegment") === col("segment"))
         .groupBy("segment")
         .agg(count(lit(1)).as("n"),

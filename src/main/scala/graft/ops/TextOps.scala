@@ -28,12 +28,17 @@ object TextOps {
   private[graft] val QualityMin = 0.44
 
   /** The 80/10/10 split assignment as a pure function of the document
-    * id — ONE definition for q_split_train, corpus_curate,
-    * curate_neardup and the streaming curation path.
+    * id — ONE definition (with its SQL twin) for q_split_train,
+    * corpus_curate, curate_neardup and the streaming curation path.
     */
   private[graft] def splitCol(docId: Column): Column = {
     val u = graft.Cols.unitHash(docId.cast("string"))
     when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+  }
+
+  private def splitSql(id: String): String = {
+    val u = graft.OracleSql.unitHash(s"CAST($id AS VARCHAR)")
+    s"CASE WHEN $u < 0.8 THEN 'train' WHEN $u < 0.9 THEN 'val' ELSE 'test' END"
   }
 
   /** Sequence-packing knobs: tokens per packed bin, and the number of
@@ -226,15 +231,11 @@ object TextOps {
     // the split is a pure function of the document id's hash (no RNG,
     // no engine-specific TABLESAMPLE), so any engine — and any re-run —
     // assigns every document to the same 80/10/10 bucket.
-    Q("q_split_train", {
-      val u = graft.OracleSql.unitHash("CAST(doc_id AS VARCHAR)")
+    Q("q_split_train",
       s"""SELECT split, lang, count(*) AS n FROM (
-         |  SELECT lang,
-         |    CASE WHEN $u < 0.8 THEN 'train'
-         |         WHEN $u < 0.9 THEN 'val' ELSE 'test' END AS split
+         |  SELECT lang, ${splitSql("doc_id")} AS split
          |  FROM documents) t
-         |GROUP BY split, lang""".stripMargin
-    }) { (s, dir) =>
+         |GROUP BY split, lang""".stripMargin) { (s, dir) =>
       docs(s, dir).select(col("lang"), splitCol(col("doc_id")).as("split"))
         .groupBy("split", "lang").agg(count(lit(1)).as("n"))
     },
@@ -454,7 +455,6 @@ object TextOps {
     // dedup_exact), so the dedup stage provably drops rows.
     Q("corpus_curate", {
       val toks = "string_split(text, ' ')"
-      val u = graft.OracleSql.unitHash("CAST(doc_id AS VARCHAR)")
       s"""WITH aug AS (
          |  ${DedupOps.dupAugSql(Seq("lang", "text"))}),
          |q AS (
@@ -464,10 +464,9 @@ object TextOps {
          |  FROM aug),
          |d AS (
          |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-         |  FROM q WHERE quality >= 0.44)
+         |  FROM q WHERE quality >= $QualityMin)
          |SELECT doc_id, lang, n_tokens, quality,
-         |  CASE WHEN $u < 0.8 THEN 'train'
-         |       WHEN $u < 0.9 THEN 'val' ELSE 'test' END AS split
+         |  ${splitSql("doc_id")} AS split
          |FROM d WHERE rn = 1""".stripMargin
     }) { (s, dir) =>
       val aug = DedupOps.dupAug(s, dir, Seq("lang", "text"))
@@ -492,21 +491,19 @@ object TextOps {
     // a real curation run is exactly this chain at 100 TB, where each
     // stage is the bucketed/one-shuffle shape proven by its own query.
     Q("curate_neardup", {
-      val u = graft.OracleSql.unitHash("CAST(doc_id AS VARCHAR)")
       s"""WITH pairs AS (${DedupOps.minhashPairsSql}),
          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
          |comp AS (WITH ${DedupOps.componentsSql("edges")}),
          |corpus AS (${DedupOps.docsAugSql})
          |SELECT doc_id, n_tokens, quality,
-         |  CASE WHEN $u < 0.8 THEN 'train'
-         |       WHEN $u < 0.9 THEN 'val' ELSE 'test' END AS split
+         |  ${splitSql("doc_id")} AS split
          |FROM (
          |  SELECT c.doc_id AS doc_id, text,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          |    $qualitySql AS quality
          |  FROM corpus c LEFT JOIN comp k ON c.doc_id = k.doc_id
          |  WHERE k.doc_id IS NULL OR k.component = c.doc_id) t
-         |WHERE quality >= 0.44""".stripMargin
+         |WHERE quality >= $QualityMin""".stripMargin
     }) { (s, dir) =>
       val comp = DedupOps.connectedComponents(
         DedupOps.minhashPairsDf(s, dir)
