@@ -145,6 +145,48 @@ object StatefulOps extends Serializable {
     }
   }
 
+  /** One live count-min cell snapshot: hash row j, bucket, running
+    * count.
+    */
+  final case class CmsCell(j: Int, bucket: Long, n: Long)
+
+  /** Scalar twin of the batch CMS bucket hash (Cols.hex60 of
+    * "cms{j}|{token}" mod width) — byte-identical md5 semantics, so the
+    * streaming grid lands tokens in exactly the cells the batch
+    * q_sketch_cms grid uses.
+    */
+  def cmsBucket(token: String, j: Int, width: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"cms$j|$token".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % width
+  }
+
+  /** Streaming count-min monitor — the ingestion-time face of the batch
+    * `q_sketch_cms` operator: each token increments its `depth` grid
+    * cells; every trigger re-emits the touched cells' running counts.
+    * State is one long per cell, bounded by depth x width FOREVER
+    * (3 x 1024 by default) regardless of stream volume — the defining
+    * property of a sketch, preserved verbatim in streaming form. A
+    * downstream consumer estimates any token's frequency as the min
+    * over its cells, identically to the batch probe
+    * (StreamingCmsSpec asserts grid equality).
+    */
+  def cmsMonitor(
+      tokens: Dataset[String], width: Int = 1024, depth: Int = 3): Dataset[CmsCell] = {
+    import tokens.sparkSession.implicits._
+    require(width > 0 && depth > 0, s"invalid grid ${depth}x$width")
+    tokens
+      .flatMap(t => (0 until depth).map(j => (j, cmsBucket(t, j, width))))
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), it: Iterator[(Int, Long)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + it.size
+          state.update(n)
+          Iterator(CmsCell(key._1, key._2, n))
+      }
+  }
+
   /** One packing-input document: its token count plus the (lang, shard)
     * stream it packs into.
     */
