@@ -345,6 +345,53 @@ object EventOps {
           graft.Cols.dsum(col("value")).as("total"))
     },
 
+    // ── per-user daily anomaly detection (z-score outliers) ─────────
+    // Days whose spend deviates >= 2 sigma from the user's own
+    // day-total distribution — the metric-drift alarm of an event
+    // pipeline. Determinism discipline: day totals and both moments
+    // accumulate in DECIMAL (order-independent, the q_stats_cov
+    // pattern); mean/variance/z are then a FIXED sequence of IEEE ops
+    // (sqrt is correctly rounded), so both engines produce the
+    // identical doubles. Scale shape: two hash aggs (user-day, then
+    // user) + one join back — no windows over the raw stream.
+    Q("q_events_anomaly", {
+      val decTot = "CAST(day_total AS DECIMAL(18,2))"
+      s"""WITH dt AS (
+         |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         |         ${O.dsum("value")} AS day_total
+         |  FROM events GROUP BY 1, 2),
+         |m AS (
+         |  SELECT user_id, n_days, mean, ssq / n_days - mean * mean AS var_pop FROM (
+         |    SELECT user_id, count(*) AS n_days,
+         |      CAST(sum($decTot) AS DOUBLE) / count(*) AS mean,
+         |      CAST(sum($decTot * $decTot) AS DOUBLE) AS ssq
+         |    FROM dt GROUP BY user_id) t)
+         |SELECT user_id, d, day_total, z FROM (
+         |  SELECT dt.user_id, d, day_total,
+         |    (day_total - mean) / sqrt(var_pop) AS z
+         |  FROM dt JOIN m ON dt.user_id = m.user_id
+         |  WHERE n_days >= 5 AND var_pop > 0) t
+         |WHERE abs(z) >= 2.0""".stripMargin
+    }) { (s, dir) =>
+      val dec = (c: Column) => c.cast(DecimalType(18, 2))
+      val dt = events(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(graft.Cols.dsum(col("value")).as("day_total"))
+        .persist()
+      val n = count(lit(1))
+      val m = dt.groupBy("user_id")
+        .agg(n.as("n_days"),
+          (sum(dec(col("day_total"))).cast(DoubleType) / n).as("mean"),
+          sum(dec(col("day_total")) * dec(col("day_total"))).cast(DoubleType).as("ssq"))
+        .select(col("user_id"), col("n_days"), col("mean"),
+          (col("ssq") / col("n_days") - col("mean") * col("mean")).as("var_pop"))
+      val z = (col("day_total") - col("mean")) / sqrt(col("var_pop"))
+      dt.join(m, "user_id")
+        .filter(col("n_days") >= 5 && col("var_pop") > 0)
+        .select(col("user_id"), col("d"), col("day_total"), z.as("z"))
+        .filter(abs(col("z")) >= 2.0)
+    },
+
     // ── windowed trending top-k ─────────────────────────────────────
     // Top-3 event types per day by volume — the "what's trending this
     // window" leaderboard. Scale shape: one hash agg to (window, type)
