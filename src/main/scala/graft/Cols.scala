@@ -40,6 +40,23 @@ object Cols {
 
   /** hex60 scaled to a uniform double in [0, 1). 2^60 = 1152921504606846976. */
   def unitHash(c: Column): Column = hex60(c) / lit(1.152921504606846976e18)
+
+  private val md5Tl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Scalar JVM twin of [[hex60]] — THE single driver/executor-side
+    * implementation (VectorFns plane weights, streaming cmsBucket):
+    * the md5 digest's first 15 hex chars are its first 8 bytes
+    * big-endian with the lowest nibble dropped, computed numerically
+    * (no hex-string round trip) on a thread-local digest.
+    */
+  def hex60Scalar(s: String): Long = {
+    val d = md5Tl.get().digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
 }
 
 /** DuckDB-dialect twins of [[Cols]], used to build `SparkEntry.oracleSql`.

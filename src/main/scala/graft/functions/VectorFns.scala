@@ -28,12 +28,8 @@ object VectorFns {
   /** md5(s) first 60 bits -> [0,1) -> signed [-1,1); same formula as
     * Cols.unitHash but evaluated at plan-build time.
     */
-  def md5Signed(s: String): Double = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16) / 1.152921504606846976e18 * 2 - 1
-  }
+  def md5Signed(s: String): Double =
+    graft.Cols.hex60Scalar(s) / 1.152921504606846976e18 * 2 - 1
 
   /** Random-hyperplane weights, w(plane)(dim), deterministic. */
   val planes: IndexedSeq[IndexedSeq[Double]] =

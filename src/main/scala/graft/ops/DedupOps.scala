@@ -148,11 +148,6 @@ object DedupOps {
   private def jaccardSql(a: String, b: String): String =
     s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / (len($a) + len($b) - len(list_intersect($a, $b)))"
 
-  /** SimHash near-dup pairs at Hamming <= 3 over the augmented corpus,
-    * with candidate generation banded at `bandBits` bits per band.
-    * Factored out of the query so SimBandSpec can assert the output is
-    * band-width invariant (the exact-recall pigeonhole argument above).
-    */
   /** Shared banding/join/filter core for both SimHash families. `sim`
     * carries doc_id plus one 60-bit signature column per WORD; a doc
     * lands in SimBands buckets, each keyed by the i-th band of EVERY
@@ -206,6 +201,11 @@ object DedupOps {
       graft.functions.SimHashExpr(
         org.apache.spark.sql.GraftColumnShim.expression(col(c)), SimBits))
 
+  /** 60-bit SimHash near-dup pairs at Hamming <= 3 over the augmented
+    * corpus, banded at `bandBits` bits. Factored out of the query so
+    * SimBandSpec can assert the output is band-width invariant (the
+    * exact-recall pigeonhole argument in [[simhashPairsCore]]).
+    */
   private[graft] def simhashPairs(s: SparkSession, dir: String, bandBits: Int): DataFrame = {
     val hs = docsAug(s, dir).select(col("doc_id"),
       transform(array_distinct(split(col("text"), " ")), t => Cols.hex60(t)).as("hh"))

@@ -150,17 +150,14 @@ object StatefulOps extends Serializable {
     */
   final case class CmsCell(j: Int, bucket: Long, n: Long)
 
-  /** Scalar twin of the batch CMS bucket hash (Cols.hex60 of
-    * "cms{j}|{token}" mod width) — byte-identical md5 semantics, so the
-    * streaming grid lands tokens in exactly the cells the batch
-    * q_sketch_cms grid uses.
+  /** The batch CMS bucket hash (Cols.hex60 of "cms{j}|{token}" mod
+    * width) via the shared scalar twin [[graft.Cols.hex60Scalar]] —
+    * byte-identical md5 semantics, so the streaming grid lands tokens
+    * in exactly the cells the batch q_sketch_cms grid uses, at
+    * per-record cost (thread-local digest, no hex-string round trip).
     */
-  def cmsBucket(token: String, j: Int, width: Int): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"cms$j|$token".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16) % width
-  }
+  def cmsBucket(token: String, j: Int, width: Int): Long =
+    graft.Cols.hex60Scalar(s"cms$j|$token") % width
 
   /** Streaming count-min monitor — the ingestion-time face of the batch
     * `q_sketch_cms` operator: each token increments its `depth` grid

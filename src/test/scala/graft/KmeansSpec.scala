@@ -36,11 +36,13 @@ class KmeansSpec extends AnyFunSuite with SparkSessionTestWrapper {
     vs.map(v => cents.map(c => cos(v, c._2)).max).sum / vs.size
 
   test("Lloyd step emits the reference means and improves the objective") {
+    // exact float->double widening, matching the query's array CAST —
+    // a toString->parse round trip would drift up to ~1e-8 per element
     val vecs = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => r.getAs[Long]("vec_id") ->
-        r.getSeq[Any](1).map(x => x.toString.toDouble).toArray)
+        r.getSeq[Float](1).map(_.toDouble).toArray)
       .sortBy(_._1)
     val c0 = vecs.take(K).map { case (id, v) => (id, v) }.toSeq
 

@@ -39,7 +39,7 @@ class SimBandSpec extends AnyFunSuite with SparkSessionTestWrapper {
     spark.catalog.clearCache()
   }
 
-  test("120-bit wide pair set is invariant to band width (8-band pigeonhole)") {
+  test("120-bit wide pair set is invariant to band width (4 paired-key pigeonhole)") {
     def pairs(bits: Int): Set[(Long, Long, Long)] =
       DedupOps.simhashPairsWide(spark, dir, bits).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
