@@ -116,6 +116,42 @@ object MultimodalOps {
           fnorm.as("fnorm"): _*)
     },
 
+    // Inference micro-batching: the sampled frames assembled into
+    // fixed-size batches of 32 for a model/decoder to consume (the
+    // stage that feeds decodeFrames' partition-parallel codec slot).
+    // Batching is per shard (doc_id % 8) so batch assembly is
+    // partition-parallel at any corpus size — the same sharding
+    // argument as text_seq_pack; within a shard, frames batch in
+    // deterministic (doc_id, frame_idx) order. All-integer window
+    // arithmetic — bit-identical cross-engine.
+    Q("mm_batch_pack",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT), 4)) AS frame_idx
+        |  FROM documents WHERE octet_length(encode(text)) > 0)
+        |SELECT doc_id, frame_idx, shard,
+        |  CAST(floor((rn - 1) / 32.0) AS BIGINT) AS batch_id,
+        |  (rn - 1) % 32 AS batch_pos
+        |FROM (
+        |  SELECT doc_id, frame_idx, doc_id % 8 AS shard,
+        |    row_number() OVER (PARTITION BY doc_id % 8
+        |                       ORDER BY doc_id, frame_idx) AS rn
+        |  FROM f) t""".stripMargin) { (s, dir) =>
+      val nBytes = expr("octet_length(text)").cast(LongType)
+      val nFrames = ceil(nBytes / lit(16.0)).cast(LongType)
+      val f = Tables.load(s, dir, "documents")
+        .filter(nBytes > 0)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), nFrames - 1, lit(4L))).as("frame_idx"),
+          (col("doc_id") % 8).as("shard"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy(col("doc_id"), col("frame_idx"))
+      f.withColumn("rn", row_number().over(w).cast(LongType))
+        .select(col("doc_id"), col("frame_idx"), col("shard"),
+          floor((col("rn") - 1) / lit(32.0)).cast(LongType).as("batch_id"),
+          ((col("rn") - 1) % 32).as("batch_pos"))
+    },
+
     // Frame sampling: every 4th 16-byte frame of each payload, exploded
     // to one row per sampled frame (the distributed shape a video
     // frame-sampler produces).
