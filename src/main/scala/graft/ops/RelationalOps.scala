@@ -622,6 +622,27 @@ object RelationalOps {
            |WHERE c_acctbal > (SELECT ${O.davg("c_acctbal")} FROM graft_customer_sq)""".stripMargin)
     },
 
+    // ── correlated LATERAL top-k join ───────────────────────────────
+    // Per-nation top-2 customers by balance via a LATERAL correlated
+    // derived table — the "top-k per outer row" SQL surface, distinct
+    // from the window formulation (q_topk_agg): here the subquery is
+    // correlated and Catalyst DECORRELATES it into a ranked join
+    // rather than running per-row. Deterministic order by
+    // (c_acctbal DESC, c_custkey).
+    Q("q_lateral_topk",
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "nation").createOrReplaceTempView("graft_nation_lat")
+      Tables.load(s, dir, "customer").createOrReplaceTempView("graft_customer_lat")
+      s.sql(
+        """SELECT n.n_name, t.c_custkey, t.c_acctbal FROM graft_nation_lat n,
+          |LATERAL (SELECT c_custkey, c_acctbal FROM graft_customer_lat c
+          |         WHERE c.c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
+    },
+
     // ── correlated-inequality EXISTS ────────────────────────────────
     // The correlated-predicate shape q_semi_join doesn't cover: the
     // subquery references the OUTER row's value in an inequality
