@@ -643,6 +643,35 @@ object RelationalOps {
           |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
     },
 
+    // ── recursive CTE (bounded hierarchy walk) ──────────────────────
+    // Spark 4's WITH RECURSIVE surface, exercised on an acyclic
+    // halving hierarchy (parent = floor(id/2), a binary org-chart
+    // walk): every ancestor of the first 64 docs with its depth.
+    // Spark recursion supports only UNION ALL, so this stays
+    // terminating-by-construction; CYCLIC closures (the dedup graph)
+    // deliberately stay on the iterative DataFrame path
+    // (DedupOps.connectedComponents) because UNION-dedup recursion is
+    // not available — that boundary is the design note here.
+    // floor(x / 2.0) instead of integer division: DuckDB `//` and
+    // Spark `DIV` spell integer division differently, while the
+    // double floor is identical text and exact for these magnitudes.
+    Q("q_recursive_hierarchy",
+      """WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+        |  SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM documents WHERE doc_id < 64
+        |  UNION ALL
+        |  SELECT doc_id, CAST(floor(anc_id / 2.0) AS BIGINT), depth + 1
+        |  FROM anc WHERE anc_id > 0)
+        |SELECT doc_id, anc_id, depth FROM anc""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents").createOrReplaceTempView("graft_docs_rec")
+      s.sql(
+        """WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+          |  SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM graft_docs_rec WHERE doc_id < 64
+          |  UNION ALL
+          |  SELECT doc_id, CAST(floor(anc_id / 2.0) AS BIGINT), depth + 1
+          |  FROM anc WHERE anc_id > 0)
+          |SELECT doc_id, anc_id, depth FROM anc""".stripMargin)
+    },
+
     // ── correlated-inequality EXISTS ────────────────────────────────
     // The correlated-predicate shape q_semi_join doesn't cover: the
     // subquery references the OUTER row's value in an inequality
