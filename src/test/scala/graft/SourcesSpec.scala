@@ -2,7 +2,7 @@ package graft
 
 import graft.io._
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, date_format, input_file_name}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -76,6 +76,29 @@ class SourcesSpec extends AnyFunSuite with SparkSessionTestWrapper {
       got.select(col("length").as("doc_id"), col("content"))
         .as[graft.ops.MultimodalOps.MediaRow], stride = 1)
     assert(frames.count() === 2) // both payloads < 16 bytes -> 1 frame each
+  }
+
+  test("hive-partitioned layout: partition filters prune at the scan, not after it") {
+    // the production layout for a date-partitioned 100 TB corpus:
+    // dt=YYYY-MM-DD directories; a dt predicate must become a
+    // PartitionFilter (directories never listed), NOT a data filter
+    // (files read then discarded)
+    val dir = s"$root/partitioned-events"
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("dt").parquet(dir)
+    val nDays = spark.read.parquet(dir).select("dt").distinct().count()
+    assert(nDays > 1, "fixture must span multiple partitions")
+
+    val pruned = spark.read.parquet(dir).filter(col("dt") === "2024-01-03")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(dt"),
+      s"dt predicate did not become a partition filter:\n$plan")
+    // the pruned scan must touch exactly one partition's files
+    val scannedFiles = pruned.select(input_file_name()).distinct().collect()
+    assert(scannedFiles.nonEmpty)
+    assert(scannedFiles.forall(_.getString(0).contains("dt=2024-01-03")),
+      "scan read files outside the selected partition")
   }
 
   test("pipeline runs with mixed source formats (jsonl primary, orc secondary)") {
