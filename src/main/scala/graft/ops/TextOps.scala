@@ -579,6 +579,49 @@ object TextOps {
           ((col("cum") - col("n_tokens")) % PackBudget).as("bin_off"))
     },
 
+    // ── packing tail compaction plan ────────────────────────────────
+    // Sharded packing leaves <= one partially-filled tail bin per
+    // (lang, shard) stream (the runbook's stated trade-off); this is
+    // the second-phase plan that repacks those tails per language into
+    // full bins — the same concat-and-chunk formula telescoped one
+    // level up, over a shard-count-sized relation (40 rows here, never
+    // corpus-sized). A stream whose total is an exact bin multiple has
+    // no tail and is absent. All-BIGINT arithmetic.
+    Q("q_pack_compact", {
+      val toks = "string_split(text, ' ')"
+      s"""WITH t AS (
+         |  SELECT lang, doc_id % $PackShards AS shard,
+         |         CAST(sum(len($toks)) AS BIGINT) AS total
+         |  FROM documents GROUP BY lang, doc_id % $PackShards),
+         |tails AS (
+         |  SELECT lang, shard, total % $PackBudget AS fill FROM t
+         |  WHERE total % $PackBudget > 0),
+         |c AS (
+         |  SELECT lang, shard, fill,
+         |    sum(fill) OVER (PARTITION BY lang ORDER BY shard
+         |                    ROWS UNBOUNDED PRECEDING) AS cumf
+         |  FROM tails)
+         |SELECT lang, shard, fill,
+         |  CAST(floor((cumf - fill) / ${PackBudget}.0) AS BIGINT) AS merge_group,
+         |  (cumf - fill) % $PackBudget AS merge_off
+         |FROM c""".stripMargin
+    }) { (s, dir) =>
+      val t = docs(s, dir)
+        .groupBy(col("lang"), (col("doc_id") % PackShards).as("shard"))
+        .agg(sum(size(tokens(col("text"))).cast(LongType)).as("total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("shard")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t.select(col("lang"), col("shard"), (col("total") % PackBudget).as("fill"))
+        .filter(col("fill") > 0)
+        .withColumn("cumf", sum("fill").over(w))
+        .select(col("lang"), col("shard"), col("fill"),
+          floor((col("cumf") - col("fill")) / lit(PackBudget.toDouble))
+            .cast(LongType).as("merge_group"),
+          ((col("cumf") - col("fill")) % PackBudget).as("merge_off"))
+    },
+
     // ── benchmark decontamination (n-gram overlap flagging) ─────────
     // The eval-leak guard every training corpus needs: any document
     // sharing a word 3-gram with the benchmark set is flagged with its
