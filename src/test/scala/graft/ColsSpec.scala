@@ -11,9 +11,10 @@ class ColsSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("hex60Scalar equals the hex60 column chain on corpus tokens and edge strings") {
     import spark.implicits._
+    // deterministic 200-token sample, limited BEFORE the collect
     val tokens = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(explode(split(col("text"), " ")).as("s"))
-      .as[String].distinct().collect().take(200).toSeq
+      .as[String].distinct().orderBy("s").limit(200).collect().toSeq
     val edges = Seq("", "a", "w2|x", "cms0|the", "0", " ", "héllo", "é中")
     val all = (tokens ++ edges).distinct
     val viaColumn = all.toDF("s")

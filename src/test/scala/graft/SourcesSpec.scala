@@ -87,17 +87,21 @@ class SourcesSpec extends AnyFunSuite with SparkSessionTestWrapper {
     Tables.load(spark, "/root/testdata/sf0.001", "events")
       .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
       .write.mode("overwrite").partitionBy("dt").parquet(dir)
-    val nDays = spark.read.parquet(dir).select("dt").distinct().count()
-    assert(nDays > 1, "fixture must span multiple partitions")
+    // partition-column type inference reads dt back as DATE — cast for
+    // the string comparisons below
+    val days = spark.read.parquet(dir).select(col("dt").cast("string"))
+      .distinct().orderBy("dt").collect().map(_.getString(0))
+    assert(days.length > 1, "fixture must span multiple partitions")
+    val day = days.head // derived from the written data, not hardcoded
 
-    val pruned = spark.read.parquet(dir).filter(col("dt") === "2024-01-03")
+    val pruned = spark.read.parquet(dir).filter(col("dt") === day)
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(dt"),
       s"dt predicate did not become a partition filter:\n$plan")
     // the pruned scan must touch exactly one partition's files
     val scannedFiles = pruned.select(input_file_name()).distinct().collect()
     assert(scannedFiles.nonEmpty)
-    assert(scannedFiles.forall(_.getString(0).contains("dt=2024-01-03")),
+    assert(scannedFiles.forall(_.getString(0).contains(s"dt=$day")),
       "scan read files outside the selected partition")
   }
 
