@@ -392,6 +392,37 @@ object EventOps {
         .filter(abs(col("z")) >= 2.0)
     },
 
+    // ── moving median (order statistics over a sliding frame) ───────
+    // Per-user 3-day moving median of daily spend — the robust
+    // smoothing counterpart of a moving average (one outlier day
+    // cannot drag it). The frame's values are collected, sorted, and
+    // the lower median picked — exact order statistics, not an
+    // approximate percentile (whose sketches differ across engines).
+    // Frame size is a CONSTANT 3, so the per-row list never grows with
+    // data volume; day totals are decimal-exact first (dsum), making
+    // the sort and pick bit-identical cross-engine.
+    Q("q_window_median",
+      s"""WITH dt AS (
+         |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         |         ${O.dsum("value")} AS day_total
+         |  FROM events GROUP BY 1, 2)
+         |SELECT user_id, d, day_total,
+         |  l[CAST(ceil(len(l) / 2.0) AS INT)] AS med3
+         |FROM (
+         |  SELECT user_id, d, day_total,
+         |    list_sort(list(day_total) OVER (PARTITION BY user_id ORDER BY d
+         |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS l
+         |  FROM dt) t""".stripMargin) { (s, dir) =>
+      val dt = events(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(graft.Cols.dsum(col("value")).as("day_total"))
+      val w = Window.partitionBy("user_id").orderBy("d").rowsBetween(-2, 0)
+      dt.withColumn("l", array_sort(collect_list("day_total").over(w)))
+        .select(col("user_id"), col("d"), col("day_total"),
+          element_at(col("l"),
+            ceil(size(col("l")) / lit(2.0)).cast("int")).as("med3"))
+    },
+
     // ── windowed trending top-k ─────────────────────────────────────
     // Top-3 event types per day by volume — the "what's trending this
     // window" leaderboard. Scale shape: one hash agg to (window, type)
