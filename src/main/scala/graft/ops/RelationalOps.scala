@@ -643,6 +643,39 @@ object RelationalOps {
           |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
     },
 
+    // ── SCD2 change extraction (validity ranges) ────────────────────
+    // The slowly-changing-dimension shape: per customer, each change
+    // of order status opens a validity interval [valid_from, valid_to)
+    // closed by the next change (NULL = current). Two navigation
+    // windows over one shuffle on the entity key — the standard CDC
+    // compaction of an event log into dimension history. Deterministic
+    // order by (date, key); every 20th customer keeps the output
+    // review-sized at gate scale.
+    Q("q_scd2_ranges",
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |         lag(o_orderstatus) OVER w AS prev
+        |  FROM orders WHERE o_custkey % 20 = 0
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |chg AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus FROM o
+        |  WHERE prev IS NULL OR prev <> o_orderstatus)
+        |SELECT o_custkey, o_orderstatus,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w2 AS valid_to
+        |FROM chg
+        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val chg = Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") % 20 === 0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"),
+          lag("o_orderstatus", 1).over(w).as("prev"))
+        .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+      chg.select(col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate").as("valid_from"),
+        lead("o_orderdate", 1).over(w).as("valid_to"))
+    },
+
     // ── recursive CTE (bounded hierarchy walk) ──────────────────────
     // Spark 4's WITH RECURSIVE surface, exercised on an acyclic
     // halving hierarchy (parent = floor(id/2), a binary org-chart
