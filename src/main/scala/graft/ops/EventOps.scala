@@ -392,6 +392,41 @@ object EventOps {
         .filter(abs(col("z")) >= 2.0)
     },
 
+    // ── calendar gap filling (date-spine densification) ─────────────
+    // Every user gets a COMPLETE daily series across their active
+    // span, with missing days filled as zero and flagged — the date
+    // spine every reporting/training-feature pipeline builds before
+    // windowed features (a moving average over a gappy series is
+    // silently wrong). Scale shape: the spine explodes one row per
+    // user-day (bounded by span, not events) and joins back on the
+    // (user, day) key; every 25th user keeps gate output review-sized.
+    Q("q_events_gap_fill",
+      s"""WITH dt AS (
+         |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         |         ${O.dsum("value")} AS day_total
+         |  FROM events WHERE user_id % 25 = 0 GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM dt GROUP BY user_id),
+         |spine AS (
+         |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+         |  FROM span)
+         |SELECT s.user_id, s.d,
+         |  COALESCE(day_total, 0.0) AS day_total,
+         |  (day_total IS NULL) AS filled
+         |FROM spine s LEFT JOIN dt ON s.user_id = dt.user_id AND s.d = dt.d""".stripMargin) { (s, dir) =>
+      val dt = events(s, dir)
+        .filter(col("user_id") % 25 === 0)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(graft.Cols.dsum(col("value")).as("day_total"))
+        .persist()
+      val spine = dt.groupBy("user_id").agg(min("d").as("lo"), max("d").as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("d"))
+      spine.join(dt, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d"),
+          coalesce(col("day_total"), lit(0.0)).as("day_total"),
+          col("day_total").isNull.as("filled"))
+    },
+
     // ── moving median (order statistics over a sliding frame) ───────
     // Per-user 3-day moving median of daily spend — the robust
     // smoothing counterpart of a moving average (one outlier day
