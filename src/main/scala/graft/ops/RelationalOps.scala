@@ -643,6 +643,29 @@ object RelationalOps {
           |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
     },
 
+    // ── fixed-width histogram (distribution profiling) ──────────────
+    // 12 x 50k bins over order value with per-bin extrema — the
+    // distribution profile a data-quality pass renders. The bin
+    // function is explicit floor arithmetic (not an engine-specific
+    // width_bucket, which DuckDB lacks): one exact double division +
+    // floor, clamped to the last bin — identical everywhere. One
+    // map-side-combinable hash agg at any scale.
+    Q("q_histogram",
+      """SELECT bucket, count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM (
+        |  SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1, 12) AS bucket,
+        |         o_totalprice
+        |  FROM orders WHERE o_totalprice IS NOT NULL) t
+        |GROUP BY bucket""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull)
+        .select(least(floor(col("o_totalprice") / 50000.0).cast(LongType) + 1, lit(12L))
+          .as("bucket"), col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    },
+
     // ── SCD2 change extraction (validity ranges) ────────────────────
     // The slowly-changing-dimension shape: per customer, each change
     // of order status opens a validity interval [valid_from, valid_to)
