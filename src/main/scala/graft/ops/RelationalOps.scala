@@ -480,8 +480,11 @@ object RelationalOps {
     // arithmetic is the identical sequence in both engines.
     Q("q_stats_cov", {
       def dsum38(x: String) = s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+      // VARCHAR route for the product sum: its base-unit count crosses
+      // 2^53 at larger scale factors, where DuckDB's direct
+      // decimal->double double-rounds (see q_corr)
       val sxy =
-        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
       s"""SELECT l_returnflag,
          |  count(*) AS n,
          |  ($sxy / count(*)) - (${dsum38("l_quantity")} / count(*)) * (${dsum38("l_extendedprice")} / count(*)) AS cov_pop
@@ -495,6 +498,45 @@ object RelationalOps {
       val sxy = sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).cast(DoubleType)
       li.groupBy("l_returnflag")
         .agg(n.as("n"), ((sxy / n) - (sx / n) * (sy / n)).as("cov_pop"))
+    },
+
+    // ── Pearson correlation from decimal sums ───────────────────────
+    // corr(quantity, price) per return flag, extending q_stats_cov's
+    // discipline to the normalized statistic: every moment is an
+    // order-independent decimal sum, and mean/cov/sigma/r are then a
+    // FIXED sequence of IEEE ops (sqrt correctly rounded) — identical
+    // doubles on both engines, where Spark's corr() accumulates
+    // co-moments in partition-order-dependent doubles.
+    Q("q_corr", {
+      def dsum(x: String) = s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+      // product sums exceed 2^53 base-units: DuckDB's direct
+      // decimal->double double-rounds there, while the VARCHAR route is
+      // correctly rounded and matches Spark's BigDecimal.doubleValue
+      val sxy = "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+      val sxx = "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+      val syy = "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+      s"""SELECT l_returnflag, n, cov_pop / (sqrt(var_x) * sqrt(var_y)) AS r FROM (
+         |  SELECT l_returnflag, count(*) AS n,
+         |    ($sxy / count(*)) - (${dsum("l_quantity")} / count(*)) * (${dsum("l_extendedprice")} / count(*)) AS cov_pop,
+         |    ($sxx / count(*)) - (${dsum("l_quantity")} / count(*)) * (${dsum("l_quantity")} / count(*)) AS var_x,
+         |    ($syy / count(*)) - (${dsum("l_extendedprice")} / count(*)) * (${dsum("l_extendedprice")} / count(*)) AS var_y
+         |  FROM lineitem GROUP BY l_returnflag) t""".stripMargin
+    }) { (s, dir) =>
+      val dec = (c: Column) => c.cast(DecimalType(18, 2))
+      val li = Tables.load(s, dir, "lineitem")
+      val n = count(lit(1))
+      val sx = sum(dec(col("l_quantity"))).cast(DoubleType)
+      val sy = sum(dec(col("l_extendedprice"))).cast(DoubleType)
+      val sxy = sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).cast(DoubleType)
+      val sxx = sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast(DoubleType)
+      val syy = sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).cast(DoubleType)
+      li.groupBy("l_returnflag")
+        .agg(n.as("n"),
+          ((sxy / n) - (sx / n) * (sy / n)).as("cov_pop"),
+          ((sxx / n) - (sx / n) * (sx / n)).as("var_x"),
+          ((syy / n) - (sy / n) * (sy / n)).as("var_y"))
+        .select(col("l_returnflag"), col("n"),
+          (col("cov_pop") / (sqrt(col("var_x")) * sqrt(col("var_y")))).as("r"))
     },
 
     // ── column profiling ────────────────────────────────────────────
