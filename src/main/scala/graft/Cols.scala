@@ -63,12 +63,27 @@ object Cols {
   * Keep the two objects in lock-step: any drift breaks the hash compare.
   */
 object OracleSql {
-  def dsum(x: String): String = s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+  // Decimal sums surface as double via a string round trip, NOT a
+  // direct CAST(... AS DOUBLE): past 2^53 base units DuckDB's direct
+  // conversion scales the unit count in floating point and
+  // double-rounds 1 ulp off the JVM's correctly-rounded
+  // BigDecimal.doubleValue, while parsing the exact decimal string is
+  // correctly rounded in both engines. Below 2^53 the two routes are
+  // identical, so this is purely a large-scale-factor hardening.
+  def dsum(x: String): String =
+    s"CAST(CAST(sum(CAST($x AS DECIMAL(18,2))) AS STRING) AS DOUBLE)"
   def davg(x: String): String = s"(${dsum(x)} / count($x))"
   def revenue(price: String, rate: String): String =
     s"(CAST($price AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST($rate AS DECIMAL(12,2))))"
   def rsum(price: String, rate: String): String =
-    s"CAST(sum(${revenue(price, rate)}) AS DOUBLE)"
+    s"CAST(CAST(sum(${revenue(price, rate)}) AS STRING) AS DOUBLE)"
+
+  /** Exact decimal co-moment sum sum(x*y) surfaced as double — the
+    * product units cross 2^53 well before the plain sums do, so the
+    * string route matters here first (q_stats_cov, q_corr).
+    */
+  def dprodsum(x: String, y: String): String =
+    s"CAST(CAST(sum(CAST($x AS DECIMAL(18,2)) * CAST($y AS DECIMAL(18,2))) AS STRING) AS DOUBLE)"
   def hex60(x: String): String = s"(('0x' || substr(md5($x), 1, 15))::BIGINT)"
   def unitHash(x: String): String = s"(${hex60(x)} / 1152921504606846976.0)"
 }

@@ -479,15 +479,10 @@ object RelationalOps {
     // (37,4) — which are order-independent, so the final double
     // arithmetic is the identical sequence in both engines.
     Q("q_stats_cov", {
-      def dsum38(x: String) = s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
-      // VARCHAR route for the product sum: its base-unit count crosses
-      // 2^53 at larger scale factors, where DuckDB's direct
-      // decimal->double double-rounds (see q_corr)
-      val sxy =
-        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+      val sxy = O.dprodsum("l_quantity", "l_extendedprice")
       s"""SELECT l_returnflag,
          |  count(*) AS n,
-         |  ($sxy / count(*)) - (${dsum38("l_quantity")} / count(*)) * (${dsum38("l_extendedprice")} / count(*)) AS cov_pop
+         |  ($sxy / count(*)) - (${O.dsum("l_quantity")} / count(*)) * (${O.dsum("l_extendedprice")} / count(*)) AS cov_pop
          |FROM lineitem GROUP BY l_returnflag""".stripMargin
     }) { (s, dir) =>
       val dec = (c: Column) => c.cast(DecimalType(18, 2))
@@ -508,19 +503,21 @@ object RelationalOps {
     // doubles on both engines, where Spark's corr() accumulates
     // co-moments in partition-order-dependent doubles.
     Q("q_corr", {
-      def dsum(x: String) = s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
-      // product sums exceed 2^53 base-units: DuckDB's direct
-      // decimal->double double-rounds there, while the VARCHAR route is
-      // correctly rounded and matches Spark's BigDecimal.doubleValue
-      val sxy = "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
-      val sxx = "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
-      val syy = "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+      val sxy = O.dprodsum("l_quantity", "l_extendedprice")
+      val sxx = O.dprodsum("l_quantity", "l_quantity")
+      val syy = O.dprodsum("l_extendedprice", "l_extendedprice")
+      // var > 0 guard: a constant column gives var = 0 where Spark's
+      // non-ANSI divide yields NULL but DuckDB yields Inf/NaN (and an
+      // epsilon-negative variance would make DuckDB's sqrt THROW) —
+      // degenerate groups are excluded on both sides, like
+      // q_events_anomaly
       s"""SELECT l_returnflag, n, cov_pop / (sqrt(var_x) * sqrt(var_y)) AS r FROM (
          |  SELECT l_returnflag, count(*) AS n,
-         |    ($sxy / count(*)) - (${dsum("l_quantity")} / count(*)) * (${dsum("l_extendedprice")} / count(*)) AS cov_pop,
-         |    ($sxx / count(*)) - (${dsum("l_quantity")} / count(*)) * (${dsum("l_quantity")} / count(*)) AS var_x,
-         |    ($syy / count(*)) - (${dsum("l_extendedprice")} / count(*)) * (${dsum("l_extendedprice")} / count(*)) AS var_y
-         |  FROM lineitem GROUP BY l_returnflag) t""".stripMargin
+         |    ($sxy / count(*)) - (${O.dsum("l_quantity")} / count(*)) * (${O.dsum("l_extendedprice")} / count(*)) AS cov_pop,
+         |    ($sxx / count(*)) - (${O.dsum("l_quantity")} / count(*)) * (${O.dsum("l_quantity")} / count(*)) AS var_x,
+         |    ($syy / count(*)) - (${O.dsum("l_extendedprice")} / count(*)) * (${O.dsum("l_extendedprice")} / count(*)) AS var_y
+         |  FROM lineitem GROUP BY l_returnflag) t
+         |WHERE var_x > 0 AND var_y > 0""".stripMargin
     }) { (s, dir) =>
       val dec = (c: Column) => c.cast(DecimalType(18, 2))
       val li = Tables.load(s, dir, "lineitem")
@@ -535,6 +532,7 @@ object RelationalOps {
           ((sxy / n) - (sx / n) * (sy / n)).as("cov_pop"),
           ((sxx / n) - (sx / n) * (sx / n)).as("var_x"),
           ((syy / n) - (sy / n) * (sy / n)).as("var_y"))
+        .filter(col("var_x") > 0 && col("var_y") > 0)
         .select(col("l_returnflag"), col("n"),
           (col("cov_pop") / (sqrt(col("var_x")) * sqrt(col("var_y")))).as("r"))
     },
