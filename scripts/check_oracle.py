@@ -46,6 +46,25 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle SQL error: {str(e).splitlines()[0]}")
             n_fail += 1
             continue
+        # dtype drift (e.g. DuckDB window-sum HUGEINT) breaks the
+        # driver's pandas-based hash even when fetchall() values match:
+        # pandas renders int128 as float64. Compare declared types too.
+        try:
+            gt = con.execute(
+                f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'"
+            ).fetchall()
+            et = con.execute(f"DESCRIBE {sql}").fetchall()
+            gtypes = {r[0]: r[1] for r in gt}
+            etypes = {r[0]: r[1] for r in et}
+            tdiff = {k: (gtypes.get(k), etypes.get(k))
+                     for k in set(gtypes) | set(etypes)
+                     if gtypes.get(k) != etypes.get(k)}
+            if tdiff:
+                print(f"FAIL {name}: dtypes differ {tdiff}")
+                n_fail += 1
+                continue
+        except Exception:
+            pass
         gc, gr = frame(got_rows, got_cols)
         ec, er = frame(exp_rows, exp_cols)
         if gc != ec:

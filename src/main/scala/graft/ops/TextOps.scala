@@ -550,12 +550,15 @@ object TextOps {
     // packing is exactly what a distributed packer does (each worker
     // packs its own shard), and the shard key makes the window
     // partition-parallel at any corpus size. All-BIGINT arithmetic —
-    // bit-identical on any engine.
+    // bit-identical on any engine. Oracle gotcha: DuckDB's window
+    // sum(BIGINT) is HUGEINT, and int128 survives % — pandas renders
+    // HUGEINT as float64 ("5.0" vs "5"), so the modulo must be CAST
+    // back to BIGINT or the driver's hash compare fails.
     Q("text_seq_pack", {
       val toks = "string_split(text, ' ')"
       s"""SELECT doc_id, lang, shard, n_tokens,
          |  CAST(floor((cum - n_tokens) / ${PackBudget}.0) AS BIGINT) AS bin_id,
-         |  (cum - n_tokens) % $PackBudget AS bin_off
+         |  CAST((cum - n_tokens) % $PackBudget AS BIGINT) AS bin_off
          |FROM (
          |  SELECT doc_id, lang, doc_id % $PackShards AS shard,
          |    CAST(len($toks) AS BIGINT) AS n_tokens,
@@ -603,7 +606,7 @@ object TextOps {
          |  FROM tails)
          |SELECT lang, shard, fill,
          |  CAST(floor((cumf - fill) / ${PackBudget}.0) AS BIGINT) AS merge_group,
-         |  (cumf - fill) % $PackBudget AS merge_off
+         |  CAST((cumf - fill) % $PackBudget AS BIGINT) AS merge_off
          |FROM c""".stripMargin
     }) { (s, dir) =>
       val t = docs(s, dir)
