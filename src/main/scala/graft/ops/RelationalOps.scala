@@ -835,5 +835,184 @@ object RelationalOps {
           first("o_totalprice").over(w).as("first_price"),
           (col("o_totalprice") - lag("o_totalprice", 1).over(w)).as("delta"))
     },
+
+    // ── correlated-EXISTS priority count (TPC-H Q4 flavor) ──────────
+    // Orders of 1996 with at least one line shipped >60 days after the
+    // order date, counted per priority. Scale shape: the EXISTS becomes
+    // a LEFT SEMI hash join on o_orderkey with the date predicate as a
+    // join-side filter; orders' date range prunes at the scan
+    // (PushedFilters), and the per-priority count is a 5-group agg.
+    Q("q4_priority",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+          col("o_orderdate") < ts("1997-01-01"))
+      val l = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l,
+          o("o_orderkey") === l("l_orderkey") &&
+            l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // ── conditional classification agg (TPC-H Q12 flavor) ───────────
+    // Lines shipped >90 days after their order date, classified by
+    // order criticality — the CASE-WHEN-inside-sum shape. One hash join
+    // on orderkey (orders is the smaller side at any sf ratio but both
+    // scale together: sort-merge territory at 100 TB, and Spark picks
+    // that automatically), then a 2-group agg.
+    Q("q12_late_lines",
+      s"""SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |            THEN 'critical' ELSE 'normal' END AS priority_class,
+         |  count(*) AS n_late,
+         |  ${O.dsum("l_extendedprice")} AS late_value
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_shipdate", "l_extendedprice")
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "critical")
+          .otherwise("normal").as("priority_class"))
+        .agg(count(lit(1)).as("n_late"),
+          Cols.dsum(col("l_extendedprice")).as("late_value"))
+    },
+
+    // ── ratio-of-sums per group (TPC-H Q14 flavor) ──────────────────
+    // Monthly promo-revenue share: two decimal revenue sums per
+    // ship-month, surfaced as an IEEE double division (deterministic in
+    // both engines). Month key is year*100+month as BIGINT — never a
+    // locale/format-dependent date string. part is the small dimension:
+    // broadcast join; revenue aggregates map-side per month.
+    Q("q14_promo",
+      s"""SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ship_month,
+         |  ${O.rsum("l_extendedprice", "l_discount")} AS total_rev,
+         |  CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+         |        THEN ${O.revenue("l_extendedprice", "l_discount")}
+         |        ELSE CAST(0 AS DECIMAL(12,2)) END) AS STRING) AS DOUBLE) AS promo_rev,
+         |  CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+         |        THEN ${O.revenue("l_extendedprice", "l_discount")}
+         |        ELSE CAST(0 AS DECIMAL(12,2)) END) AS STRING) AS DOUBLE)
+         |    / ${O.rsum("l_extendedprice", "l_discount")} AS promo_share
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1997-01-01") &&
+          col("l_shipdate") < ts("1998-01-01"))
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+      val p = Tables.load(s, dir, "part").select("p_partkey", "p_type")
+      val promoRev = sum(when(col("p_type") === "PROMO",
+          Cols.revenue(col("l_extendedprice"), col("l_discount")))
+        .otherwise(lit(0).cast(DecimalType(12, 2)))).cast(DoubleType)
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast(LongType).as("ship_month"))
+        .agg(
+          Cols.rsum(col("l_extendedprice"), col("l_discount")).as("total_rev"),
+          promoRev.as("promo_rev"),
+          (promoRev / Cols.rsum(col("l_extendedprice"), col("l_discount")))
+            .as("promo_share"))
+    },
+
+    // ── group-filter-then-join (TPC-H Q18 flavor) ───────────────────
+    // Customers with any order totaling >120 units across its lines.
+    // Scale shape: the heavy lineitem aggregation runs FIRST and its
+    // HAVING filter shrinks the relation to the rare big orders before
+    // any join — the surviving keys then hash-join orders and customer.
+    // Aggregating below the join is the difference between shuffling
+    // all of lineitem×orders and shuffling lineitem once.
+    Q("q18_big_orders",
+      s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+         |  ${O.dsum("l_quantity")} AS total_qty
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+         |HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 120""".stripMargin) { (s, dir) =>
+      val big = Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(Cols.dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 120.0)
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val c = Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+          "o_totalprice", "total_qty")
+    },
+
+    // ── disjunctive multi-predicate join (TPC-H Q19 flavor) ─────────
+    // Revenue over an OR of three brand/size/quantity envelopes. The
+    // disjunction references both sides, so it cannot all push to one
+    // scan — but each disjunct's part-only conjuncts CAN: Catalyst
+    // derives p_size-range ∨-bounds for the part scan, and the join
+    // stays a single (broadcast) hash join on partkey with the residual
+    // OR as its filter. One output row: revenue + line count.
+    Q("q19_disjunct",
+      s"""SELECT count(*) AS n_lines,
+         |  ${O.rsum("l_extendedprice", "l_discount")} AS revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 20)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+         |       AND l_quantity BETWEEN 10 AND 30)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+         |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val p = Tables.load(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      val env = (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 40))
+      l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .filter(env)
+        .agg(count(lit(1)).as("n_lines"),
+          Cols.rsum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+    },
+
+    // ── agg-view + scalar-max selection (TPC-H Q15 flavor) ──────────
+    // The top revenue supplier(s) of a quarter: revenue per supplier,
+    // kept where it equals the global max. Both the per-supplier
+    // relation and its max derive from ONE aggregation (self-reuse, not
+    // two lineitem scans — Spark reuses the exchange; revenue is a
+    // deterministic decimal sum so the double equality is exact).
+    Q("q15_top_supplier",
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, ${O.rsum("l_extendedprice", "l_discount")} AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_rev
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin) { (s, dir) =>
+      val rev = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1997-01-01") &&
+          col("l_shipdate") < ts("1997-04-01"))
+        .groupBy("l_suppkey")
+        .agg(Cols.rsum(col("l_extendedprice"), col("l_discount")).as("total_rev"))
+      val top = rev.agg(max(col("total_rev")).as("max_rev"))
+      val sup = Tables.load(s, dir, "supplier").select("s_suppkey", "s_name")
+      rev.join(broadcast(top), col("total_rev") === col("max_rev"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    },
   )
 }
