@@ -273,6 +273,96 @@ object DedupOps {
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
+  /** Connected components via the alternating large-star / small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the O(log n)-round formulation.
+    *
+    * [[connectedComponents]] converges in O(diameter) rounds, which is
+    * fine for dedup graphs (stars around a canonical doc) but
+    * adversarial for long chains: a 10^6-node path would need 10^6
+    * joins. The star algorithm contracts path length geometrically:
+    *
+    *  - large-star: every node u links its LARGER neighbors to
+    *    m = min(N(u) ∪ {u});
+    *  - small-star: every node u links its smaller-or-equal neighbors
+    *    (and itself) to m.
+    *
+    * Each half-round is one groupBy(min) + one join on the edge list —
+    * no per-node state, no driver data. At the fixpoint the edge list
+    * IS the component map: disjoint stars centered at component minima.
+    * Per-round cost is ~2 shuffles of the (shrinking) edge list, so
+    * total work is O(E log n) — the formulation that survives a
+    * 100 TB pair graph with billion-node chains.
+    *
+    * Same output contract as [[connectedComponents]]: (doc_id,
+    * component) for every node appearing in an edge; verified against
+    * the identical recursive-CTE oracle (dedup_components_star) and
+    * against the propagation implementation property-wise
+    * (DedupSpec).
+    */
+  private[graft] def connectedComponentsStar(edges: DataFrame): DataFrame = {
+    val allNodes = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+    // Lineage truncation per round: each round's plan references the
+    // previous round's edge relation ~6 times (two neighbor unions, two
+    // min-aggregations, two joins), so carrying logical lineage across
+    // rounds grows the plan tree exponentially — a deep contraction
+    // OOMs the driver just STRINGIFYING the plan. localCheckpoint
+    // materializes the round's edges and cuts the plan back to a leaf.
+    // (On a real cluster prefer reliable checkpoint(): localCheckpoint
+    // pins blocks to executors and does not survive executor loss.)
+    // canonical orientation (u > v): every edge points big -> small
+    var e = edges
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      // neighbor view from both endpoints, m = min(N(u) ∪ {u})
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val withM = nbrs.join(mins, "u")
+      // large-star: (v, m) for v ∈ N(u), v > u
+      val large = withM.filter(col("v") > col("u"))
+        .select(col("v").as("lu"), col("m").as("lv"))
+      val afterLarge = large.filter(col("lu") =!= col("lv"))
+        .select(col("lu").as("u"), col("lv").as("v")).distinct()
+        .localCheckpoint(true)
+      val nbrs2 = afterLarge.select(col("u"), col("v"))
+        .union(afterLarge.select(col("v").as("u"), col("u").as("v")))
+      val mins2 = nbrs2.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val withM2 = nbrs2.join(mins2, "u")
+      // small-star: (v, m) for v ∈ N(u) with v < u, plus (u, m) itself
+      val small = withM2.filter(col("v") < col("u"))
+        .select(col("v").as("su"), col("m").as("sv"))
+        .union(mins2.select(col("u").as("su"), col("m").as("sv")))
+      val next = small.filter(col("su") =!= col("sv"))
+        .select(col("su").as("u"), col("sv").as("v")).distinct()
+        .localCheckpoint(true)
+      // fixpoint: edge sets equal (both are distinct sets in canonical
+      // orientation, so two anti-joins decide equality)
+      val grew = next.join(e, Seq("u", "v"), "left_anti").limit(1).count()
+      val shrank = e.join(next, Seq("u", "v"), "left_anti").limit(1).count()
+      e.unpersist()
+      afterLarge.unpersist()
+      e = next
+      converged = grew == 0 && shrank == 0
+      iter += 1
+    }
+    require(converged,
+      s"star contraction did not converge within $iter iterations")
+    // fixpoint edges are disjoint stars (node, min); roots + isolated
+    // nodes label themselves
+    allNodes
+      .join(e.select(col("u").as("node"), col("v").as("label")), Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("label"), col("node")).as("component"))
+  }
+
   /** Recursive-CTE transitive closure — the oracle twin of
     * [[connectedComponents]]. `edgesCte` names an in-scope CTE with
     * columns (a, b); the caller splices this after its own WITH list.
@@ -390,6 +480,20 @@ object DedupOps {
          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
          |${componentsSql("edges")}""".stripMargin) { (s, dir) =>
       connectedComponents(minhashPairsDf(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+    },
+
+    // Same components, computed by the alternating large-star /
+    // small-star contraction instead of min-label propagation — the
+    // O(log n)-round algorithm for graphs whose diameter ISN'T tiny.
+    // Shares dedup_near_components' edge list and oracle verbatim, so
+    // the gate proves both implementations agree with the recursive-CTE
+    // closure AND (transitively) with each other on a real LSH graph.
+    Q("dedup_components_star",
+      s"""WITH pairs AS ($minhashPairsSql),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+         |${componentsSql("edges")}""".stripMargin) { (s, dir) =>
+      connectedComponentsStar(minhashPairsDf(s, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b")))
     },
 

@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.DedupOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Alternating large-star/small-star connected components: agreement
+  * with min-label propagation on propagation-friendly graphs, and
+  * convergence on the long-chain graphs propagation cannot handle
+  * (its rounds = graph diameter; the star contraction is O(log n)).
+  */
+class StarComponentsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star contraction collapses a 200-node path in O(log n) rounds") {
+    // diameter 199: min-label propagation's 20-round cap cannot label
+    // this graph; the star algorithm must (and must label every node 0)
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = labels(DedupOps.connectedComponentsStar(chain))
+    assert(got.size == 200)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("star and propagation agree on a multi-component random graph") {
+    // three dense clusters with distinct minima + shared randomness so
+    // the test is deterministic
+    val rnd = new scala.util.Random(42)
+    val edges = (0 until 3).flatMap { c =>
+      val base = c * 1000L
+      (1 to 60).map { _ =>
+        (base + rnd.nextInt(30), base + rnd.nextInt(30))
+      }.filter { case (a, b) => a != b }
+    }.toDF("a", "b")
+    val star = labels(DedupOps.connectedComponentsStar(edges))
+    val prop = labels(DedupOps.connectedComponents(edges))
+    assert(star == prop)
+    // the three 1000-spaced clusters can never merge with each other
+    assert(star.values.toSet.size >= 3)
+  }
+
+  test("star labels isolated star centers as themselves") {
+    val edges = Seq((5L, 9L), (9L, 7L), (100L, 101L)).toDF("a", "b")
+    val got = labels(DedupOps.connectedComponentsStar(edges))
+    assert(got == Map(5L -> 5L, 9L -> 5L, 7L -> 5L, 100L -> 100L, 101L -> 100L))
+  }
+}
