@@ -560,6 +560,58 @@ object DedupOps {
             .cast(DoubleType) / lit(1000000000000.0))).as("pr1"))
     },
 
+    // PageRank run to THREE full power iterations — the iterative loop
+    // the single step above feeds. Ranks stay quantized int64 (units of
+    // 1e-12) across iterations: contribution = rank DIV degree, next
+    // rank = 0.15e12 + (85 * Σ contrib) DIV 100 — floor division at
+    // every step, so Spark and DuckDB agree bit-for-bit with no
+    // accumulated float drift. Scale shape per iteration: one hash join
+    // (edges × ranks, both partitioned by node) + one map-side-combined
+    // sum — the classic distributed PageRank round; degree relation and
+    // edge list are computed once and reused. Int64 headroom: total
+    // mass ≈ N·1e12, so the 85× product stays in-range through
+    // N ~ 10^5; past that, widen the quantum (the same dial as
+    // SimHash's band bits — documented, not silent).
+    Q("dedup_pagerank3", {
+      def layer(k: Int): String =
+        s"""c$k AS (
+           |  SELECT u.b AS node, r.r // d.degree AS c
+           |  FROM und u JOIN deg d ON u.a = d.a JOIN r${k - 1} r ON u.a = r.node),
+           |r$k AS (
+           |  SELECT node, 150000000000 + (85 * CAST(sum(c) AS BIGINT)) // 100 AS r
+           |  FROM c$k GROUP BY node)""".stripMargin
+      s"""WITH pairs AS ($minhashPairsSql),
+         |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT a, count(*) AS degree FROM und GROUP BY a),
+         |r0 AS (SELECT a AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+         |${layer(1)},
+         |${layer(2)},
+         |${layer(3)}
+         |SELECT r3.node, d.degree, r3.r AS rank_q,
+         |  CAST(r3.r AS DOUBLE) / 1000000000000.0 AS pr3
+         |FROM r3 JOIN deg d ON r3.node = d.a""".stripMargin
+    }) { (s, dir) =>
+      val pairs = minhashPairsDf(s, dir)
+      val und = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .persist()
+      val deg = und.groupBy("a").agg(count(lit(1)).as("degree")).persist()
+      var ranks = deg.select(col("a").as("node"),
+        lit(1000000000000L).as("r"))
+      for (_ <- 1 to 3) {
+        ranks = und.join(deg, "a")
+          .join(ranks.withColumnRenamed("node", "a"), "a")
+          .select(col("b").as("node"), expr("r div degree").as("c"))
+          .groupBy("node")
+          .agg((lit(150000000000L) +
+            expr("(85 * CAST(sum(c) AS BIGINT)) div 100")).as("r"))
+      }
+      ranks.join(deg.select(col("a").as("node"), col("degree")), "node")
+        .select(col("node"), col("degree"), col("r").as("rank_q"),
+          (col("r").cast(DoubleType) / lit(1000000000000.0)).as("pr3"))
+    },
+
     // SimHash near-dup: 60-bit signature from md5-derived token hashes;
     // candidates match on any of the 4 disjoint bands; pairs kept at
     // Hamming distance <= 3 — with 4 bands the pigeonhole principle

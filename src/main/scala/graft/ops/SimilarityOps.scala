@@ -110,12 +110,12 @@ object SimilarityOps {
     * centroid id. At scale this is the per-row map stage of any
     * coarse-quantizer/IVF/k-means pipeline.
     */
-  private def assignSql(rel: String, idCol: String): String =
+  private def assignSql(rel: String, idCol: String, centsRel: String = "cents"): String =
     s"""SELECT $idCol, emb, nsq, c_id FROM (
        |  SELECT t.*, c.c_id,
        |         row_number() OVER (PARTITION BY t.$idCol
        |           ORDER BY ${sqlCosine(sqlDot("t.emb", "c.c_emb"), "t.nsq", "c.c_nsq")} DESC, c.c_id) AS crn
-       |  FROM $rel t CROSS JOIN cents c) z
+       |  FROM $rel t CROSS JOIN $centsRel c) z
        |WHERE crn = 1""".stripMargin
 
   private def assign(rel: DataFrame, idCol: String, cents: DataFrame): DataFrame = {
@@ -319,6 +319,69 @@ object SimilarityOps {
         .agg(count(lit(1)).as("n"),
           (sum("qx").cast(org.apache.spark.sql.types.DoubleType) /
             (count(lit(1)) * lit(1000000000.0))).as("c_val"))
+    },
+
+    // ── k-means run to THREE full Lloyd iterations ──────────────────
+    // The loop q_kmeans_step is one round of: assign to nearest
+    // centroid (broadcast map stage) -> per-cluster per-dim quantized
+    // mean (two hash aggs) -> rebuild centroid vectors. Determinism
+    // across engines holds through the loop because every mean is an
+    // exact int64 sum of floor-quantized values divided once, rebuilt
+    // arrays are dim-ordered, and the dot product is a fixed-order
+    // fold — so iteration k's doubles are bit-identical inputs to
+    // iteration k+1's argmin in both engines. Empty clusters drop out
+    // (deterministically) rather than being re-seeded. Scale shape per
+    // iteration: one broadcast of K vectors, one explode, two
+    // map-side-combinable aggs — no shuffle grows with K.
+    Q("q_kmeans3", {
+      def layer(k: Int): String = {
+        val prev = if (k == 1) "cents" else s"cents${k - 1}"
+        s"""cl$k AS (${assignSql("n", "vec_id", prev)}),
+           |d$k AS (
+           |  SELECT c_id, CAST(u.s.dim AS BIGINT) AS dim,
+           |         CAST(floor(u.s.x * 1000000000.0) AS BIGINT) AS qx
+           |  FROM cl$k, unnest(list_transform(emb,
+           |         (x, i) -> struct_pack(dim := i, x := x))) u(s)),
+           |m$k AS (
+           |  SELECT c_id, dim, count(*) AS n,
+           |         CAST(sum(qx) AS DOUBLE) / (count(*) * 1000000000.0) AS c_val
+           |  FROM d$k GROUP BY c_id, dim),
+           |cents$k AS (
+           |  SELECT c_id, c_emb, ${sqlNormSq("c_emb")} AS c_nsq FROM (
+           |    SELECT c_id, list(c_val ORDER BY dim) AS c_emb
+           |    FROM m$k GROUP BY c_id) t)""".stripMargin
+      }
+      s"""WITH v AS ($vectorsSql),
+         |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
+         |cents AS ($centsSql),
+         |${layer(1)},
+         |${layer(2)},
+         |${layer(3)}
+         |SELECT c_id, dim, n, c_val FROM m3""".stripMargin
+    }) { (s, dir) =>
+      val n = vectors(s, dir).withColumn("nsq", normSq(col("emb"))).persist()
+      var cs = cents(n)
+      var means: DataFrame = null
+      for (_ <- 1 to 3) {
+        means = assign(n, "vec_id", cs)
+          .select(col("c_id"), posexplode(col("emb")).as(Seq("pos", "x")))
+          .select(col("c_id"), (col("pos") + 1).cast(LongType).as("dim"),
+            floor(col("x") * lit(1000000000.0)).cast(LongType).as("qx"))
+          .groupBy("c_id", "dim")
+          .agg(count(lit(1)).as("n"),
+            (sum("qx").cast(org.apache.spark.sql.types.DoubleType) /
+              (count(lit(1)) * lit(1000000000.0))).as("c_val"))
+        // rebuild dim-ordered centroid vectors; collect_list order is
+        // arbitrary, so sort the (dim, value) structs, then project
+        cs = means
+          .groupBy("c_id")
+          .agg(array_sort(collect_list(struct(col("dim"), col("c_val"))))
+            .as("sorted"))
+          .select(col("c_id"),
+            transform(col("sorted"), e => e.getField("c_val")).as("c_emb"))
+          .withColumn("c_nsq", normSq(col("c_emb")))
+      }
+      means
     },
   )
 }
