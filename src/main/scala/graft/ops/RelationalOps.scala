@@ -134,6 +134,29 @@ object RelationalOps {
         .filter(col("rk") <= 3)
     },
 
+    // ── window: distribution ranks (ntile / percent_rank / cume_dist)
+    // The quartile-bucketing shape used for per-segment score binning.
+    // Deterministic because the window order key (acctbal, custkey) is
+    // unique; percent_rank and cume_dist are single IEEE divisions of
+    // identical integer operands in both engines.
+    Q("q_window_ntile",
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM customer
+        |WHERE c_acctbal IS NOT NULL AND c_custkey % 10 = 0
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal").isNotNull && col("c_custkey") % 10 === 0)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+    },
+
     // ── window: running sum (exact decimal), lag/lead ───────────────
     Q("q_window_running",
       """SELECT o_custkey, o_orderkey, o_orderdate,
@@ -1013,6 +1036,44 @@ object RelationalOps {
       rev.join(broadcast(top), col("total_rev") === col("max_rev"))
         .join(sup, col("l_suppkey") === col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_rev")
+    },
+
+    // ── Z-order clustering layout (multi-dim data skipping) ─────────
+    // The lakehouse table-layout operator: interleave the bits of two
+    // filter dimensions into a Z-value, chunk the curve into tiles
+    // (files), and report each tile's bounding box. Writing files in
+    // Z-order is what makes min/max file statistics prunable on BOTH
+    // dimensions at once — a lexicographic sort gives tight bounds on
+    // one dimension only. 8 bits per dim -> 16-bit Z-value; tile =
+    // zval >> 8, so every tile is a 16x16 box in (x, y) space: the
+    // bounded min/max spans in the output ARE the data-skipping
+    // guarantee. Pure per-row integer bit math in the scan stage plus
+    // one aggregation — nothing here shuffles more than the final
+    // group-by at any scale.
+    Q("q_zorder_layout", {
+      val inter = (0 until 8).map { i =>
+        s"(((x >> $i) & 1) * ${1L << (2 * i)} + ((y >> $i) & 1) * ${1L << (2 * i + 1)})"
+      }.mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+         |z AS (SELECT x, y, CAST($inter AS BIGINT) AS zval FROM d)
+         |SELECT zval // 256 AS tile, count(*) AS n,
+         |  min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi
+         |FROM z GROUP BY 1""".stripMargin
+    }) { (s, dir) =>
+      val x = col("x")
+      val y = col("y")
+      val zval = (0 until 8).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+      Tables.load(s, dir, "lineitem")
+        .select((col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+        .withColumn("zval", zval.cast(LongType))
+        .groupBy(expr("zval div 256").as("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(x).as("x_lo"), max(x).as("x_hi"),
+          min(y).as("y_lo"), max(y).as("y_hi"))
     },
   )
 }
