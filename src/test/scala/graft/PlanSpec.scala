@@ -54,6 +54,7 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "sim_ann_recall" -> 1,   // brute-force ground-truth side
     "sim_ann_recall_mp" -> 1,
     "q_kmeans_step" -> 1,    // corpus x broadcast(8 centroids)
+    "q_kmeans3" -> 3,        // one centroid broadcast per Lloyd iteration
     "text_vocab" -> 1,       // 1-row corpus-total attach
     "text_ngram_pmi" -> 1,
     "q_mix_weights" -> 1,
