@@ -12,6 +12,7 @@ object SparkEntry {
     ops.MergeQueries.queries ++
       ops.PipelineQueries.queries ++
       ops.RelationalOps.queries ++
+      ops.TpchOps.queries ++
       ops.EventOps.queries ++
       ops.TextOps.queries ++
       ops.DedupOps.queries ++
