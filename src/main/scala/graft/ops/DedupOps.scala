@@ -4,7 +4,7 @@ import graft.{Cols, Q, Tables}
 import graft.functions.VectorFns
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
 /** Deduplication operators for a training-data pipeline: exact,
   * MinHash+LSH, SimHash, n-gram Jaccard with prefix blocking, and
@@ -249,6 +249,16 @@ object DedupOps {
       .union(edges.select(col("b").as("a"), col("a").as("b"))).persist()
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).persist()
+    // Convergence probe: min-propagation only ever DECREASES labels, so
+    // the label total is strictly monotone until the fixpoint — equal
+    // totals <=> no label changed. One aggregate over the freshly
+    // cached relation (no join, no extra shuffle); decimal(38,0)
+    // accumulation so the invariant holds for 64-bit node ids at any
+    // node count without overflow.
+    def labelTotal(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(DecimalType(38, 0))))
+        .head().getDecimal(0)
+    var total = labelTotal(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -259,13 +269,11 @@ object DedupOps {
         .union(viaNeighbors)
         .groupBy("node").agg(min("label").as("label"))
         .persist()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count()
+      val nextTotal = labelTotal(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextTotal.compareTo(total) == 0
+      total = nextTotal
       iter += 1
     }
     require(converged,
@@ -344,13 +352,18 @@ object DedupOps {
         .select(col("su").as("u"), col("sv").as("v")).distinct()
         .localCheckpoint(true)
       // fixpoint: edge sets equal (both are distinct sets in canonical
-      // orientation, so two anti-joins decide equality)
-      val grew = next.join(e, Seq("u", "v"), "left_anti").limit(1).count()
-      val shrank = e.join(next, Seq("u", "v"), "left_anti").limit(1).count()
+      // orientation). One symmetric-difference job — bag-union the two
+      // sets and look for any (u, v) seen exactly once — instead of two
+      // anti-join jobs: half the probe shuffles per round.
+      val diff = next.select(col("u"), col("v"))
+        .union(e.select(col("u"), col("v")))
+        .groupBy("u", "v").count()
+        .filter(col("count") === 1)
+        .limit(1).count()
       e.unpersist()
       afterLarge.unpersist()
       e = next
-      converged = grew == 0 && shrank == 0
+      converged = diff == 0
       iter += 1
     }
     require(converged,
