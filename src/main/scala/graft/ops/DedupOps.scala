@@ -64,6 +64,11 @@ object DedupOps {
   }
   // sorted-neighborhood rank window for n-gram blocking
   private val NgramWindow = 10
+  // inverted-index cosine join: shingles with document frequency above
+  // this cap are dropped from pair GENERATION (a shingle in d docs
+  // yields d^2 candidates — boilerplate shingles would dominate);
+  // norms keep the full set, so pruned pairs score strictly lower.
+  private val CosineDfCap = 100
 
   // ── shared corpus augmentation (Spark + SQL twins) ────────────────
 
@@ -127,6 +132,33 @@ object DedupOps {
        |SELECT doc_id + 10000000 AS doc_id,
        |       $truncatedTextSql AS text
        |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** Incremental-dedup incoming batch: three planted arrival kinds —
+    * exact copies (+20M), 4/5-truncation near-dups (+10M), and
+    * token-reversed docs (+30M) whose word-3-gram shingle set shares
+    * nothing with the source, so they must SURVIVE the dedup gate.
+    */
+  private[graft] def incrIncoming(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text"))
+      .union(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          truncatedText(col("text")).as("text")))
+      .union(d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + lit(30000000L)).as("doc_id"),
+          array_join(reverse(split(col("text"), " ")), " ").as("text")))
+  }
+
+  private[graft] val incrIncomingSql: String =
+    s"""SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+       |UNION ALL
+       |SELECT doc_id + 10000000 AS doc_id, $truncatedTextSql AS text
+       |FROM documents WHERE doc_id % 10 = 0
+       |UNION ALL
+       |SELECT doc_id + 30000000 AS doc_id,
+       |  array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+       |FROM documents WHERE doc_id % 13 = 0""".stripMargin
 
   /** Word 3-gram shingles (distinct), for docs with >= 3 tokens. */
   private[ops] def shingles3(tokens: Column): Column =
@@ -395,14 +427,21 @@ object DedupOps {
     * `dedup_minhash_lsh` (pairs are the output) and
     * `dedup_near_components` (pairs are the edge list).
     */
-  private[graft] lazy val minhashPairsSql: String = {
+  private[graft] lazy val minhashPairsSql: String = minhashPairsSqlOver(docsAugSql)
+
+  /** [[minhashPairsSql]] generalized over any (doc_id, text) corpus SQL
+    * — the incremental-dedup query runs the identical signature/band/
+    * verify machinery over base ∪ incoming instead of the augmented
+    * fixture corpus.
+    */
+  private[graft] def minhashPairsSqlOver(corpusSql: String): String = {
     val sig = (0 until MinhashK)
       .map(j => s"list_min(list_transform(hh, h -> (${MinhashA(j)} * h + ${MinhashB(j)}) % $MinhashP))")
       .mkString("[", ",\n      ", "]")
     val bandKeys = (0 until Bands)
       .map(b => s"md5('$b~' || sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])")
       .mkString("[", ",\n      ", "]")
-    s"""WITH docs_aug AS ($docsAugSql),
+    s"""WITH docs_aug AS ($corpusSql),
        |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM docs_aug),
        |sh AS (
        |  SELECT doc_id, $shingles3Sql AS shingles
@@ -426,8 +465,14 @@ object DedupOps {
   /** MinHash+LSH near-dup pairs, Spark side (the twin of
     * [[minhashPairsSql]]).
     */
-  private[graft] def minhashPairsDf(s: SparkSession, dir: String): DataFrame = {
-    val tok = docsAug(s, dir).select(col("doc_id"), split(col("text"), " ").as("tokens"))
+  private[graft] def minhashPairsDf(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOver(docsAug(s, dir))
+
+  /** [[minhashPairsDf]] generalized over any (doc_id, text) corpus —
+    * the twin of [[minhashPairsSqlOver]].
+    */
+  private[graft] def minhashPairsOver(corpus: DataFrame): DataFrame = {
+    val tok = corpus.select(col("doc_id"), split(col("text"), " ").as("tokens"))
     // persist: shingle sets feed both the band join and (twice) the
     // exact-Jaccard verification join; signatures cost 12 md5 evals
     // per shingle and must not be recomputed per consumer
@@ -818,6 +863,121 @@ object DedupOps {
           VectorFns.cosine(VectorFns.dot(col("a.emb"), col("b.emb")),
             col("a.nsq"), col("b.nsq")).as("cos"))
         .filter(col("cos") >= 0.99)
+    },
+
+    // ── sparse set-similarity join via inverted index ───────────────
+    // All-pairs document cosine over word-3-gram shingle SETS (binary
+    // vectors, so cosine = |A∩B| / sqrt(|A|·|B|) — the Ochiai
+    // coefficient), computed by the inverted-index pair-generation
+    // pattern (Elsayed et al., "Pairwise Document Similarity in Large
+    // Collections with MapReduce", ACL 2008): explode postings, join on
+    // the shingle, count co-occurrences per pair. The hot-token
+    // degeneracy (a shingle in d docs contributes d² candidate pairs)
+    // is capped by dropping shingles with document frequency > DfCap
+    // from pair GENERATION only — norms keep the full set, so a pruned
+    // pair's score is a strict underestimate, the standard
+    // prefix-filtering trade. Scale shape: two hash aggs (norms, df) +
+    // one bounded self-equi-join on the shingle + one pair agg — every
+    // shuffle is key-partitioned, candidate volume is Σ min(df,cap)²
+    // by construction, never N². Determinism: counts are integers and
+    // the two IEEE ops (sqrt, divide) are correctly rounded in both
+    // engines.
+    Q("dedup_shingle_cosine",
+      s"""WITH docs_aug AS ($docsAugSql),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM docs_aug),
+         |sh AS (
+         |  SELECT doc_id, unnest($shingles3Sql) AS s
+         |  FROM tok WHERE len(tokens) >= 3),
+         |nsq AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+         |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq ON sh.s = dfq.s
+         |        WHERE dfq.df <= $CosineDfCap),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, cosine FROM (
+         |  SELECT doc_a, doc_b,
+         |    CAST(c AS DOUBLE) / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS cosine
+         |  FROM common
+         |  JOIN nsq na ON common.doc_a = na.doc_id
+         |  JOIN nsq nb ON common.doc_b = nb.doc_id) t
+         |WHERE cosine >= 0.5""".stripMargin) { (s, dir) =>
+      val tok = docsAug(s, dir).select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      // persist: the exploded postings list feeds three consumers
+      // (norms, df, the pair join)
+      val sh = tok.filter(size(col("tokens")) >= 3)
+        .select(col("doc_id"), explode(shingles3(col("tokens"))).as("s"))
+        .persist()
+      val nsq = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val dfq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      val shc = sh.join(dfq.filter(col("df") <= CosineDfCap).select("s"), "s")
+      val common = shc.as("a")
+        .join(shc.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(nsq.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(nsq.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("c").cast(DoubleType) /
+            sqrt((col("na") * col("nb")).cast(DoubleType))).as("cosine"))
+        .filter(col("cosine") >= 0.5)
+    },
+
+    // ── incremental dedup: new batch vs the standing corpus ─────────
+    // THE production arrival path: a batch of incoming docs is admitted
+    // only if it duplicates nothing already ingested. Exact arrivals
+    // are caught by a digest semi-join against the corpus; near-dup
+    // arrivals by the SAME MinHash/band/Jaccard machinery as
+    // dedup_minhash_lsh run over corpus ∪ batch, keeping only edges
+    // that CROSS the boundary (an incoming doc matching another
+    // incoming doc is not a reason to reject it here). Scale shape:
+    // at 100 TB the corpus side is a precomputed signature relation —
+    // the per-batch cost is signatures over the (small) batch plus
+    // key-partitioned joins; nothing rescans corpus text except the
+    // Jaccard verify on candidate pairs.
+    Q("dedup_incremental",
+      s"""WITH incoming AS ($incrIncomingSql),
+         |base AS (SELECT doc_id, text FROM documents),
+         |pairs AS (${minhashPairsSqlOver(
+              "SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM incoming")}),
+         |near AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
+         |         WHERE doc_a < 10000000 AND doc_b >= 10000000),
+         |exact AS (SELECT DISTINCT i.doc_id FROM incoming i
+         |          JOIN base b ON md5(i.text) = md5(b.text))
+         |SELECT i.doc_id,
+         |  e.doc_id IS NOT NULL AS is_exact,
+         |  n.doc_id IS NOT NULL AS is_near,
+         |  CASE WHEN e.doc_id IS NOT NULL OR n.doc_id IS NOT NULL
+         |       THEN 'drop' ELSE 'keep' END AS decision
+         |FROM incoming i
+         |LEFT JOIN exact e ON i.doc_id = e.doc_id
+         |LEFT JOIN near n ON i.doc_id = n.doc_id""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val incoming = incrIncoming(s, dir)
+      // same single-input-split consideration as docsAug: spread the
+      // md5-heavy signature stage across the session's parallelism
+      val corpus = base.union(incoming)
+        .repartition(s.sparkContext.defaultParallelism)
+      val near = minhashPairsOver(corpus)
+        .filter(col("doc_a") < lit(10000000L) && col("doc_b") >= lit(10000000L))
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("near_hit", lit(true))
+      val exact = incoming.as("i")
+        .join(base.select(md5(col("text")).as("h")).distinct(),
+          md5(col("i.text")) === col("h"), "left_semi")
+        .select(col("doc_id")).withColumn("exact_hit", lit(true))
+      incoming.select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("exact_hit"), lit(false)).as("is_exact"),
+          coalesce(col("near_hit"), lit(false)).as("is_near"),
+          when(coalesce(col("exact_hit"), lit(false)) ||
+            coalesce(col("near_hit"), lit(false)), "drop")
+            .otherwise("keep").as("decision"))
     },
   )
 }

@@ -477,5 +477,50 @@ object EventOps {
       agg.withColumn("rk", row_number().over(w).cast(LongType))
         .filter(col("rk") <= 3)
     },
+
+    // ── interval-overlap peak concurrency (sweep line) ──────────────
+    // Each event opens a half-open activity interval [ts, ts+10min);
+    // per event type, find the peak number of simultaneously open
+    // intervals and the first instant it is reached — the "max
+    // concurrent sessions" / capacity-planning operator. Sweep-line as
+    // a window: +1/-1 endpoint deltas, running sum ordered by
+    // (t, delta). The default RANGE frame makes tied endpoints peers
+    // that share one cumulative value in BOTH engines, so ordering
+    // within ties can't flake the compare; delta sorts -1 before +1,
+    // which is exactly half-open semantics (an interval ending at t
+    // frees its slot before one starting at t takes it). Scale shape:
+    // endpoints = 2 rows/event in the scan stage, ONE shuffle on
+    // event_type for the window, then a tiny agg — no join, no
+    // materialized interval pairs (contrast q_range_join, which pays
+    // candidate pairs; a sweep is the right tool when only aggregate
+    // occupancy is asked for).
+    Q("q_interval_overlap",
+      """WITH pts AS (
+        |  SELECT event_type, ts AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT event_type, ts + INTERVAL '10 minutes', -1 FROM events),
+        |run AS (
+        |  SELECT event_type, t,
+        |    sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta) AS conc
+        |  FROM pts),
+        |mx AS (SELECT event_type, max(conc) AS peak FROM run GROUP BY event_type)
+        |SELECT r.event_type, CAST(m.peak AS BIGINT) AS peak_conc,
+        |       min(r.t) AS first_peak_at
+        |FROM run r JOIN mx m ON r.event_type = m.event_type AND r.conc = m.peak
+        |GROUP BY r.event_type, m.peak""".stripMargin) { (s, dir) =>
+      val e = events(s, dir)
+      val pts = e.select(col("event_type"), col("ts").as("t"), lit(1L).as("delta"))
+        .union(e.select(col("event_type"),
+          (col("ts") + expr("INTERVAL 10 minutes")).as("t"), lit(-1L).as("delta")))
+      // default RANGE frame (ties are peers) — must NOT be rowsBetween
+      val sweep = Window.partitionBy("event_type").orderBy(col("t"), col("delta"))
+      val run = pts.withColumn("conc", sum("delta").over(sweep))
+      val mx = Window.partitionBy("event_type")
+      run.withColumn("peak", max("conc").over(mx))
+        .filter(col("conc") === col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(min(col("t")).as("first_peak_at"))
+        .select(col("event_type"), col("peak").as("peak_conc"), col("first_peak_at"))
+    },
   )
 }

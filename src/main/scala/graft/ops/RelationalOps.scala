@@ -1075,5 +1075,36 @@ object RelationalOps {
           min(x).as("x_lo"), max(x).as("x_hi"),
           min(y).as("y_lo"), max(y).as("y_hi"))
     },
+
+    // ── weighted sampling without replacement (priority sampling) ───
+    // Draw 20 orders with probability proportional to o_totalprice,
+    // deterministically: priority q_i = w_i / u_i with u_i a pure hash
+    // of the key (Duffield/Lund/Thorup priority sampling; the
+    // weighted analogue of q_sample_fixed_k's uniform hash draw). Both
+    // w (parquet double) and u (exact 60-bit hash over 2^60) are
+    // identical doubles in both engines and q is ONE correctly-rounded
+    // IEEE division — deliberately NOT the pow(u, 1/w) A-ES key, whose
+    // libm pow may differ in the last ulp across engines. Scale shape:
+    // priority is per-row scan-stage math and top-20 is
+    // TakeOrderedAndProject (per-partition heads, then one 20-row
+    // merge on the driver) — no global sort, no shuffle of the corpus;
+    // the 20-row rank window runs on the merged head only.
+    Q("q_sample_weighted", {
+      val u = graft.OracleSql.unitHash("'ws|' || CAST(o_orderkey AS VARCHAR)")
+      s"""SELECT o_orderkey, w, pri, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT o_orderkey, o_totalprice AS w, o_totalprice / $u AS pri,
+         |    row_number() OVER (ORDER BY o_totalprice / $u DESC, o_orderkey) AS rk
+         |  FROM orders) t
+         |WHERE rk <= 20""".stripMargin
+    }) { (s, dir) =>
+      val u = Cols.unitHash(concat(lit("ws|"), col("o_orderkey").cast("string")))
+      val top = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("w"),
+          (col("o_totalprice") / u).as("pri"))
+        .orderBy(col("pri").desc, col("o_orderkey"))
+        .limit(20)
+      val rkw = Window.orderBy(col("pri").desc, col("o_orderkey"))
+      top.withColumn("rk", row_number().over(rkw).cast(LongType))
+    },
   )
 }
