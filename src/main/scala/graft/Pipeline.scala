@@ -83,18 +83,14 @@ object Pipeline {
       // the reference continues to the CSV write when the Slack report
       // errors (gule_test_job.py:195-199).
       unmatchedCount = reportUnmatched(secondary, primary, spec, notifier)
-      csv <- stage("write-csv",
+      // the row count for the success report is observed DURING the
+      // write (CsvSink Observation) — no re-read of the output artifact
+      csvAndRows <- stage("write-csv",
         m => s"Error: failed to write CSV ${spec.destFile}: $m") {
         CsvSink.writeSingleCsv(merged, spec.destDir, spec.destFile)
       }
-      rows <- stage("count", m => s"Error: failed to count output: $m") {
-        // multiLine: quoted embedded newlines are field content, not
-        // record separators (single-object CSV, so the per-file
-        // single-threaded multiLine parse costs nothing)
-        spark.read.option("header", value = true).option("multiLine", value = true)
-          .csv(csv.toString).count()
-      }
     } yield {
+      val (csv, rows) = csvAndRows
       notifier.notifySafe(
         s"Success: wrote $rows rows to ${spec.destDir}/${spec.destFile}")
       PipelineResult(rows, unmatchedCount, csv)

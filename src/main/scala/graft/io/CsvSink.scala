@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions.{count, lit}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
@@ -27,16 +28,24 @@ import scala.jdk.CollectionConverters._
 object CsvSink {
 
   /** Writes `df` as `destDir/fileName` (header row, preserved column
-    * order). Returns the final path.
+    * order). Returns the final path and the row count, observed DURING
+    * the write via [[Observation]] — the success-report count rides the
+    * write pass for free instead of re-scanning the output (an extra
+    * full pass over the artifact at production scale). Counting before
+    * serialization is also immune to quoted-newline miscounts by
+    * construction.
     */
-  def writeSingleCsv(df: DataFrame, destDir: String, fileName: String): Path = {
+  def writeSingleCsv(df: DataFrame, destDir: String, fileName: String): (Path, Long) = {
     val dest = Paths.get(destDir)
     Files.createDirectories(dest)
     val staging = dest.resolve(s".spark-staging-$fileName")
     deleteRecursively(staging)
-    df.repartition(1)
+    val obs = Observation()
+    df.observe(obs, count(lit(1)).as("rows"))
+      .repartition(1)
       .write.mode("overwrite").option("header", value = true)
       .csv(staging.toString)
+    val rows = obs.get("rows").asInstanceOf[Long]
     val listing = Files.list(staging)
     val part =
       try listing.iterator.asScala
@@ -48,7 +57,7 @@ object CsvSink {
     val target = dest.resolve(fileName)
     Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
     deleteRecursively(staging)
-    target
+    (target, rows)
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -1106,5 +1106,62 @@ object RelationalOps {
       val rkw = Window.orderBy(col("pri").desc, col("o_orderkey"))
       top.withColumn("rk", row_number().over(rkw).cast(LongType))
     },
+
+    // ── data-quality audit (constraint validation) ──────────────────
+    // Deequ-style rule evaluation before data is trusted downstream:
+    // value-range and null checks, key uniqueness, and referential
+    // integrity, each reported as (rule, violations, checked, passed).
+    // Scale shape: ALL value rules for a table ride ONE aggregation
+    // pass over its scan (conditional-sum counters, map-side combined);
+    // uniqueness is count(*) - count(DISTINCT key) in the same pass;
+    // only the cross-table referential rule pays a join — an anti-join
+    // on the key, the same shape as the merge's unmatched report. A
+    // constant-row result at any input size.
+    Q("q_dq_audit",
+      """WITH o AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_price,
+        |    count(*) - count(DISTINCT o_orderkey) AS dup_keys
+        |  FROM orders),
+        |l AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_range,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ship
+        |  FROM lineitem),
+        |orph AS (
+        |  SELECT count(*) AS orphans FROM lineitem li
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders oo WHERE oo.o_orderkey = li.l_orderkey))
+        |SELECT rule, n_violations, n_checked, n_violations = 0 AS passed FROM (
+        |  SELECT 'orders.o_totalprice positive' AS rule, neg_price AS n_violations, n AS n_checked FROM o
+        |  UNION ALL SELECT 'orders.o_orderkey unique', dup_keys, n FROM o
+        |  UNION ALL SELECT 'lineitem.l_quantity in (0,50]', qty_range, n FROM l
+        |  UNION ALL SELECT 'lineitem.l_shipdate not null', null_ship, n FROM l
+        |  UNION ALL SELECT 'lineitem.l_orderkey references orders', orphans,
+        |    (SELECT n FROM l) FROM orph) t""".stripMargin) { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      def viol(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+      val o = orders.agg(
+        count(lit(1)).as("n"),
+        viol(col("o_totalprice") <= 0).as("neg_price"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"))
+      val l = lineitem.agg(
+        count(lit(1)).as("n"),
+        viol(col("l_quantity") <= 0 || col("l_quantity") > 50).as("qty_range"),
+        viol(col("l_shipdate").isNull).as("null_ship")).persist()
+      val orph = lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+      def rule(name: String, src: DataFrame, v: String, n: Column): DataFrame =
+        src.select(lit(name).as("rule"), col(v).as("n_violations"), n.as("n_checked"))
+      rule("orders.o_totalprice positive", o, "neg_price", col("n"))
+        .union(rule("orders.o_orderkey unique", o, "dup_keys", col("n")))
+        .union(rule("lineitem.l_quantity in (0,50]", l, "qty_range", col("n")))
+        .union(rule("lineitem.l_shipdate not null", l, "null_ship", col("n")))
+        .union(orph.crossJoin(l.select(col("n")))
+          .select(lit("lineitem.l_orderkey references orders").as("rule"),
+            col("orphans").as("n_violations"), col("n").as("n_checked")))
+        .withColumn("passed", col("n_violations") === 0)
+    },
   )
 }

@@ -58,7 +58,8 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "text_vocab" -> 1,       // 1-row corpus-total attach
     "text_ngram_pmi" -> 1,
     "q_mix_weights" -> 1,
-    "q_bm25" -> 1)
+    "q_bm25" -> 1,
+    "q_dq_audit" -> 1)       // 1-row referential-rule x 1-row table-total attach
 
   private val planOnly =
     SparkEntry.queries.keySet - "pipeline_e2e" -- nljBudget.keySet

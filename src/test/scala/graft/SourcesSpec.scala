@@ -43,8 +43,9 @@ class SourcesSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("CSV source round-trips the CsvSink's single-object output") {
-    val csv = CsvSink.writeSingleCsv(sample, s"$root/csvout", "data.csv")
+    val (csv, nWritten) = CsvSink.writeSingleCsv(sample, s"$root/csvout", "data.csv")
     assert(csv.getFileName.toString === "data.csv")
+    assert(nWritten === sample.count())
     val got = CsvSource(csv.toString, Some(schema)).load(spark)
     // CSV has no null-vs-missing distinction for strings: "" reads as null,
     // matching the sink's nullValue="" rendering
