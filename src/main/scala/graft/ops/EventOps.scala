@@ -21,6 +21,28 @@ object EventOps {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
+  /** Sweep-line peak concurrency over half-open activity intervals
+    * [ts, ts + gap) — factored out of `q_interval_overlap` so the
+    * property spec can drive it with adversarial timestamp collisions
+    * (equal starts, an end landing exactly on another start). Input
+    * needs (event_type, ts); output is one row per type with the peak
+    * simultaneous-interval count and the first instant it is reached.
+    */
+  private[graft] def intervalOverlap(ev: DataFrame, gap: String): DataFrame = {
+    val pts = ev.select(col("event_type"), col("ts").as("t"), lit(1L).as("delta"))
+      .union(ev.select(col("event_type"),
+        (col("ts") + expr(s"INTERVAL $gap")).as("t"), lit(-1L).as("delta")))
+    // default RANGE frame (ties are peers) — must NOT be rowsBetween
+    val sweep = Window.partitionBy("event_type").orderBy(col("t"), col("delta"))
+    val run = pts.withColumn("conc", sum("delta").over(sweep))
+    val mx = Window.partitionBy("event_type")
+    run.withColumn("peak", max("conc").over(mx))
+      .filter(col("conc") === col("peak"))
+      .groupBy("event_type", "peak")
+      .agg(min(col("t")).as("first_peak_at"))
+      .select(col("event_type"), col("peak").as("peak_conc"), col("first_peak_at"))
+  }
+
   /** Gaps-and-islands sessionization oracle (lag + running flag sum) —
     * shared by the declarative `session_window` query and the
     * custom-state `flatMapGroupsWithState` one: both must reduce to the
@@ -508,19 +530,7 @@ object EventOps {
         |       min(r.t) AS first_peak_at
         |FROM run r JOIN mx m ON r.event_type = m.event_type AND r.conc = m.peak
         |GROUP BY r.event_type, m.peak""".stripMargin) { (s, dir) =>
-      val e = events(s, dir)
-      val pts = e.select(col("event_type"), col("ts").as("t"), lit(1L).as("delta"))
-        .union(e.select(col("event_type"),
-          (col("ts") + expr("INTERVAL 10 minutes")).as("t"), lit(-1L).as("delta")))
-      // default RANGE frame (ties are peers) — must NOT be rowsBetween
-      val sweep = Window.partitionBy("event_type").orderBy(col("t"), col("delta"))
-      val run = pts.withColumn("conc", sum("delta").over(sweep))
-      val mx = Window.partitionBy("event_type")
-      run.withColumn("peak", max("conc").over(mx))
-        .filter(col("conc") === col("peak"))
-        .groupBy("event_type", "peak")
-        .agg(min(col("t")).as("first_peak_at"))
-        .select(col("event_type"), col("peak").as("peak_conc"), col("first_peak_at"))
+      intervalOverlap(events(s, dir), "10 minutes")
     },
   )
 }

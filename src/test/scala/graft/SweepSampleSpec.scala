@@ -37,6 +37,33 @@ class SweepSampleSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("intervalOverlap: randomized intervals with forced timestamp collisions match brute force") {
+    // minute-granularity starts in a 2-hour span with a 10-minute gap:
+    // dense collisions AND ends landing exactly on other starts — the
+    // tie cases the RANGE-frame sweep must get right (an interval
+    // ending at t frees its slot before one starting at t takes it)
+    val rnd = new scala.util.Random(42)
+    val base = 1700000000L // fixed epoch anchor
+    val data = Seq.fill(300) {
+      val tpe = s"t${rnd.nextInt(3)}"
+      val sec = base + rnd.nextInt(120) * 60L
+      (tpe, new java.sql.Timestamp(sec * 1000))
+    }
+    val df = spark.createDataFrame(data).toDF("event_type", "ts")
+    val got = ops.EventOps.intervalOverlap(df, "10 minutes").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("peak_conc"), r.getAs[java.sql.Timestamp]("first_peak_at").getTime / 1000))
+      .toMap
+    val gap = 600L
+    data.groupBy(_._1).foreach { case (tpe, evs) =>
+      val starts = evs.map(_._2.getTime / 1000)
+      def occ(t: Long): Int = starts.count(s => s <= t && t < s + gap)
+      val peak = starts.map(occ).max
+      val firstAt = starts.filter(t => occ(t) == peak).min
+      assert(got(tpe) === (peak.toLong, firstAt), s"$tpe sweep vs brute force")
+    }
+  }
+
   test("q_sample_weighted: top-20 by replayed priority, ranks dense, priorities exact") {
     val rows = SparkEntry.queries("q_sample_weighted")(spark, dir).collect()
       .sortBy(_.getAs[Long]("rk"))
