@@ -501,6 +501,33 @@ object DedupOps {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** DuckDB twin of [[simhashPairs]] at the fixed 15-bit band maximum
+    * (band width is output-invariant — SimBandSpec). Shared by
+    * `dedup_simhash` and `dedup_triangles` (which analyzes this pair
+    * graph).
+    */
+  private[graft] lazy val simhashPairsOracleSql: String =
+    s"""WITH docs_aug AS ($docsAugSql),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(list_distinct(string_split(text, ' ')),
+       |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hh
+       |  FROM docs_aug),
+       |sim AS (SELECT doc_id, ${simhashSqlExpr("hh")} AS simhash FROM hs),
+       |bands AS (
+       |  SELECT doc_id, simhash, band_i,
+       |         (simhash >> (band_i * $SimBandBitsMax)) & ${(1 << SimBandBitsMax) - 1} AS band_v
+       |  FROM sim CROSS JOIN (VALUES (0),(1),(2),(3)) t(band_i)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS sim_a, b.simhash AS sim_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+       |  FROM pairs) t
+       |WHERE hamming <= 3""".stripMargin
+
   // ── queries ───────────────────────────────────────────────────────
 
   val queries: Seq[Q] = Seq(
@@ -680,28 +707,7 @@ object DedupOps {
     // the fixed 15-bit maximum — same pairs either way (SimBandSpec).
     // The banded relation is persisted so the signature computation
     // runs once, not once per self-join side.
-    Q("dedup_simhash", {
-      s"""WITH docs_aug AS ($docsAugSql),
-         |hs AS (
-         |  SELECT doc_id,
-         |    list_transform(list_distinct(string_split(text, ' ')),
-         |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hh
-         |  FROM docs_aug),
-         |sim AS (SELECT doc_id, ${simhashSqlExpr("hh")} AS simhash FROM hs),
-         |bands AS (
-         |  SELECT doc_id, simhash, band_i,
-         |         (simhash >> (band_i * $SimBandBitsMax)) & ${(1 << SimBandBitsMax) - 1} AS band_v
-         |  FROM sim CROSS JOIN (VALUES (0),(1),(2),(3)) t(band_i)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         a.simhash AS sim_a, b.simhash AS sim_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, hamming FROM (
-         |  SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
-         |  FROM pairs) t
-         |WHERE hamming <= 3""".stripMargin
-    }) { (s, dir) =>
+    Q("dedup_simhash", simhashPairsOracleSql) { (s, dir) =>
       // corpus size from parquet metadata (cheap count) + the 1-in-10
       // augmentation; an upper-bound estimate is fine — band width only
       // tunes candidate volume, never the result set
@@ -978,6 +984,75 @@ object DedupOps {
           when(coalesce(col("exact_hit"), lit(false)) ||
             coalesce(col("near_hit"), lit(false)), "drop")
             .otherwise("keep").as("decision"))
+    },
+
+    // ── triangle count + clustering coefficient of the near-dup graph ─
+    // The transitivity diagnostic: a high clustering coefficient means
+    // near-dup pairs form dense cliques (template families) rather than
+    // chains — which changes how aggressively a canonical-doc policy
+    // collapses the corpus. Triangles are counted on DEGREE-ORDERED
+    // oriented edges (each edge points from its lower-(degree, id)
+    // endpoint to the higher): every node's out-degree is then O(√E),
+    // so the wedge self-join is bounded — the standard trick that keeps
+    // hub nodes from exploding the join (a raw wedge join on an
+    // h-degree hub costs h², oriented it costs ≤ out-deg² with
+    // out-degrees balanced across the order). Each triangle is counted
+    // exactly once, at its smallest-ranked vertex. Runs on the
+    // Hamming <= 1 cut of the SimHash pair graph — the near-identical
+    // "template family" edges, where transitivity is the question; the
+    // full <= 3 graph's looser edges inflate cliques (and the wedge
+    // join ~3x, measured) without changing the family structure. All
+    // joins are key-partitioned hash joins; the 1-row stat attaches
+    // are O(1) broadcasts.
+    Q("dedup_triangles",
+      s"""WITH p AS ($simhashPairsOracleSql),
+         |e AS (SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+         |      FROM p WHERE hamming <= 1),
+         |deg AS (SELECT node, count(*) AS d
+         |        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) t
+         |        GROUP BY node),
+         |o AS (
+         |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+         |              THEN e.a ELSE e.b END AS u,
+         |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+         |              THEN e.b ELSE e.a END AS v
+         |  FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+         |tri AS (
+         |  SELECT count(*) AS n_triangles
+         |  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v <> o2.v
+         |       JOIN o o3 ON o3.u = o1.v AND o3.v = o2.v),
+         |stats AS (
+         |  SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         |         (SELECT count(*) FROM e) AS n_edges,
+         |         (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
+         |         (SELECT n_triangles FROM tri) AS n_triangles)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |       3.0 * n_triangles / n_wedges AS clustering
+         |FROM stats""".stripMargin) { (s, dir) =>
+      val nDocs = Tables.load(s, dir, "documents").count()
+      val pairs = simhashPairs(s, dir, simBandBits(nDocs + nDocs / 10 + 1))
+      val e = pairs.filter(col("hamming") <= 1)
+        .select(least(col("doc_a"), col("doc_b")).as("a"),
+          greatest(col("doc_a"), col("doc_b")).as("b")).distinct().persist()
+      val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d")).persist()
+      val lowFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+      val o = e
+        .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+        .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+          when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+        .persist()
+      val tri = o.as("o1")
+        .join(o.as("o2"), col("o1.u") === col("o2.u") && col("o1.v") =!= col("o2.v"))
+        .join(o.as("o3"), col("o3.u") === col("o1.v") && col("o3.v") === col("o2.v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val stats = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      tri.crossJoin(stats).crossJoin(edges)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+          (lit(3.0) * col("n_triangles") / col("n_wedges")).as("clustering"))
     },
   )
 }

@@ -53,6 +53,31 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.keySet.count { case (a, b) => b == a + 10000000L } > 0)
   }
 
+  test("dedup_triangles: stats match a brute-force count over the simhash pair graph") {
+    val edges = SparkEntry.queries("dedup_simhash")(spark, dir).collect()
+      .filter(_.getAs[Long]("hamming") <= 1) // the query's own subgraph cut
+      .map(r => (math.min(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        math.max(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))).toSet
+    val row = SparkEntry.queries("dedup_triangles")(spark, dir).collect().head
+    spark.catalog.clearCache()
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val adj = nodes.map(n => n ->
+      edges.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }).toMap
+    val deg = adj.view.mapValues(_.size).toMap
+    val wedges = deg.values.map(d => d.toLong * (d - 1) / 2).sum
+    // adj(a).iterator, NOT adj(a): a Set generator would collapse the
+    // yielded 1s per edge and count "edges in >=1 triangle" instead
+    val triangles = (for {
+      (a, b) <- edges.iterator
+      c <- adj(a).iterator if c > b && edges.contains((b, c))
+    } yield 1).size.toLong
+    assert(row.getAs[Long]("n_nodes") === nodes.size.toLong)
+    assert(row.getAs[Long]("n_edges") === edges.size.toLong)
+    assert(row.getAs[Long]("n_wedges") === wedges)
+    assert(row.getAs[Long]("n_triangles") === triangles)
+    assert(row.getAs[Double]("clustering") === 3.0 * triangles / wedges)
+  }
+
   test("dedup_incremental: planted arrival kinds route to the right decision") {
     val rows = SparkEntry.queries("dedup_incremental")(spark, dir).collect()
     spark.catalog.clearCache()

@@ -59,7 +59,8 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "text_ngram_pmi" -> 1,
     "q_mix_weights" -> 1,
     "q_bm25" -> 1,
-    "q_dq_audit" -> 1)       // 1-row referential-rule x 1-row table-total attach
+    "q_dq_audit" -> 1,       // 1-row referential-rule x 1-row table-total attach
+    "dedup_triangles" -> 2)  // two 1-row graph-stat attaches
 
   private val planOnly =
     SparkEntry.queries.keySet - "pipeline_e2e" -- nljBudget.keySet
