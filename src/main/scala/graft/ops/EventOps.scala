@@ -532,5 +532,126 @@ object EventOps {
         |GROUP BY r.event_type, m.peak""".stripMargin) { (s, dir) =>
       intervalOverlap(events(s, dir), "10 minutes")
     },
+
+    // ── event-type transition matrix (first-order Markov counts) ────
+    // For each user's time-ordered event stream, count (event_type ->
+    // next event_type) transitions and each transition's probability
+    // given the source type — the session-flow model behind funnel
+    // diagnosis and next-event prediction. Ordering ties break on
+    // event_id so the lead() is deterministic on both engines. Scale
+    // shape: ONE shuffle on user_id for the lead window, then a hash
+    // agg to a |types|²-sized relation; the probability attaches via a
+    // window over that tiny relation.
+    Q("q_events_markov",
+      """WITH nx AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, next_type, count(*) AS n FROM nx
+        |  WHERE next_type IS NOT NULL GROUP BY event_type, next_type)
+        |SELECT event_type, next_type, n,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS p
+        |FROM c""".stripMargin) { (s, dir) =>
+      val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wt = Window.partitionBy("event_type")
+      events(s, dir)
+        .select(col("event_type"),
+          lead(col("event_type"), 1).over(wu).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast(DoubleType) / sum("n").over(wt))
+    },
+
+    // ── time-decayed engagement score (half-life weighting) ─────────
+    // Per-user spend where each event's value is halved for every 7
+    // days of age relative to the corpus's newest event, zero beyond 9
+    // half-lives — recency weighting for ranking/retention features.
+    // Determinism discipline: age buckets to an INTEGER week count, the
+    // weight is an exact power-of-two DECIMAL looked up by bucket, and
+    // value×weight accumulates in decimal (order-independent) before
+    // one cast to double — no pow()/exp() (not correctly rounded, and
+    // engines would disagree in the last ulp). Scale shape: the anchor
+    // is a 1-row broadcast; then one hash agg over the scan.
+    Q("q_events_decay", {
+      val wk = "CAST(floor(date_diff('day', CAST(ts AS DATE), CAST(anchor AS DATE)) / 7.0) AS BIGINT)"
+      s"""WITH a AS (SELECT max(ts) AS anchor FROM events),
+         |w AS (
+         |  SELECT user_id, value,
+         |    CASE $wk
+         |      WHEN 0 THEN CAST(1.0 AS DECIMAL(10,8))
+         |      WHEN 1 THEN CAST(0.5 AS DECIMAL(10,8))
+         |      WHEN 2 THEN CAST(0.25 AS DECIMAL(10,8))
+         |      WHEN 3 THEN CAST(0.125 AS DECIMAL(10,8))
+         |      WHEN 4 THEN CAST(0.0625 AS DECIMAL(10,8))
+         |      WHEN 5 THEN CAST(0.03125 AS DECIMAL(10,8))
+         |      WHEN 6 THEN CAST(0.015625 AS DECIMAL(10,8))
+         |      WHEN 7 THEN CAST(0.0078125 AS DECIMAL(10,8))
+         |      WHEN 8 THEN CAST(0.00390625 AS DECIMAL(10,8))
+         |      ELSE CAST(0 AS DECIMAL(10,8)) END AS wt
+         |  FROM events, a)
+         |SELECT user_id, count(*) AS n_events,
+         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * wt) AS STRING) AS DOUBLE)
+         |    AS decayed
+         |FROM w GROUP BY user_id""".stripMargin
+    }) { (s, dir) =>
+      val anchor = events(s, dir).agg(max(col("ts")).as("anchor"))
+      val wkCol = floor(
+        datediff(to_date(col("anchor")), to_date(col("ts"))) / lit(7.0))
+        .cast(LongType)
+      val decW = (v: String) => lit(v).cast(DecimalType(10, 8))
+      val wt = when(col("wk") === 0, decW("1.0"))
+        .when(col("wk") === 1, decW("0.5"))
+        .when(col("wk") === 2, decW("0.25"))
+        .when(col("wk") === 3, decW("0.125"))
+        .when(col("wk") === 4, decW("0.0625"))
+        .when(col("wk") === 5, decW("0.03125"))
+        .when(col("wk") === 6, decW("0.015625"))
+        .when(col("wk") === 7, decW("0.0078125"))
+        .when(col("wk") === 8, decW("0.00390625"))
+        .otherwise(decW("0"))
+      events(s, dir).crossJoin(broadcast(anchor))
+        .withColumn("wk", wkCol)
+        .select(col("user_id"),
+          (col("value").cast(DecimalType(18, 2)) * wt).as("wv"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("wv")).cast(DoubleType).as("decayed"))
+    },
+
+    // ── DAU/MAU stickiness ──────────────────────────────────────────
+    // Per calendar month: average daily active users over the month's
+    // ACTIVE days, monthly actives, and their ratio — the engagement
+    // stickiness metric. Exact integer distinct-counts at two grains +
+    // a fixed double-division sequence. Scale shape: two hash aggs
+    // (user-day dedup, then day counts) — the month relation is tiny.
+    Q("q_events_stickiness",
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(date_trunc('month', ts) AS TIMESTAMP) AS m,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, user_id
+        |  FROM events),
+        |pd AS (SELECT m, d, count(*) AS dau FROM ud GROUP BY m, d),
+        |pm AS (SELECT m, count(DISTINCT user_id) AS mau FROM ud GROUP BY m)
+        |SELECT pd.m, count(*) AS n_days,
+        |  CAST(sum(dau) AS BIGINT) AS dau_sum, any_value(mau) AS mau,
+        |  CAST(sum(dau) AS BIGINT) / CAST(count(*) AS DOUBLE)
+        |    / any_value(mau) AS stickiness
+        |FROM pd JOIN pm ON pd.m = pm.m
+        |GROUP BY pd.m""".stripMargin) { (s, dir) =>
+      val ud = events(s, dir)
+        .select(date_trunc("month", col("ts")).as("m"),
+          date_trunc("day", col("ts")).as("d"), col("user_id"))
+        .distinct()
+      val dau = ud.groupBy("m", "d").agg(count(lit(1)).as("dau"))
+      val mau = ud.groupBy("m").agg(countDistinct("user_id").as("mau"))
+      dau.join(mau, "m")
+        .groupBy("m")
+        .agg(count(lit(1)).as("n_days"), sum("dau").as("dau_sum"),
+          first("mau").as("mau"))
+        .select(col("m"), col("n_days"), col("dau_sum"), col("mau"),
+          (col("dau_sum") / col("n_days").cast(DoubleType) / col("mau"))
+            .as("stickiness"))
+    },
   )
 }

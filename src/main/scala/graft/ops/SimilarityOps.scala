@@ -383,5 +383,79 @@ object SimilarityOps {
       }
       means
     },
+
+    // ── per-dimension embedding statistics (normalization profile) ──
+    // Mean and population variance of every embedding dimension — the
+    // stats a feature-normalization / whitening step consumes. The
+    // q_kmeans_step quantization discipline extended to second
+    // moments: values floor-quantize to int64 (qx = floor(x·1e9));
+    // sum(qx) stays in BIGINT, sum(qx²) accumulates in DECIMAL(38,0)
+    // (qx² ~ 9e16 crosses int64's sum headroom within ~100 rows), and
+    // each exact sum is cast to double ONCE — order-independent and
+    // bit-identical cross-engine. Scale shape: one explode + one
+    // map-side-combinable hash agg to a dim-sized relation.
+    Q("sim_dim_stats",
+      s"""WITH v AS ($vectorsSql),
+         |d AS (
+         |  SELECT CAST(u.s.dim AS BIGINT) AS dim,
+         |         CAST(floor(u.s.x * 1000000000.0) AS BIGINT) AS qx
+         |  FROM v, unnest(list_transform(emb,
+         |         (x, i) -> struct_pack(dim := i, x := x))) u(s)),
+         |m AS (
+         |  SELECT dim, count(*) AS n,
+         |    CAST(sum(qx) AS DOUBLE) AS sq,
+         |    CAST(CAST(sum(CAST(qx * qx AS DECIMAL(38,0))) AS STRING) AS DOUBLE) AS ssq
+         |  FROM d GROUP BY dim)
+         |SELECT dim, n, sq / (n * 1000000000.0) AS mean,
+         |  ssq / (n * 1.0e18)
+         |    - (sq / (n * 1000000000.0)) * (sq / (n * 1000000000.0)) AS var_pop
+         |FROM m""".stripMargin) { (s, dir) =>
+      val m = vectors(s, dir)
+        .select(posexplode(col("emb")).as(Seq("pos", "x")))
+        .select((col("pos") + 1).cast(LongType).as("dim"),
+          floor(col("x") * lit(1000000000.0)).cast(LongType).as("qx"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum("qx").cast(org.apache.spark.sql.types.DoubleType).as("sq"),
+          sum((col("qx") * col("qx"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast(org.apache.spark.sql.types.DoubleType).as("ssq"))
+      val mean = col("sq") / (col("n") * lit(1000000000.0))
+      m.select(col("dim"), col("n"), mean.as("mean"),
+        (col("ssq") / (col("n") * lit(1.0e18)) - mean * mean).as("var_pop"))
+    },
+
+    // ── cosine histogram over LSH candidate pairs ───────────────────
+    // The threshold-tuning diagnostic for every near-dup / ANN dial:
+    // the distribution of cosine similarity across same-bucket
+    // candidate pairs, binned to 0.1. Scale shape: the ONLY join is
+    // the bucket-key self-join (hash join, O(Σ bucket²) candidates —
+    // the LSH contract), then a map-side-combinable agg to a ≤21-row
+    // relation. Cosine is the fixed-order VectorFns fold, so doubles
+    // and therefore floor-bins match the oracle exactly.
+    Q("sim_pair_hist",
+      s"""WITH v AS ($vectorsSql),
+         |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq,
+         |        ${sqlLshBucket("emb")} AS bucket FROM v),
+         |p AS (
+         |  SELECT ${sqlCosine(sqlDot("a.emb", "b.emb"), "a.nsq", "b.nsq")} AS cos
+         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT CAST(floor(cos * 10.0) AS BIGINT) AS bin, count(*) AS n_pairs
+         |FROM p GROUP BY 1""".stripMargin) { (s, dir) =>
+      val n = vectors(s, dir)
+        .withColumn("nsq", normSq(col("emb")))
+        .withColumn("bucket", lshBucket(col("emb")))
+        .persist()
+      val a = n.select(col("bucket"), col("vec_id").as("a_id"),
+        col("emb").as("a_emb"), col("nsq").as("a_nsq"))
+      val b = n.select(col("bucket"), col("vec_id").as("b_id"),
+        col("emb").as("b_emb"), col("nsq").as("b_nsq"))
+      a.join(b, "bucket")
+        .filter(col("a_id") < col("b_id"))
+        .select(cosine(dot(col("a_emb"), col("b_emb")),
+          col("a_nsq"), col("b_nsq")).as("cos"))
+        .groupBy(floor(col("cos") * 10.0).cast(LongType).as("bin"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
   )
 }

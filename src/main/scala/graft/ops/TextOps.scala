@@ -49,6 +49,16 @@ object TextOps {
   val PackBudget = 512
   val PackShards = 8
 
+  /** RAG chunking knobs: window tokens and stride tokens (overlap =
+    * ChunkWin - ChunkStride). Production tunes per retriever; the
+    * explode shape is independent of the values.
+    */
+  val ChunkWin = 64
+  val ChunkStride = 48
+
+  /** Cross-validation fold count for `q_cv_folds`. */
+  val CvFolds = 5
+
   /** Per-language signature token sets for the n-gram language-ID
     * heuristic. Deterministic argmax, ties broken by this fixed order.
     */
@@ -857,6 +867,104 @@ object TextOps {
         (col("n_tokens").cast(DoubleType) / col("tot_tokens")).as("share"),
         (col("tot_tokens").cast(DoubleType) / (col("n_langs") * col("n_tokens")))
           .as("weight"))
+    },
+
+    // ── RAG-style chunking (fixed window + stride, overlap = W - S) ─
+    // Split each document into ChunkWin-token windows every ChunkStride
+    // tokens — the retrieval-corpus chunker (chunks overlap by
+    // ChunkWin - ChunkStride tokens so no boundary sentence is lost).
+    // Scale shape: a per-row sequence explode bounded by n/S + 1 — the
+    // output is a constant factor of the input, produced in the scan
+    // stage with no shuffle. All-BIGINT arithmetic.
+    Q("text_chunk_overlap", {
+      val toks = "string_split(text, ' ')"
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n FROM documents),
+         |c AS (
+         |  SELECT doc_id, n,
+         |    CASE WHEN n <= $ChunkWin THEN 1
+         |         ELSE 1 + CAST(ceil((n - $ChunkWin) / ${ChunkStride}.0) AS BIGINT)
+         |    END AS n_chunks
+         |  FROM t)
+         |SELECT doc_id, n AS n_tokens, chunk_id,
+         |  chunk_id * $ChunkStride AS chunk_start,
+         |  least(CAST($ChunkWin AS BIGINT), n - chunk_id * $ChunkStride) AS chunk_len
+         |FROM (SELECT doc_id, n, unnest(range(0, n_chunks)) AS chunk_id FROM c) x""".stripMargin
+    }) { (s, dir) =>
+      val n = size(tokens(col("text"))).cast(LongType)
+      val nChunks = when(col("n") <= ChunkWin, lit(1L))
+        .otherwise(lit(1L) +
+          ceil((col("n") - ChunkWin) / lit(ChunkStride.toDouble)).cast(LongType))
+      docs(s, dir)
+        .select(col("doc_id"), n.as("n"))
+        .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1)))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("chunk_id"),
+          (col("chunk_id") * ChunkStride).as("chunk_start"),
+          least(lit(ChunkWin.toLong), col("n") - col("chunk_id") * ChunkStride)
+            .as("chunk_len"))
+    },
+
+    // ── BPE pair-count step (tokenizer induction) ───────────────────
+    // One iteration of byte-pair-encoding vocabulary training: count
+    // adjacent CHARACTER pairs within every word across the corpus and
+    // rank the merge candidates (top-20, ties by pair). Scale shape:
+    // per-row char-pair explode (bounded by text length) -> one
+    // map-side-combinable hash agg to an alphabet²-sized relation ->
+    // top-k over that tiny relation. Production iterates: apply the
+    // winning merge, recount — each step is exactly this query.
+    Q("text_bpe_pair_step",
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (
+        |  SELECT substr(w, i, 1) AS c1, substr(w, i + 1, 1) AS c2
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w WHERE len(w) >= 2) t),
+        |c AS (SELECT c1, c2, count(*) AS n FROM p GROUP BY c1, c2)
+        |SELECT c1, c2, n, rk FROM (
+        |  SELECT c1, c2, n,
+        |    row_number() OVER (ORDER BY n DESC, c1, c2) AS rk
+        |  FROM c) r
+        |WHERE rk <= 20""".stripMargin) { (s, dir) =>
+      val pairs = transform(sequence(lit(1), length(col("w")) - 1), i =>
+        struct(col("w").substr(i, lit(1)).as("c1"),
+          col("w").substr(i + 1, lit(1)).as("c2")))
+      val c = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(pairs).as("p"))
+        .select(col("p.c1"), col("p.c2"))
+        .groupBy("c1", "c2").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("c1"), col("c2"))
+      c.withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 20)
+    },
+
+    // ── k-fold cross-validation assignment ──────────────────────────
+    // Deterministic 5-fold partition as a pure hash of doc_id (the
+    // q_split_train discipline generalized to k folds): per (lang,
+    // fold) doc/token counts plus each fold's share of its language —
+    // the balance check run before any CV experiment. One hash agg to
+    // a langs×folds-sized relation; the per-lang total attaches via a
+    // window over that tiny relation, never the corpus.
+    Q("q_cv_folds", {
+      val fold = s"${graft.OracleSql.hex60("CAST(doc_id AS VARCHAR)")} % $CvFolds"
+      s"""WITH pf AS (
+         |  SELECT lang, $fold AS fold, count(*) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang, $fold)
+         |SELECT lang, fold, n_docs, n_tokens,
+         |  CAST(n_docs AS DOUBLE)
+         |    / CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS fold_share
+         |FROM pf""".stripMargin
+    }) { (s, dir) =>
+      val fold = graft.Cols.hex60(col("doc_id").cast("string")) % CvFolds
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      docs(s, dir)
+        .groupBy(col("lang"), fold.as("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text"))).cast(LongType)).as("n_tokens"))
+        .withColumn("fold_share",
+          col("n_docs").cast(DoubleType) / sum("n_docs").over(w))
     },
   )
 }

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-4 operators (chunking, BPE pair
+  * counting, CV folds, Markov transitions, decay weighting, stickiness,
+  * embedding dimension stats, cosine histogram) — contracts the oracle's
+  * value-equality gate does not itself state.
+  */
+class PipelineOpsRound4Spec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = {
+    val rows = SparkEntry.queries(name)(spark, dir).collect()
+    spark.catalog.clearCache()
+    rows
+  }
+
+  test("text_chunk_overlap: chunks tile every document exactly") {
+    val rows = run("text_chunk_overlap")
+    assert(rows.nonEmpty)
+    val W = ops.TextOps.ChunkWin.toLong
+    val S = ops.TextOps.ChunkStride.toLong
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_id"))
+      val n = sorted.head.getAs[Long]("n_tokens")
+      // ids consecutive from 0, starts on the stride grid
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("chunk_id") === i.toLong, s"doc $doc: gap in chunk ids")
+        assert(r.getAs[Long]("chunk_start") === i * S)
+        val len = r.getAs[Long]("chunk_len")
+        assert(len > 0 && len <= W, s"doc $doc chunk $i: bad length $len")
+      }
+      // the final chunk ends exactly at the document's last token
+      val last = sorted.last
+      assert(last.getAs[Long]("chunk_start") + last.getAs[Long]("chunk_len") === n,
+        s"doc $doc: chunks do not cover the tail")
+      // a doc at most one window long must be exactly one chunk
+      if (n <= W) assert(sorted.length === 1)
+    }
+  }
+
+  test("text_bpe_pair_step: ranked top-20 agrees with a driver-side recount") {
+    val rows = run("text_bpe_pair_step")
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val byRank = rows.sortBy(_.getAs[Long]("rk"))
+    assert(byRank.map(_.getAs[Long]("rk")).toSeq === (1L to rows.length).toSeq)
+    assert(byRank.map(_.getAs[Long]("n")).toSeq.reverse.sorted.reverse ===
+      byRank.map(_.getAs[Long]("n")).toSeq, "counts not non-increasing by rank")
+    // brute-force recount of the modal pair on the driver
+    val texts = Tables.load(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach(_.split(" ").foreach { w =>
+      (0 until w.length - 1).foreach { i =>
+        val k = (w.substring(i, i + 1), w.substring(i + 1, i + 2))
+        counts(k) = counts.getOrElse(k, 0L) + 1
+      }
+    })
+    val top = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head
+    val got = byRank.head
+    assert((got.getAs[String]("c1"), got.getAs[String]("c2")) === top._1)
+    assert(got.getAs[Long]("n") === top._2)
+  }
+
+  test("q_cv_folds: folds partition the corpus and shares sum to 1 per language") {
+    val rows = run("q_cv_folds")
+    assert(rows.map(_.getAs[Long]("fold")).forall(f => f >= 0 && f < ops.TextOps.CvFolds))
+    val corpus = Tables.load(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === corpus)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val share = rs.map(_.getAs[Double]("fold_share")).sum
+      assert(math.abs(share - 1.0) < 1e-9, s"$lang fold shares sum to $share")
+    }
+  }
+
+  test("q_events_markov: probabilities are per-source distributions over all transitions") {
+    val rows = run("q_events_markov")
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (src, rs) =>
+      val p = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(p - 1.0) < 1e-9, s"$src transition probs sum to $p")
+    }
+    // each user's chain contributes (events - 1) transitions
+    val ev = Tables.load(spark, dir, "events")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum === expected)
+  }
+
+  test("q_events_decay: decayed spend is bounded by undecayed spend, counts cover the stream") {
+    val rows = run("q_events_decay")
+    val plain = SparkEntry.queries("q_events_decay")(spark, dir) // schema probe only
+    assert(plain.columns.toSeq === Seq("user_id", "n_events", "decayed"))
+    val undecayed = Tables.load(spark, dir, "events")
+      .groupBy("user_id").agg(Cols.dsum(col("value")).as("tot"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("tot")).toMap
+    rows.foreach { r =>
+      val d = r.getAs[Double]("decayed")
+      val t = undecayed(r.getAs[Long]("user_id"))
+      assert(d >= 0 && d <= t + 1e-9, s"decayed $d outside [0, $t]")
+    }
+    assert(rows.map(_.getAs[Long]("n_events")).sum ===
+      Tables.load(spark, dir, "events").count())
+    spark.catalog.clearCache()
+  }
+
+  test("q_events_stickiness: ratio is avg-DAU over MAU and lands in (0, 1]") {
+    val rows = run("q_events_stickiness")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0 && s <= 1.0, s"stickiness $s outside (0,1]")
+      assert(r.getAs[Long]("dau_sum") >= r.getAs[Long]("mau"),
+        "summed DAU cannot be below MAU (every monthly active has >= 1 active day)")
+    }
+  }
+
+  test("sim_dim_stats: one row per dimension, corpus-sized counts, non-negative variance") {
+    val rows = run("sim_dim_stats")
+    val corpus = Tables.load(spark, dir, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("dim")).toSet === (1L to 64L).toSet)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") === corpus)
+      // exact integer moments; only the final double division rounds
+      assert(r.getAs[Double]("var_pop") >= -1e-12)
+    }
+  }
+
+  test("sim_pair_hist: bins are 0.1-wide cosine buckets accounting for every candidate pair") {
+    val rows = run("sim_pair_hist")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= -11 && bin <= 10, s"bin $bin outside cosine range")
+      assert(r.getAs[Long]("n_pairs") > 0)
+    }
+    // total pairs must equal sum over buckets of k-choose-2
+    import functions.VectorFns
+    val bucketSizes = Tables.load(spark, dir, "embeddings")
+      .select(VectorFns.lshBucket(VectorFns.toDouble(col("embedding"))).as("b"))
+      .groupBy("b").count().collect().map(_.getAs[Long]("count"))
+    val expected = bucketSizes.map(k => k * (k - 1) / 2).sum
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === expected)
+  }
+}

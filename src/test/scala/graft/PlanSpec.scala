@@ -60,7 +60,8 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "q_mix_weights" -> 1,
     "q_bm25" -> 1,
     "q_dq_audit" -> 1,       // 1-row referential-rule x 1-row table-total attach
-    "dedup_triangles" -> 2)  // two 1-row graph-stat attaches
+    "dedup_triangles" -> 2,  // two 1-row graph-stat attaches
+    "q_events_decay" -> 1)   // 1-row anchor-timestamp attach
 
   private val planOnly =
     SparkEntry.queries.keySet - "pipeline_e2e" -- nljBudget.keySet
