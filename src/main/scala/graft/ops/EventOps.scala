@@ -653,5 +653,72 @@ object EventOps {
           (col("dau_sum") / col("n_days").cast(DoubleType) / col("mau"))
             .as("stickiness"))
     },
+
+    // ── HyperLogLog distinct-count sketch (deterministic registers) ─
+    // Per-event-type distinct users via a REAL m=256-register HLL,
+    // built so both engines produce bit-identical estimates: the
+    // 60-bit hex60 hash splits into bucket (low 8 bits) and a 52-bit
+    // remainder whose leading-zero rank comes from length(bin(x)) —
+    // identical minimal-binary semantics in Spark and DuckDB — and the
+    // harmonic-mean denominator Σ 2^(-Mj) is computed EXACTLY as
+    // Σ 2^(60-Mj) in DECIMAL(38,0) (every term a shifted integer;
+    // empty registers contribute 2^60), cast to double once. The raw
+    // estimate is reported without the small-range linear-counting
+    // correction (it needs ln(), which engines round differently);
+    // n_empty makes the regime visible. max() registers are shuffle-
+    // order independent — the sketch is mergeable, which is the whole
+    // 100 TB story: registers combine across any partitioning.
+    Q("q_sketch_hll", {
+      val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+      val h = graft.OracleSql.hex60("CAST(user_id AS VARCHAR)")
+      s"""WITH b AS (
+         |  SELECT event_type, user_id, $h % 256 AS bucket,
+         |    CASE WHEN ($h >> 8) = 0 THEN 53
+         |         ELSE 53 - length(bin($h >> 8)) END AS rho
+         |  FROM events),
+         |m AS (
+         |  SELECT event_type, bucket, max(rho) AS mj
+         |  FROM b GROUP BY event_type, bucket),
+         |s AS (
+         |  SELECT event_type, count(*) AS n_used,
+         |    CAST(CAST(sum(CAST((1::BIGINT << (60 - mj)) AS DECIMAL(38,0)))
+         |           + CAST(256 - count(*) AS DECIMAL(38,0))
+         |             * CAST(1152921504606846976 AS DECIMAL(38,0))
+         |         AS STRING) AS DOUBLE) AS sigma
+         |  FROM m GROUP BY event_type),
+         |x AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events
+         |  GROUP BY event_type)
+         |SELECT s.event_type, n_exact, 256 - n_used AS n_empty,
+         |  CAST($alpha AS DOUBLE) * 65536.0 * 1.152921504606846976e18 / sigma AS hll_est,
+         |  abs(CAST($alpha AS DOUBLE) * 65536.0 * 1.152921504606846976e18 / sigma - n_exact)
+         |    / n_exact AS rel_err
+         |FROM s JOIN x ON s.event_type = x.event_type""".stripMargin
+    }) { (s, dir) =>
+      val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+      val h = graft.Cols.hex60(col("user_id").cast("string"))
+      val rem = shiftright(h, 8)
+      val b = events(s, dir).select(col("event_type"), col("user_id"),
+        (h % 256).as("bucket"),
+        when(rem === 0, lit(53)).otherwise(lit(53) - length(bin(rem))).as("rho"))
+      val m = b.groupBy("event_type", "bucket").agg(max("rho").as("mj"))
+      val two60 = lit("1152921504606846976").cast(DecimalType(38, 0))
+      val sk = m.groupBy("event_type")
+        .agg(count(lit(1)).as("n_used"),
+          sum(expr("shiftleft(1L, cast(60 - mj as int))")
+            .cast(DecimalType(38, 0))).as("sum_used"))
+        .select(col("event_type"), col("n_used"),
+          (col("sum_used") +
+            (lit(256L) - col("n_used")).cast(DecimalType(38, 0)) * two60)
+            .cast(DoubleType).as("sigma"))
+      val exact = events(s, dir).groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      val est = lit(alpha) * lit(65536.0) * lit(1.152921504606846976e18) / col("sigma")
+      sk.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (lit(256L) - col("n_used")).as("n_empty"),
+          est.as("hll_est"),
+          (abs(est - col("n_exact")) / col("n_exact")).as("rel_err"))
+    },
   )
 }

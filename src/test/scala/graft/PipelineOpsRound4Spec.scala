@@ -117,6 +117,35 @@ class PipelineOpsRound4Spec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q_sketch_hll: estimates land within HLL's error regime for m=256") {
+    val rows = run("q_sketch_hll")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("hll_est")
+      val exact = r.getAs[Long]("n_exact")
+      val empty = r.getAs[Long]("n_empty")
+      assert(empty >= 0 && empty <= 256)
+      assert(est > 0)
+      // The query reports the RAW estimator (ln() is not bit-stable
+      // cross-engine, so linear counting stays out of the oracle'd
+      // output). In the small-range regime (empty registers remain)
+      // the raw estimate biases high BY DESIGN; n_empty carries
+      // exactly the information needed to recover accuracy, which
+      // this spec does test-side: m*ln(m/V) — the standard HLL
+      // small-range correction.
+      if (empty > 0) {
+        val lc = 256.0 * math.log(256.0 / empty)
+        assert(math.abs(lc - exact) / exact < 0.2,
+          s"${r.getAs[String]("event_type")}: linear-count $lc vs exact $exact")
+      } else {
+        // past the small-range regime the raw estimator's standard
+        // error is ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+        assert(math.abs(est - exact) / exact < 0.2,
+          s"${r.getAs[String]("event_type")}: est $est vs exact $exact")
+      }
+    }
+  }
+
   test("sim_dim_stats: one row per dimension, corpus-sized counts, non-negative variance") {
     val rows = run("sim_dim_stats")
     val corpus = Tables.load(spark, dir, "embeddings").count()
