@@ -282,6 +282,43 @@ object StatefulOps extends Serializable {
     }
   }
 
+  /** One transition-counting input event. */
+  final case class TypedEv(user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
+
+  /** One observed (from -> to) transition in a user's event chain. */
+  final case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming event-type transition extraction — the continuous face
+    * of the batch `q_events_markov` operator: per user, each arriving
+    * event pairs with that user's PREVIOUS event to emit one
+    * (from, to) transition; a downstream count by (from, to) is the
+    * running transition matrix.
+    *
+    * State per user is ONE (micros, event_id, type) triple — the chain
+    * tail — so state tracks the user population, never event history.
+    * In-batch disorder is handled by sorting the trigger slice on
+    * (ts, event_id), the same deterministic order the batch lead()
+    * window uses; across triggers the chain follows arrival order,
+    * which equals the batch order whenever ingestion is time-ordered
+    * (the equivalence spec's contract, as with packStream).
+    */
+  def transitionStream(events: Dataset[TypedEv]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (user: Long, it: Iterator[TypedEv],
+       state: GroupState[(Long, Long, String)]) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+        var prev = state.getOption
+        it.toIndexedSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+          prev.foreach { case (_, _, t) => out += Transition(user, t, e.event_type) }
+          prev = Some((micros(e.ts), e.event_id, e.event_type))
+        }
+        prev.foreach(state.update)
+        out.iterator
+    }
+  }
+
   /** Streaming exact dedup with BOUNDED state: first occurrence per key
     * combination is emitted; duplicate arrivals within the watermark
     * horizon are dropped, and key state older than the watermark is

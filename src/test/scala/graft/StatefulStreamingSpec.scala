@@ -121,6 +121,34 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("transitionStream counts == batch q_events_markov transition matrix") {
+    // stage the four TypedEv columns; the single-file available-now
+    // batch sorts each user's slice on (ts, event_id) — the identical
+    // deterministic order the batch lead() window uses
+    val dir = Files.createTempDirectory("graft-transitions-staged").toString
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+      .as[StatefulOps.TypedEv]
+    val q = StatefulOps.transitionStream(stream)
+      .writeStream.format("memory").queryName("stateful_transitions")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "streaming query timed out")
+    val got = spark.table("stateful_transitions")
+      .groupBy(col("from_type").as("event_type"), col("to_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(_.toString).sorted
+    val want = SparkEntry.queries("q_events_markov")(spark, "/root/testdata/sf0.001")
+      .select("event_type", "next_type", "n")
+      .collect().map(_.toString).sorted
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("dropDuplicatesWithinWatermark emits exactly the distinct key set") {
     val q = StatefulOps.dedupWithinWatermark(
       streamEvents, Seq("user_id"), "ts", "1 hour")
