@@ -172,5 +172,55 @@ object MultimodalOps {
           explode(sequence(lit(0L), nFrames - 1, lit(4L))).as("frame_idx"),
           nBytes.as("n_bytes"))
     },
+
+    // Training-shard manifest: the sampled frames laid out into
+    // fixed-budget shard files (4096 bytes) per packing stream
+    // (doc_id % 8) — the manifest a webdataset/tar-shard writer
+    // consumes. text_seq_pack's concat-and-chunk formula applied to
+    // BYTES: each frame records the shard file its payload starts in
+    // and the offset there; a frame's true byte length is
+    // min(16, n_bytes - offset) (the tail frame is short). All-BIGINT
+    // window arithmetic per shard stream — partition-parallel at any
+    // corpus size, and the DuckDB window-sum HUGEINT is cast back to
+    // BIGINT (the text_seq_pack lesson).
+    Q("mm_shard_manifest",
+      """WITH f AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    unnest(range(0, CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT), 4)) AS frame_idx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |b AS (
+        |  SELECT doc_id, shard, frame_idx,
+        |    least(16, n_bytes - frame_idx * 16) AS frame_bytes
+        |  FROM f),
+        |c AS (
+        |  SELECT doc_id, shard, frame_idx, frame_bytes,
+        |    CAST(sum(frame_bytes) OVER (PARTITION BY shard
+        |           ORDER BY doc_id, frame_idx
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM b)
+        |SELECT doc_id, shard, frame_idx, frame_bytes,
+        |  CAST(floor((cum - frame_bytes) / 4096.0) AS BIGINT) AS shard_file,
+        |  CAST((cum - frame_bytes) % 4096 AS BIGINT) AS file_off
+        |FROM c""".stripMargin) { (s, dir) =>
+      val nBytes = expr("octet_length(text)").cast(LongType)
+      val nFrames = ceil(nBytes / lit(16.0)).cast(LongType)
+      val f = Tables.load(s, dir, "documents")
+        .filter(nBytes > 0)
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          explode(sequence(lit(0L), nFrames - 1, lit(4L))).as("frame_idx"),
+          nBytes.as("n_bytes"))
+        .withColumn("frame_bytes",
+          least(lit(16L), col("n_bytes") - col("frame_idx") * 16))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy(col("doc_id"), col("frame_idx"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      f.withColumn("cum", sum("frame_bytes").over(w))
+        .select(col("doc_id"), col("shard"), col("frame_idx"), col("frame_bytes"),
+          floor((col("cum") - col("frame_bytes")) / lit(4096.0))
+            .cast(LongType).as("shard_file"),
+          ((col("cum") - col("frame_bytes")) % 4096).as("file_off"))
+    },
   )
 }

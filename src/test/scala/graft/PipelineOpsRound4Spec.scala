@@ -117,6 +117,24 @@ class PipelineOpsRound4Spec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("mm_shard_manifest: byte layout replays exactly per shard stream") {
+    val rows = run("mm_shard_manifest")
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")))
+        .foreach { r =>
+          assert(r.getAs[Long]("shard_file") === cum / 4096,
+            s"shard $shard doc ${r.getAs[Long]("doc_id")}: wrong shard_file")
+          assert(r.getAs[Long]("file_off") === cum % 4096,
+            s"shard $shard doc ${r.getAs[Long]("doc_id")}: wrong file_off")
+          val fb = r.getAs[Long]("frame_bytes")
+          assert(fb > 0 && fb <= 16)
+          cum += fb
+        }
+    }
+  }
+
   test("q_sketch_hll: estimates land within HLL's error regime for m=256") {
     val rows = run("q_sketch_hll")
     assert(rows.nonEmpty)
