@@ -282,6 +282,47 @@ object StatefulOps extends Serializable {
     }
   }
 
+  /** One live HLL register snapshot: group, register index, max rank. */
+  final case class HllRegister(group: String, bucket: Long, mj: Long)
+
+  /** The batch `q_sketch_hll` register function via the shared scalar
+    * md5 twin: 60-bit hash -> (low-8-bit register, leading-zero rank of
+    * the 52-bit remainder). Bit-identical to the SQL pair
+    * (hex60 % 256, 53 - length(bin(hex60 >> 8))).
+    */
+  def hllRegister(key: String): (Long, Long) = {
+    val h = graft.Cols.hex60Scalar(key)
+    val rem = h >>> 8
+    val rho = if (rem == 0L) 53L else 53L - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+    (h % 256, rho)
+  }
+
+  /** Streaming HyperLogLog monitor — the ingestion-time face of the
+    * batch `q_sketch_hll` operator: each (group, key) arrival folds
+    * into its register via max(rho); every trigger re-emits the touched
+    * registers. State is one long per (group, register) — bounded by
+    * groups x 256 FOREVER, the defining sketch property — and max() is
+    * idempotent, so replays and duplicates cannot corrupt a register.
+    * A downstream consumer turns any snapshot into the estimate with
+    * the batch query's exact-integer harmonic sum; final registers
+    * equal the batch registers exactly (StreamingHllSpec).
+    */
+  def hllMonitor(keyed: Dataset[(String, String)]): Dataset[HllRegister] = {
+    import keyed.sparkSession.implicits._
+    keyed
+      .map { case (g, k) => val (b, r) = hllRegister(k); (g, b, r) }
+      .groupByKey { case (g, b, _) => (g, b) }
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), it: Iterator[(String, Long, Long)],
+         state: GroupState[Long]) =>
+          val mj = it.foldLeft(state.getOption.getOrElse(0L)) {
+            case (acc, (_, _, rho)) => math.max(acc, rho)
+          }
+          state.update(mj)
+          Iterator(HllRegister(key._1, key._2, mj))
+      }
+  }
+
   /** One transition-counting input event. */
   final case class TypedEv(user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
 
