@@ -654,6 +654,56 @@ object EventOps {
             .as("stickiness"))
     },
 
+    // ── conversion attribution (first purchase + leading clicks) ────
+    // Per converting user: their FIRST purchase (ties on ts break by
+    // event_id via row_number — arg_min tie order is engine-defined,
+    // so neither side uses it), the clicks strictly before it, and the
+    // first-click-to-conversion latency in whole seconds (epoch-micro
+    // difference div 1e6 — exact integer arithmetic, no interval
+    // rounding ambiguity). The attribution query of a funnel pipeline.
+    // Scale shape: one user-partitioned window over purchases + one
+    // (user)-keyed join/agg over clicks — no windows over the full
+    // stream, no driver state.
+    Q("q_events_conversion",
+      """WITH fp AS (
+        |  SELECT user_id, ts AS first_purchase_ts FROM (
+        |    SELECT user_id, ts,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events WHERE event_type = 'purchase') t
+        |  WHERE rn = 1),
+        |ck AS (
+        |  SELECT fp.user_id, fp.first_purchase_ts, c.ts AS click_ts
+        |  FROM fp LEFT JOIN events c
+        |    ON c.user_id = fp.user_id AND c.event_type = 'click'
+        |   AND c.ts < fp.first_purchase_ts)
+        |SELECT user_id, first_purchase_ts,
+        |  count(click_ts) AS n_clicks_before,
+        |  CASE WHEN count(click_ts) = 0 THEN NULL
+        |       ELSE (epoch_us(first_purchase_ts) - epoch_us(min(click_ts))) // 1000000
+        |  END AS secs_to_convert
+        |FROM ck GROUP BY user_id, first_purchase_ts""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("first_purchase_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      val us = (c: Column) => unix_micros(c)
+      fp.join(clicks,
+          col("c_user") === col("user_id") &&
+            col("click_ts") < col("first_purchase_ts"), "left")
+        .groupBy("user_id", "first_purchase_ts")
+        .agg(count(col("click_ts")).as("n_clicks_before"),
+          min(col("click_ts")).as("first_click_ts"))
+        .select(col("user_id"), col("first_purchase_ts"),
+          col("n_clicks_before"),
+          when(col("n_clicks_before") === 0, lit(null).cast(LongType))
+            .otherwise(((us(col("first_purchase_ts")) - us(col("first_click_ts")))
+              / lit(1000000L)).cast(LongType)).as("secs_to_convert"))
+    },
+
     // ── HyperLogLog distinct-count sketch (deterministic registers) ─
     // Per-event-type distinct users via a REAL m=256-register HLL,
     // built so both engines produce bit-identical estimates: the

@@ -117,6 +117,22 @@ class PipelineOpsRound4Spec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q_events_conversion: one row per purchasing user, coherent latency") {
+    val rows = run("q_events_conversion")
+    val purchasers = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(rows.length.toLong === purchasers)
+    assert(rows.map(_.getAs[Long]("user_id")).distinct.length === rows.length)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_clicks_before")
+      assert(n >= 0)
+      if (n == 0) assert(r.isNullAt(r.fieldIndex("secs_to_convert")))
+      else assert(r.getAs[Long]("secs_to_convert") > 0,
+        "clicks are strictly before the purchase, so latency must be positive")
+    }
+  }
+
   test("mm_shard_manifest: byte layout replays exactly per shard stream") {
     val rows = run("mm_shard_manifest")
     assert(rows.nonEmpty)
