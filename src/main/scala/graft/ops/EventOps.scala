@@ -704,6 +704,40 @@ object EventOps {
               / lit(1000000L)).cast(LongType)).as("secs_to_convert"))
     },
 
+    // ── common event paths (second-order sequence mining) ───────────
+    // The top-10 most frequent 3-step event-type paths across user
+    // streams — q_events_markov's chain extended one step, the "what
+    // do users actually do" path report. Same deterministic
+    // (ts, event_id) ordering; one user-partitioned window computes
+    // both leads, then a hash agg to a |types|³-bounded relation and a
+    // top-k over it.
+    Q("q_events_paths",
+      """WITH nx AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT e1, e2, e3, count(*) AS n FROM nx
+        |  WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY e1, e2, e3)
+        |SELECT e1, e2, e3, n, rk FROM (
+        |  SELECT e1, e2, e3, n,
+        |    row_number() OVER (ORDER BY n DESC, e1, e2, e3) AS rk
+        |  FROM c) t
+        |WHERE rk <= 10""".stripMargin) { (s, dir) =>
+      val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val c = events(s, dir)
+        .select(col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(wu).as("e2"),
+          lead(col("event_type"), 2).over(wu).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+      val wr = Window.orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      c.withColumn("rk", row_number().over(wr).cast(LongType))
+        .filter(col("rk") <= 10)
+    },
+
     // ── HyperLogLog distinct-count sketch (deterministic registers) ─
     // Per-event-type distinct users via a REAL m=256-register HLL,
     // built so both engines produce bit-identical estimates: the

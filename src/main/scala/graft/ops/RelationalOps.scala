@@ -1117,6 +1117,62 @@ object RelationalOps {
     // only the cross-table referential rule pays a join — an anti-join
     // on the key, the same shape as the merge's unmatched report. A
     // constant-row result at any input size.
+    // ── Pareto / ABC revenue-concentration analysis ─────────────────
+    // Customers ranked by lifetime spend and cut into ten equal-count
+    // deciles; each decile reports its headcount, exact-decimal spend,
+    // and the cumulative revenue share — the "top 10% of customers
+    // carry X% of revenue" report. Rank ties break on o_custkey;
+    // decile = ((rn-1)*10) div n in pure integer math; per-decile and
+    // cumulative spend stay in DECIMAL until one final double cast +
+    // division. The global rank window single-partitions the PER-
+    // CUSTOMER aggregate (one row per customer, already reduced) —
+    // at extreme customer counts swap the exact rank for a
+    // spend-quantile bucketing; the decile report shape is unchanged.
+    Q("q_pareto",
+      s"""WITH ct AS (
+         |  SELECT o_custkey, ${O.dsum("o_totalprice")} AS spend
+         |  FROM orders GROUP BY o_custkey),
+         |r AS (
+         |  SELECT spend,
+         |    row_number() OVER (ORDER BY spend DESC, o_custkey) AS rn,
+         |    count(*) OVER () AS nc
+         |  FROM ct),
+         |g AS (
+         |  SELECT ((rn - 1) * 10) // nc AS decile, count(*) AS n_customers,
+         |    sum(CAST(spend AS DECIMAL(18,2))) AS ds
+         |  FROM r GROUP BY 1),
+         |w AS (
+         |  SELECT decile, n_customers, ds,
+         |    sum(ds) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(ds) OVER () AS tot
+         |  FROM g)
+         |SELECT decile, n_customers,
+         |  CAST(CAST(ds AS STRING) AS DOUBLE) AS spend,
+         |  CAST(CAST(cum AS STRING) AS DOUBLE)
+         |    / CAST(CAST(tot AS STRING) AS DOUBLE) AS cum_share
+         |FROM w""".stripMargin) { (s, dir) =>
+      val wRank = Window.orderBy(col("spend").desc, col("o_custkey"))
+      val wAll = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val dec = (c: Column) => c.cast(DecimalType(18, 2))
+      val ct = Tables.load(s, dir, "orders")
+        .groupBy("o_custkey").agg(Cols.dsum(col("o_totalprice")).as("spend"))
+      val g = ct
+        .withColumn("rn", row_number().over(wRank).cast(LongType))
+        .withColumn("nc", count(lit(1)).over(wAll))
+        .withColumn("decile", expr("((rn - 1) * 10) div nc"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum(dec(col("spend"))).as("ds"))
+      val wCum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum", sum("ds").over(wCum))
+        .withColumn("tot", sum("ds").over(wAll))
+        .select(col("decile"), col("n_customers"),
+          col("ds").cast(DoubleType).as("spend"),
+          (col("cum").cast(DoubleType) / col("tot").cast(DoubleType))
+            .as("cum_share"))
+    },
+
     Q("q_dq_audit",
       """WITH o AS (
         |  SELECT count(*) AS n,

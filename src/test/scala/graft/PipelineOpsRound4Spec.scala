@@ -133,6 +133,28 @@ class PipelineOpsRound4Spec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q_pareto: deciles partition the customers, cumulative share reaches exactly 1") {
+    val rows = run("q_pareto").sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).toSeq === (0L to 9L))
+    val customers = Tables.load(spark, dir, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === customers)
+    // rank-ordered deciles: per-customer average spend can only fall
+    val avg = rows.map(r => r.getAs[Double]("spend") / r.getAs[Long]("n_customers")).toSeq
+    avg.sliding(2).foreach { case Seq(a, b) => assert(a >= b); case _ => () }
+    val cum = rows.map(_.getAs[Double]("cum_share")).toSeq
+    cum.sliding(2).foreach { case Seq(a, b) => assert(a < b); case _ => () }
+    assert(cum.last === 1.0, "last decile's cumulative share must be exactly total/total")
+  }
+
+  test("q_events_paths: top-10 ranked 3-step paths with non-increasing counts") {
+    val rows = run("q_events_paths").sortBy(_.getAs[Long]("rk"))
+    assert(rows.map(_.getAs[Long]("rk")).toSeq === (1L to rows.length))
+    rows.map(_.getAs[Long]("n")).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b); case _ => ()
+    }
+  }
+
   test("mm_shard_manifest: byte layout replays exactly per shard stream") {
     val rows = run("mm_shard_manifest")
     assert(rows.nonEmpty)
