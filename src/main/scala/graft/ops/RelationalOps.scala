@@ -1173,6 +1173,106 @@ object RelationalOps {
             .as("cum_share"))
     },
 
+    // ── RFM customer segmentation ───────────────────────────────────
+    // Recency / frequency / monetary quintiles per customer, reported
+    // per RFM segment code — the classic CRM scoring operator. Each
+    // ntile(5) runs over a FULL order (metric + custkey tie-break), so
+    // bucket assignment is deterministic and the SQL-standard "first
+    // buckets take the remainder" rule agrees across engines. Recency
+    // is integer days from the customer's last order to the corpus's
+    // newest order (1-row broadcast attach); monetary stays decimal
+    // until the final cast. The rank windows single-partition the
+    // per-customer aggregate (already reduced), like q_pareto.
+    Q("q_rfm",
+      s"""WITH cust AS (
+         |  SELECT o_custkey, max(o_orderdate) AS last_o, count(*) AS freq,
+         |         ${O.dsum("o_totalprice")} AS monetary
+         |  FROM orders GROUP BY o_custkey),
+         |mx AS (SELECT max(o_orderdate) AS anchor FROM orders),
+         |scored AS (
+         |  SELECT o_custkey,
+         |    date_diff('day', last_o, anchor) AS recency_days,
+         |    ntile(5) OVER (ORDER BY date_diff('day', last_o, anchor), o_custkey) AS r,
+         |    ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f,
+         |    ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m,
+         |    monetary
+         |  FROM cust, mx)
+         |SELECT r * 100 + f * 10 + m AS rfm, count(*) AS n_customers,
+         |  CAST(CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
+         |    AS monetary_total
+         |FROM scored GROUP BY 1""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val cust = o.groupBy("o_custkey")
+        .agg(max("o_orderdate").as("last_o"), count(lit(1)).as("freq"),
+          Cols.dsum(col("o_totalprice")).as("monetary"))
+      val mx = o.agg(max("o_orderdate").as("anchor"))
+      val rec = datediff(col("anchor"), col("last_o"))
+      val wr = Window.orderBy(rec, col("o_custkey"))
+      val wf = Window.orderBy(col("freq").desc, col("o_custkey"))
+      val wm = Window.orderBy(col("monetary").desc, col("o_custkey"))
+      cust.crossJoin(broadcast(mx))
+        .select(col("o_custkey"), col("monetary"),
+          (ntile(5).over(wr) * 100 + ntile(5).over(wf) * 10 + ntile(5).over(wm))
+            .cast(LongType).as("rfm"))
+        .groupBy("rfm")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("monetary").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("monetary_total"))
+    },
+
+    // ── market-basket association (pairwise lift) ───────────────────
+    // Parts that co-occur in the same order more than independence
+    // predicts: support-filtered part pairs ranked by lift =
+    // P(ab) / (P(a)·P(b)) = n_ab·n_orders / (n_a·n_b) — association
+    // mining's core operator. Scale shape: the pair generator is a
+    // self-join keyed on l_orderkey, bounded by order SIZE (squared
+    // per order, never corpus-squared); item counts attach by part-key
+    // hash joins; the 1-row order total is an O(1) broadcast. Exact
+    // integer counts; lift is one fixed double expression, ties break
+    // on the pair.
+    Q("q_basket_lift",
+      """WITH lines AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n_ord AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lines),
+        |item AS (SELECT l_partkey, count(*) AS n_item FROM lines GROUP BY l_partkey),
+        |pair AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+        |  FROM lines a JOIN lines b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY a.l_partkey, b.l_partkey
+        |  HAVING count(*) >= 3)
+        |SELECT pa, pb, n_ab, lift, rk FROM (
+        |  SELECT pa, pb, n_ab,
+        |    CAST(n_ab * n_orders AS DOUBLE) / (ia.n_item * ib.n_item) AS lift,
+        |    row_number() OVER (
+        |      ORDER BY CAST(n_ab * n_orders AS DOUBLE) / (ia.n_item * ib.n_item) DESC,
+        |               pa, pb) AS rk
+        |  FROM pair JOIN item ia ON pair.pa = ia.l_partkey
+        |            JOIN item ib ON pair.pb = ib.l_partkey
+        |            CROSS JOIN n_ord) t
+        |WHERE rk <= 10""".stripMargin) { (s, dir) =>
+      val lines = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct().persist()
+      val nOrd = lines.agg(countDistinct("l_orderkey").as("n_orders"))
+      val item = lines.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+      val pair = lines.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(lines.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      val lift = (col("n_ab") * col("n_orders")).cast(DoubleType) /
+        (col("n_ia") * col("n_ib"))
+      val wr = Window.orderBy(lift.desc, col("pa"), col("pb"))
+      pair
+        .join(item.select(col("l_partkey").as("pa"), col("n_item").as("n_ia")), "pa")
+        .join(item.select(col("l_partkey").as("pb"), col("n_item").as("n_ib")), "pb")
+        .crossJoin(broadcast(nOrd))
+        .withColumn("lift", lift)
+        .withColumn("rk", row_number().over(wr).cast(LongType))
+        .filter(col("rk") <= 10)
+        .select(col("pa"), col("pb"), col("n_ab"), col("lift"), col("rk"))
+    },
+
     Q("q_dq_audit",
       """WITH o AS (
         |  SELECT count(*) AS n,

@@ -147,6 +147,34 @@ class PipelineOpsRound4Spec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(cum.last === 1.0, "last decile's cumulative share must be exactly total/total")
   }
 
+  test("q_rfm: valid segment digits and customers fully partitioned") {
+    val rows = run("q_rfm")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val code = r.getAs[Long]("rfm")
+      val (d1, d2, d3) = (code / 100, code / 10 % 10, code % 10)
+      Seq(d1, d2, d3).foreach(d => assert(d >= 1 && d <= 5, s"bad RFM code $code"))
+      assert(r.getAs[Double]("monetary_total") > 0)
+    }
+    val customers = Tables.load(spark, dir, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === customers)
+  }
+
+  test("q_basket_lift: ranked pairs meet support floor with coherent lift") {
+    val rows = run("q_basket_lift").sortBy(_.getAs[Long]("rk"))
+    assert(rows.length <= 10)
+    assert(rows.map(_.getAs[Long]("rk")).toSeq === (1L to rows.length))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_ab") >= 3)
+      assert(r.getAs[Long]("pa") < r.getAs[Long]("pb"))
+      assert(r.getAs[Double]("lift") > 0)
+    }
+    rows.map(_.getAs[Double]("lift")).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b); case _ => ()
+    }
+  }
+
   test("q_events_paths: top-10 ranked 3-step paths with non-increasing counts") {
     val rows = run("q_events_paths").sortBy(_.getAs[Long]("rk"))
     assert(rows.map(_.getAs[Long]("rk")).toSeq === (1L to rows.length))

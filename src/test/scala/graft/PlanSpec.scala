@@ -61,7 +61,9 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "q_bm25" -> 1,
     "q_dq_audit" -> 1,       // 1-row referential-rule x 1-row table-total attach
     "dedup_triangles" -> 2,  // two 1-row graph-stat attaches
-    "q_events_decay" -> 1)   // 1-row anchor-timestamp attach
+    "q_events_decay" -> 1,   // 1-row anchor-timestamp attach
+    "q_rfm" -> 1,            // 1-row anchor-date attach
+    "q_basket_lift" -> 1)    // 1-row order-total attach
 
   private val planOnly =
     SparkEntry.queries.keySet - "pipeline_e2e" -- nljBudget.keySet
