@@ -1273,6 +1273,54 @@ object RelationalOps {
         .select(col("pa"), col("pb"), col("n_ab"), col("lift"), col("rk"))
     },
 
+    // ── tombstone purge sweep (delete-request propagation) ──────────
+    // Given a deletion-request list (every 101st customer as the
+    // stand-in), report what a compliance purge removes from each
+    // table the key cascades through: customers directly, their
+    // orders, and those orders' line items. Scale shape: the
+    // tombstone list is request-sized -> broadcast semi-joins down
+    // the foreign-key chain; each table is scanned once and counted,
+    // and the per-table rows union to a 3-row report. The same plan
+    // run with anti-joins and a writer IS the purge job.
+    Q("q_tombstone_sweep",
+      """WITH ts AS (SELECT c_custkey FROM customer WHERE c_custkey % 101 = 0),
+        |po AS (SELECT o_orderkey FROM orders
+        |       WHERE o_custkey IN (SELECT c_custkey FROM ts)),
+        |c AS (SELECT 'customer' AS tbl,
+        |        (SELECT count(*) FROM ts) AS n_purged,
+        |        (SELECT count(*) FROM customer) - (SELECT count(*) FROM ts) AS n_kept),
+        |o AS (SELECT 'orders' AS tbl,
+        |        (SELECT count(*) FROM po) AS n_purged,
+        |        (SELECT count(*) FROM orders) - (SELECT count(*) FROM po) AS n_kept),
+        |l AS (SELECT 'lineitem' AS tbl,
+        |        (SELECT count(*) FROM lineitem
+        |         WHERE l_orderkey IN (SELECT o_orderkey FROM po)) AS n_purged,
+        |        (SELECT count(*) FROM lineitem
+        |         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po)) AS n_kept)
+        |SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l""".stripMargin) { (s, dir) =>
+      val ts = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") % 101 === 0).select("c_custkey").persist()
+      val orders = Tables.load(s, dir, "orders")
+      val po = orders.join(broadcast(ts),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey").persist()
+      val li = Tables.load(s, dir, "lineitem")
+      def report(tbl: String, purged: DataFrame, kept: DataFrame): DataFrame =
+        purged.agg(count(lit(1)).as("n_purged"))
+          .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+          .select(lit(tbl).as("tbl"), col("n_purged"), col("n_kept"))
+      val cust = Tables.load(s, dir, "customer")
+      report("customer",
+        cust.join(broadcast(ts), Seq("c_custkey"), "left_semi"),
+        cust.join(broadcast(ts), Seq("c_custkey"), "left_anti"))
+        .unionByName(report("orders",
+          orders.join(broadcast(ts), col("o_custkey") === col("c_custkey"), "left_semi"),
+          orders.join(broadcast(ts), col("o_custkey") === col("c_custkey"), "left_anti")))
+        .unionByName(report("lineitem",
+          li.join(broadcast(po), col("l_orderkey") === col("o_orderkey"), "left_semi"),
+          li.join(broadcast(po), col("l_orderkey") === col("o_orderkey"), "left_anti")))
+    },
+
     Q("q_dq_audit",
       """WITH o AS (
         |  SELECT count(*) AS n,

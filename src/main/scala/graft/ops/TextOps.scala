@@ -71,6 +71,34 @@ object TextOps {
 
   private def tokens(c: Column): Column = split(c, " ")
 
+  /** The language-ID argmax as ONE definition with its SQL twin —
+    * shared by `text_langid` and `q_lang_confusion` so the per-doc
+    * prediction and the confusion matrix can never disagree.
+    * Deterministic: ties resolve to the earliest entry in
+    * [[langSignatures]].
+    */
+  private lazy val predLangSql: String = {
+    val toks = "string_split(text, ' ')"
+    val scores = langSignatures.map { case (l, ws) => l -> sqlCountIn(toks, ws) }
+    scores.zipWithIndex.map { case ((l, sc), i) =>
+      val laterGte = scores.drop(i + 1).map { case (_, sc2) => s"$sc >= $sc2" }
+      if (laterGte.isEmpty) s"ELSE '$l'"
+      else s"WHEN ${laterGte.mkString(" AND ")} THEN '$l'"
+    }.mkString("CASE ", " ", " END")
+  }
+
+  private def predLangCol: Column = {
+    val toks = tokens(col("text"))
+    val scores = langSignatures.map { case (l, ws) => l -> countIn(toks, ws) }
+    scores.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((l, sc), i), acc) =>
+        val later = scores.drop(i + 1)
+        if (later.isEmpty) acc
+        else when(later.map { case (_, sc2) => sc >= sc2 }.reduce(_ && _), lit(l))
+          .otherwise(acc)
+    }
+  }
+
   /** Adjacent word-bigram pairs — ONE definition (with its SQL twin)
     * shared by `text_ngram_pmi` and `text_rep_ratio`, so the
     * collocation and repetition metrics can never disagree on what a
@@ -159,27 +187,34 @@ object TextOps {
 
     // ── language ID: signature-set scoring, deterministic argmax ────
     Q("text_langid", {
-      val toks = "string_split(text, ' ')"
-      val scores = langSignatures.map { case (l, ws) => l -> sqlCountIn(toks, ws) }
-      val caseChain = scores.zipWithIndex.map { case ((l, sc), i) =>
-        val laterGte = scores.drop(i + 1).map { case (_, sc2) => s"$sc >= $sc2" }
-        if (laterGte.isEmpty) s"ELSE '$l'"
-        else s"WHEN ${laterGte.mkString(" AND ")} THEN '$l'"
-      }.mkString("CASE ", " ", " END")
-      s"""SELECT doc_id, lang, $caseChain AS pred_lang,
-         |  (($caseChain) = lang) AS hit
+      s"""SELECT doc_id, lang, $predLangSql AS pred_lang,
+         |  (($predLangSql) = lang) AS hit
          |FROM documents""".stripMargin
     }) { (s, dir) =>
-      val toks = tokens(col("text"))
-      val scores = langSignatures.map { case (l, ws) => l -> countIn(toks, ws) }
-      val pred = scores.zipWithIndex.foldRight(lit(scores.last._1)) {
-        case (((l, sc), i), acc) =>
-          val later = scores.drop(i + 1)
-          if (later.isEmpty) acc
-          else when(later.map { case (_, sc2) => sc >= sc2 }.reduce(_ && _), lit(l)).otherwise(acc)
-      }
+      val pred = predLangCol
       docs(s, dir).select(col("doc_id"), col("lang"),
         pred.as("pred_lang"), (pred === col("lang")).as("hit"))
+    },
+
+    // ── language-ID confusion matrix (curation QA) ──────────────────
+    // Declared vs detected language counts with per-declared-language
+    // rates — the QA view that decides whether the langid dial is safe
+    // to filter on. The SAME single-sourced classifier as text_langid;
+    // one hash agg to a |langs|²-bounded relation, rate attached by a
+    // window over that tiny relation.
+    Q("q_lang_confusion",
+      s"""WITH c AS (
+         |  SELECT lang, $predLangSql AS pred_lang, count(*) AS n
+         |  FROM documents GROUP BY lang, $predLangSql)
+         |SELECT lang, pred_lang, n,
+         |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT)
+         |    AS rate
+         |FROM c""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      docs(s, dir)
+        .groupBy(col("lang"), predLangCol.as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rate", col("n").cast(DoubleType) / sum("n").over(w))
     },
 
     // ── BPE-ish subword token counting ──────────────────────────────

@@ -183,6 +183,35 @@ class PipelineOpsRound4Spec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q_lang_confusion: rates are per-declared-language distributions covering the corpus") {
+    val rows = run("q_lang_confusion")
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val rate = rs.map(_.getAs[Double]("rate")).sum
+      assert(math.abs(rate - 1.0) < 1e-9, s"$lang confusion rates sum to $rate")
+    }
+    val corpus = Tables.load(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n")).sum === corpus)
+    // the matrix diagonal must agree with text_langid's hit counts
+    val hits = run("text_langid").count(_.getAs[Boolean]("hit"))
+    val diag = rows.filter(r => r.getAs[String]("lang") == r.getAs[String]("pred_lang"))
+      .map(_.getAs[Long]("n")).sum
+    assert(diag.toInt === hits)
+  }
+
+  test("q_tombstone_sweep: purge counts cascade consistently through the key chain") {
+    val rows = run("q_tombstone_sweep")
+    val byTbl = rows.map(r => r.getAs[String]("tbl") ->
+      (r.getAs[Long]("n_purged"), r.getAs[Long]("n_kept"))).toMap
+    assert(byTbl.keySet === Set("customer", "orders", "lineitem"))
+    // purged + kept must equal each table's full row count
+    Seq("customer", "orders", "lineitem").foreach { t =>
+      val (p, k) = byTbl(t)
+      assert(p + k === Tables.load(spark, dir, t).count(), s"$t split is lossy")
+      assert(p > 0, s"$t: vacuous purge — fixture has no tombstoned rows")
+    }
+  }
+
   test("mm_shard_manifest: byte layout replays exactly per shard stream") {
     val rows = run("mm_shard_manifest")
     assert(rows.nonEmpty)

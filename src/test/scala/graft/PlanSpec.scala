@@ -63,7 +63,8 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "dedup_triangles" -> 2,  // two 1-row graph-stat attaches
     "q_events_decay" -> 1,   // 1-row anchor-timestamp attach
     "q_rfm" -> 1,            // 1-row anchor-date attach
-    "q_basket_lift" -> 1)    // 1-row order-total attach
+    "q_basket_lift" -> 1,    // 1-row order-total attach
+    "q_tombstone_sweep" -> 3) // three 1-row x 1-row count attaches
 
   private val planOnly =
     SparkEntry.queries.keySet - "pipeline_e2e" -- nljBudget.keySet
