@@ -601,6 +601,27 @@ object DedupOps {
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
     },
 
+    // Component SIZE distribution over the near-dup graph — the dedup
+    // report's headline table ("how big are the duplicate families"),
+    // and the sanity check before choosing a canonical-keeper policy
+    // (one giant component means the LSH threshold, not the corpus, is
+    // the story). Reuses the exact components machinery; two hash aggs
+    // reduce it to a histogram whose width is bounded by the largest
+    // family. Singleton documents (no near-dup edge) are by definition
+    // absent — this is the distribution over FAMILIES.
+    Q("dedup_component_sizes",
+      s"""WITH pairs AS ($minhashPairsSql),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+         |comp AS (WITH ${componentsSql("edges")}),
+         |sz AS (SELECT component, count(*) AS comp_size FROM comp GROUP BY component)
+         |SELECT comp_size, count(*) AS n_components
+         |FROM sz GROUP BY comp_size""".stripMargin) { (s, dir) =>
+      connectedComponents(minhashPairsDf(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .groupBy("component").agg(count(lit(1)).as("comp_size"))
+        .groupBy("comp_size").agg(count(lit(1)).as("n_components"))
+    },
+
     // One PageRank iteration over the (undirected) near-dup graph from
     // uniform pr0 = 1: pr1(v) = 0.15 + 0.85 * sum_{u~v} 1/deg(u) —
     // the centrality signal that ranks which document sits at the hub

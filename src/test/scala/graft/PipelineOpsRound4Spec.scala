@@ -212,6 +212,33 @@ class PipelineOpsRound4Spec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q_events_seasonal_mae: non-negative error over lag-covered days only") {
+    val rows = run("q_events_seasonal_mae")
+    assert(rows.nonEmpty)
+    val daysPerType = Tables.load(spark, dir, "events")
+      .groupBy("event_type").agg(countDistinct(date_trunc("day", col("ts"))).as("nd"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("nd")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mae") >= 0)
+      // a type active on every day scores (days - 7) predictions; gaps
+      // only reduce it further
+      assert(r.getAs[Long]("n_scored") <= daysPerType(r.getAs[String]("event_type")) - 7)
+    }
+  }
+
+  test("dedup_component_sizes: histogram mass equals the clustered-doc count") {
+    val rows = run("dedup_component_sizes")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("comp_size") >= 2,
+        "a component from an edge list has at least two members")
+    }
+    val mass = rows.map(r => r.getAs[Long]("comp_size") * r.getAs[Long]("n_components")).sum
+    val clustered = SparkEntry.queries("dedup_near_components")(spark, dir).count()
+    spark.catalog.clearCache()
+    assert(mass === clustered)
+  }
+
   test("mm_shard_manifest: byte layout replays exactly per shard stream") {
     val rows = run("mm_shard_manifest")
     assert(rows.nonEmpty)
