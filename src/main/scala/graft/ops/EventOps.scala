@@ -741,31 +741,39 @@ object EventOps {
     // ── seasonal-naive forecast error (time-series eval baseline) ───
     // MAE of the "same day last week" predictor over per-type daily
     // spend — the baseline every real forecast must beat, and the
-    // shape of a backtest evaluation job. Determinism discipline: day
-    // totals are decimal-exact; the error |today - lag7| re-enters
-    // DECIMAL before summing (the true difference is ON the cent grid,
-    // so rounding the double subtraction back to cents is exact on
-    // both engines); one double division at the end. Scale shape: one
-    // hash agg to type×day, one lag window over that tiny relation.
+    // shape of a backtest evaluation job. The predictor joins each day
+    // to the day EXACTLY 7 calendar days earlier (a row-offset lag
+    // would silently misalign the weekday whenever a type skips a
+    // day); days with no week-ago anchor score nothing. Determinism
+    // discipline: day totals are decimal-exact; the error
+    // |today - pred| re-enters DECIMAL before summing (the true
+    // difference is ON the cent grid, so rounding the double
+    // subtraction back to cents is exact on both engines); one double
+    // division at the end. Scale shape: one hash agg to type×day, one
+    // equi-join on (type, day) over that tiny relation.
     Q("q_events_seasonal_mae",
       s"""WITH dt AS (
          |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
          |         ${O.dsum("value")} AS day_total
          |  FROM events GROUP BY 1, 2),
          |p AS (
-         |  SELECT event_type, day_total,
-         |    lag(day_total, 7) OVER (PARTITION BY event_type ORDER BY d) AS pred
-         |  FROM dt)
+         |  SELECT t.event_type, t.day_total, a.day_total AS pred
+         |  FROM dt t JOIN dt a
+         |    ON a.event_type = t.event_type
+         |   AND a.d = t.d - INTERVAL '7 days')
          |SELECT event_type, count(*) AS n_scored,
          |  CAST(CAST(sum(CAST(abs(day_total - pred) AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
          |    / count(*) AS mae
-         |FROM p WHERE pred IS NOT NULL GROUP BY event_type""".stripMargin) { (s, dir) =>
+         |FROM p GROUP BY event_type""".stripMargin) { (s, dir) =>
       val dt = events(s, dir)
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
         .agg(graft.Cols.dsum(col("value")).as("day_total"))
-      val w = Window.partitionBy("event_type").orderBy("d")
-      dt.withColumn("pred", lag("day_total", 7).over(w))
-        .filter(col("pred").isNotNull)
+        .persist()
+      val anchor = dt.select(col("event_type").as("a_type"),
+        col("d").as("a_d"), col("day_total").as("pred"))
+      dt.join(anchor,
+          col("a_type") === col("event_type") &&
+            col("a_d") === col("d") - expr("INTERVAL 7 DAYS"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_scored"),
           (sum(abs(col("day_total") - col("pred")).cast(DecimalType(18, 2)))

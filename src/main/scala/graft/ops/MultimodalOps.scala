@@ -53,6 +53,33 @@ object MultimodalOps {
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
 
+  /** The sampled-frame relation (every SampleStride-th FrameBytes-sized
+    * frame of each non-empty payload) — ONE definition with its SQL
+    * twin, shared by `mm_frame_sample` (frames are the output) and
+    * `mm_shard_manifest` (frames are the packing input) so the
+    * sampling stride/size cannot drift between the sample and the
+    * shard layout built over it.
+    */
+  private def sampledFrames(s: SparkSession, dir: String): DataFrame = {
+    val nBytes = expr("octet_length(text)").cast(LongType)
+    val nFrames = ceil(nBytes / lit(16.0)).cast(LongType)
+    Tables.load(s, dir, "documents")
+      // a zero-byte payload has no frames: the oracle's range(0,0,4)
+      // yields no rows, but Spark's sequence(0,-1,4) THROWS — filter
+      // empties on both sides so the engines agree on legal input
+      .filter(nBytes > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), nFrames - 1, lit(4L))).as("frame_idx"),
+        nBytes.as("n_bytes"))
+  }
+
+  private val sampledFramesSql =
+    """SELECT doc_id,
+      |  unnest(range(0, CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT), 4)) AS frame_idx,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |FROM documents
+      |WHERE octet_length(encode(text)) > 0""".stripMargin
+
   /** Partition-parallel decode over a typed Dataset — the real plumbing
     * a Pandas-UDF / mapInPandas path would use, with the codec stubbed.
     */
@@ -155,22 +182,8 @@ object MultimodalOps {
     // Frame sampling: every 4th 16-byte frame of each payload, exploded
     // to one row per sampled frame (the distributed shape a video
     // frame-sampler produces).
-    Q("mm_frame_sample",
-      """SELECT doc_id,
-        |  unnest(range(0, CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT), 4)) AS frame_idx,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents
-        |WHERE octet_length(encode(text)) > 0""".stripMargin) { (s, dir) =>
-      val nBytes = expr("octet_length(text)").cast(LongType)
-      val nFrames = ceil(nBytes / lit(16.0)).cast(LongType)
-      Tables.load(s, dir, "documents")
-        // a zero-byte payload has no frames: the oracle's range(0,0,4)
-        // yields no rows, but Spark's sequence(0,-1,4) THROWS — filter
-        // empties on both sides so the engines agree on legal input
-        .filter(nBytes > 0)
-        .select(col("doc_id"),
-          explode(sequence(lit(0L), nFrames - 1, lit(4L))).as("frame_idx"),
-          nBytes.as("n_bytes"))
+    Q("mm_frame_sample", sampledFramesSql) { (s, dir) =>
+      sampledFrames(s, dir)
     },
 
     // Training-shard manifest: the sampled frames laid out into
@@ -184,11 +197,9 @@ object MultimodalOps {
     // corpus size, and the DuckDB window-sum HUGEINT is cast back to
     // BIGINT (the text_seq_pack lesson).
     Q("mm_shard_manifest",
-      """WITH f AS (
-        |  SELECT doc_id, doc_id % 8 AS shard,
-        |    unnest(range(0, CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT), 4)) AS frame_idx,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |  FROM documents WHERE octet_length(encode(text)) > 0),
+      s"""WITH f AS (
+        |  SELECT doc_id, doc_id % 8 AS shard, frame_idx, n_bytes
+        |  FROM ($sampledFramesSql) sf),
         |b AS (
         |  SELECT doc_id, shard, frame_idx,
         |    least(16, n_bytes - frame_idx * 16) AS frame_bytes
@@ -203,13 +214,8 @@ object MultimodalOps {
         |  CAST(floor((cum - frame_bytes) / 4096.0) AS BIGINT) AS shard_file,
         |  CAST((cum - frame_bytes) % 4096 AS BIGINT) AS file_off
         |FROM c""".stripMargin) { (s, dir) =>
-      val nBytes = expr("octet_length(text)").cast(LongType)
-      val nFrames = ceil(nBytes / lit(16.0)).cast(LongType)
-      val f = Tables.load(s, dir, "documents")
-        .filter(nBytes > 0)
-        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
-          explode(sequence(lit(0L), nFrames - 1, lit(4L))).as("frame_idx"),
-          nBytes.as("n_bytes"))
+      val f = sampledFrames(s, dir)
+        .withColumn("shard", col("doc_id") % 8)
         .withColumn("frame_bytes",
           least(lit(16L), col("n_bytes") - col("frame_idx") * 16))
       val w = org.apache.spark.sql.expressions.Window

@@ -1293,10 +1293,10 @@ object RelationalOps {
         |        (SELECT count(*) FROM po) AS n_purged,
         |        (SELECT count(*) FROM orders) - (SELECT count(*) FROM po) AS n_kept),
         |l AS (SELECT 'lineitem' AS tbl,
-        |        (SELECT count(*) FROM lineitem
-        |         WHERE l_orderkey IN (SELECT o_orderkey FROM po)) AS n_purged,
-        |        (SELECT count(*) FROM lineitem
-        |         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po)) AS n_kept)
+        |        (SELECT count(*) FROM lineitem li
+        |         WHERE EXISTS (SELECT 1 FROM po WHERE po.o_orderkey = li.l_orderkey)) AS n_purged,
+        |        (SELECT count(*) FROM lineitem li
+        |         WHERE NOT EXISTS (SELECT 1 FROM po WHERE po.o_orderkey = li.l_orderkey)) AS n_kept)
         |SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l""".stripMargin) { (s, dir) =>
       val ts = Tables.load(s, dir, "customer")
         .filter(col("c_custkey") % 101 === 0).select("c_custkey").persist()

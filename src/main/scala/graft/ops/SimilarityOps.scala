@@ -389,8 +389,9 @@ object SimilarityOps {
     // stats a feature-normalization / whitening step consumes. The
     // q_kmeans_step quantization discipline extended to second
     // moments: values floor-quantize to int64 (qx = floor(x·1e9));
-    // sum(qx) stays in BIGINT, sum(qx²) accumulates in DECIMAL(38,0)
-    // (qx² ~ 9e16 crosses int64's sum headroom within ~100 rows), and
+    // sum(qx) stays in BIGINT, while qx² is computed AND summed in
+    // DECIMAL (qx² ~ 9e16 crosses int64's sum headroom within ~100
+    // rows, and the product itself overflows int64 at |x| ≳ 3), and
     // each exact sum is cast to double ONCE — order-independent and
     // bit-identical cross-engine. Scale shape: one explode + one
     // map-side-combinable hash agg to a dim-sized relation.
@@ -404,7 +405,8 @@ object SimilarityOps {
          |m AS (
          |  SELECT dim, count(*) AS n,
          |    CAST(sum(qx) AS DOUBLE) AS sq,
-         |    CAST(CAST(sum(CAST(qx * qx AS DECIMAL(38,0))) AS STRING) AS DOUBLE) AS ssq
+         |    CAST(CAST(sum(CAST(qx AS DECIMAL(19,0)) * CAST(qx AS DECIMAL(19,0)))
+         |         AS STRING) AS DOUBLE) AS ssq
          |  FROM d GROUP BY dim)
          |SELECT dim, n, sq / (n * 1000000000.0) AS mean,
          |  ssq / (n * 1.0e18)
@@ -417,8 +419,12 @@ object SimilarityOps {
         .groupBy("dim")
         .agg(count(lit(1)).as("n"),
           sum("qx").cast(org.apache.spark.sql.types.DoubleType).as("sq"),
-          sum((col("qx") * col("qx"))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          // qx enters DECIMAL BEFORE the multiply: an int64 qx*qx
+          // overflows for |x| >= ~3.04 (DuckDB would throw, Spark
+          // would silently wrap); (19,0)x(19,0) -> (38,0) is exact
+          // and legal in both engines
+          sum(col("qx").cast(org.apache.spark.sql.types.DecimalType(19, 0)) *
+            col("qx").cast(org.apache.spark.sql.types.DecimalType(19, 0)))
             .cast(org.apache.spark.sql.types.DoubleType).as("ssq"))
       val mean = col("sq") / (col("n") * lit(1000000000.0))
       m.select(col("dim"), col("n"), mean.as("mean"),

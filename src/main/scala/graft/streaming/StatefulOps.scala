@@ -335,25 +335,26 @@ object StatefulOps extends Serializable {
     * (from, to) transition; a downstream count by (from, to) is the
     * running transition matrix.
     *
-    * State per user is ONE (micros, event_id, type) triple — the chain
-    * tail — so state tracks the user population, never event history.
-    * In-batch disorder is handled by sorting the trigger slice on
+    * State per user is ONE string — the chain tail's event type — so
+    * state tracks the user population, never event history. In-batch
+    * disorder is handled by sorting the trigger slice on
     * (ts, event_id), the same deterministic order the batch lead()
-    * window uses; across triggers the chain follows arrival order,
-    * which equals the batch order whenever ingestion is time-ordered
-    * (the equivalence spec's contract, as with packStream).
+    * window uses; across triggers the chain follows ARRIVAL order (no
+    * cross-trigger reordering or late-event guard — a late event
+    * chains after whatever arrived before it), which equals the batch
+    * order whenever ingestion is time-ordered per key — the
+    * equivalence spec's contract, as with packStream.
     */
   def transitionStream(events: Dataset[TypedEv]): Dataset[Transition] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id).flatMapGroupsWithState(
       OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-      (user: Long, it: Iterator[TypedEv],
-       state: GroupState[(Long, Long, String)]) =>
+      (user: Long, it: Iterator[TypedEv], state: GroupState[String]) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
         var prev = state.getOption
         it.toIndexedSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
-          prev.foreach { case (_, _, t) => out += Transition(user, t, e.event_type) }
-          prev = Some((micros(e.ts), e.event_id, e.event_type))
+          prev.foreach(t => out += Transition(user, t, e.event_type))
+          prev = Some(e.event_type)
         }
         prev.foreach(state.update)
         out.iterator
