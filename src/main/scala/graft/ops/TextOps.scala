@@ -550,7 +550,11 @@ object TextOps {
          |  WHERE k.doc_id IS NULL OR k.component = c.doc_id) t
          |WHERE quality >= $QualityMin""".stripMargin
     }) { (s, dir) =>
-      val comp = DedupOps.connectedComponents(
+      // star contraction, not min-label propagation: same (doc_id,
+      // component) contract and oracle, O(log n) rounds instead of
+      // O(diameter) — measurably faster on this pair graph and the
+      // formulation the composed pipeline would ship at 100 TB
+      val comp = DedupOps.connectedComponentsStar(
         DedupOps.minhashPairsDf(s, dir)
           .select(col("doc_a").as("a"), col("doc_b").as("b")))
         .withColumnRenamed("doc_id", "cid")
