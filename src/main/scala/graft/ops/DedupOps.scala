@@ -616,7 +616,9 @@ object DedupOps {
          |sz AS (SELECT component, count(*) AS comp_size FROM comp GROUP BY component)
          |SELECT comp_size, count(*) AS n_components
          |FROM sz GROUP BY comp_size""".stripMargin) { (s, dir) =>
-      connectedComponents(minhashPairsDf(s, dir)
+      // star contraction (O(log n) rounds), same contract/oracle as the
+      // propagation variant — the faster formulation, as in curate_neardup
+      connectedComponentsStar(minhashPairsDf(s, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b")))
         .groupBy("component").agg(count(lit(1)).as("comp_size"))
         .groupBy("comp_size").agg(count(lit(1)).as("n_components"))
