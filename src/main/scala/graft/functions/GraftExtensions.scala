@@ -19,6 +19,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * SELECT graft_simhash(token_hashes, 48)   -- custom signature width
   * SELECT graft_lsh_bucket(emb)             -- 16-plane hyperplane bucket
   * SELECT graft_unit_hash(CAST(id AS STRING)) -- deterministic U[0,1)
+  * -- table-generating (UDTF): one row per word n-gram
+  * SELECT doc_id, s.pos, s.shingle
+  * FROM docs LATERAL VIEW graft_shingles(split(text, ' '), 3) s AS pos, shingle
   * }}}
   *
   * `graft_unit_hash` is the reproducible-sampling primitive behind
@@ -64,6 +67,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a) => LshBucketExpr(a, VectorFns.planes)
         case _ => throw new IllegalArgumentException(
           "graft_lsh_bucket(embedding) takes 1 argument")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleGenerator].getName, "graft_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a) => ShingleGenerator(a, 3)
+        case Seq(a, w) => ShingleGenerator(a, litInt(w, "graft_shingles width"))
+        case _ => throw new IllegalArgumentException(
+          "graft_shingles(tokenArray[, width]) takes 1 or 2 arguments")
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_unit_hash"),

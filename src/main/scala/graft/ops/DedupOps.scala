@@ -601,6 +601,35 @@ object DedupOps {
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
     },
 
+    // The native table-generating function (ShingleGenerator, the UDTF
+    // tier of the custom-extension ladder) driven END-TO-END through
+    // the SQL surface: the session registers graft_shingles the way
+    // GraftExtensions does and runs the LATERAL VIEW form; the oracle
+    // replays the n-gram semantics in DuckDB, so the generator's
+    // streamed rows — positions, joins, short-doc cutoff — are
+    // hash-verified, not just spec-asserted.
+    Q("dedup_shingle_udtf",
+      """SELECT doc_id, i - 1 AS pos,
+        |  tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS shingle
+        |FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents) t,
+        |     unnest(range(1, len(tokens) - 1)) u(i)
+        |WHERE len(tokens) >= 3""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.catalyst.FunctionIdentifier
+      import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+      val reg = s.sessionState.functionRegistry
+      val fid = FunctionIdentifier("graft_shingles")
+      if (!reg.functionExists(fid)) reg.registerFunction(
+        fid,
+        new ExpressionInfo(classOf[graft.functions.ShingleGenerator].getName,
+          "graft_shingles"),
+        args => graft.functions.ShingleGenerator(args.head, 3))
+      Tables.load(s, dir, "documents").createOrReplaceTempView("udtf_docs")
+      s.sql(
+        """SELECT doc_id, s.pos, s.shingle
+          |FROM udtf_docs
+          |LATERAL VIEW graft_shingles(split(text, ' '), 3) s AS pos, shingle""".stripMargin)
+    },
+
     // Component SIZE distribution over the near-dup graph — the dedup
     // report's headline table ("how big are the duplicate families"),
     // and the sanity check before choosing a canonical-keeper policy

@@ -82,4 +82,37 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
     assert(e2.getMessage.contains("dim must be >= 1"))
   }
+
+  test("graft_shingles UDTF streams exactly the transform+explode n-gram rows") {
+    Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .createOrReplaceTempView("ext_docs")
+    val viaUdtf = spark.sql(
+      """SELECT doc_id, s.pos, s.shingle
+        |FROM ext_docs
+        |LATERAL VIEW graft_shingles(split(text, ' '), 3) s AS pos, shingle""".stripMargin)
+    // the array-building twin: 1-based transform positions -> pos = i - 1
+    val viaTransform = spark.sql(
+      """SELECT doc_id, i - 1 AS pos,
+        |  concat(t[i - 1], ' ', t[i], ' ', t[i + 1]) AS shingle
+        |FROM (SELECT doc_id, split(text, ' ') AS t FROM ext_docs)
+        |LATERAL VIEW explode(sequence(1, size(t) - 2)) AS i
+        |WHERE size(t) >= 3""".stripMargin)
+    assert(viaUdtf.count() > 0)
+    assert(viaUdtf.exceptAll(viaTransform).count() === 0)
+    assert(viaTransform.exceptAll(viaUdtf).count() === 0)
+    // short docs emit nothing, and per-doc row counts are m - n + 1
+    val counts = viaUdtf.groupBy("doc_id").count()
+    val expected = spark.sql(
+      "SELECT doc_id, size(split(text, ' ')) - 2 AS c FROM ext_docs WHERE size(split(text, ' ')) >= 3")
+    assert(counts.join(expected, "doc_id")
+      .filter(org.apache.spark.sql.functions.col("count") =!=
+        org.apache.spark.sql.functions.col("c")).count() === 0)
+  }
+
+  test("graft_shingles rejects non-string-array input at analysis time") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(array(1, 2, 3), 2)").collect()
+    }
+    assert(e.getMessage.contains("ARRAY<STRING>"))
+  }
 }
