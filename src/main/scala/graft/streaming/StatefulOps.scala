@@ -323,6 +323,55 @@ object StatefulOps extends Serializable {
       }
   }
 
+  /** One LSH-bucketed vector arrival: the bucket key and the vector id. */
+  final case class BucketedVec(bucket: Long, vec_id: Long)
+
+  /** One emitted near-dup candidate pair (a < b by construction). */
+  final case class CandidatePair(bucket: Long, a: Long, b: Long)
+
+  /** Streaming LSH candidate generation — the ingestion-time face of
+    * the batch embedding near-dup / sim_pair_hist pair join: each
+    * arriving vector pairs with every vector already seen in its
+    * bucket, then joins the bucket's member list. Downstream scores
+    * the candidates (cosine + threshold) exactly as the batch path
+    * does; emission here IS the batch bucket self-join, produced
+    * incrementally.
+    *
+    * State per bucket is the member-id list — the incremental-index
+    * pattern: it grows with the corpus (like [[keepFirstByKey]]'s
+    * forever horizon), because a near-dup a year later is still a
+    * near-dup. The LSH contract keeps individual buckets small
+    * (corpus / 2^planes on uniform data); a bucket that exceeds
+    * `capPerBucket` stops emitting new pairs and flags nothing —
+    * callers watch bucket sizes via the emitted pairs themselves (the
+    * same visibility argument as the simhash candidate-count log).
+    * In-batch arrival order is normalized by sorting the trigger
+    * slice on vec_id, so a backfill replay produces the identical
+    * pair set in any trigger split (the equivalence spec's contract).
+    */
+  def lshCandidates(
+      vecs: Dataset[BucketedVec],
+      capPerBucket: Int = 1024): Dataset[CandidatePair] = {
+    import vecs.sparkSession.implicits._
+    require(capPerBucket > 1, s"capPerBucket must be > 1, got $capPerBucket")
+    vecs.groupByKey(_.bucket).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (bucket: Long, it: Iterator[BucketedVec], state: GroupState[List[Long]]) =>
+        var members = state.getOption.getOrElse(Nil)
+        val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+        it.toIndexedSeq.sortBy(_.vec_id).foreach { v =>
+          if (members.size < capPerBucket) {
+            members.foreach { m =>
+              out += CandidatePair(bucket, math.min(m, v.vec_id), math.max(m, v.vec_id))
+            }
+            members = v.vec_id :: members
+          }
+        }
+        state.update(members)
+        out.iterator
+    }
+  }
+
   /** One transition-counting input event. */
   final case class TypedEv(user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
 

@@ -149,6 +149,32 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got === want)
   }
 
+  test("lshCandidates streams exactly the batch bucket self-join pair set") {
+    import graft.functions.VectorFns
+    val dir2 = Files.createTempDirectory("graft-lsh-staged").toString
+    val bucketed = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(VectorFns.lshBucket(VectorFns.toDouble(col("embedding"))).as("bucket"),
+        col("vec_id"))
+    bucketed.write.mode("overwrite").parquet(dir2)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir2).schema).parquet(dir2)
+      .as[StatefulOps.BucketedVec]
+    val q = StatefulOps.lshCandidates(stream)
+      .writeStream.format("memory").queryName("lsh_candidates")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "streaming query timed out")
+    val got = spark.table("lsh_candidates")
+      .select("bucket", "a", "b").collect().map(_.toString).sorted
+    val l = bucketed.select(col("bucket"), col("vec_id").as("a"))
+    val r = bucketed.select(col("bucket"), col("vec_id").as("b"))
+    val want = l.join(r, "bucket").filter(col("a") < col("b"))
+      .select("bucket", "a", "b").collect().map(_.toString).sorted
+    assert(got.nonEmpty, "no candidate pairs — vacuous fixture")
+    assert(got === want)
+  }
+
   test("dropDuplicatesWithinWatermark emits exactly the distinct key set") {
     val q = StatefulOps.dedupWithinWatermark(
       streamEvents, Seq("user_id"), "ts", "1 hour")
