@@ -33,13 +33,31 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * effects — so it is safe to enable globally. The optional int
   * arguments must be literals (they parameterize generated code).
   */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
+object GraftExtensions {
 
-  private def litInt(e: Expression, what: String): Int = e match {
+  private[functions] def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an INT literal, got $other")
   }
+
+  /** The graft_shingles builder — ONE definition shared by the
+    * extensions hook and any runtime registration (dedup_shingle_udtf's
+    * fallback), so the two paths cannot drift on arity or the width
+    * argument.
+    */
+  private[graft] def shingleBuilder(args: Seq[Expression]): ShingleGenerator =
+    args match {
+      case Seq(a) => ShingleGenerator(a, 3)
+      case Seq(a, w) => ShingleGenerator(a, litInt(w, "graft_shingles width"))
+      case _ => throw new IllegalArgumentException(
+        "graft_shingles(tokenArray[, width]) takes 1 or 2 arguments")
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  import GraftExtensions.litInt
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -71,12 +89,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleGenerator].getName, "graft_shingles"),
-      (args: Seq[Expression]) => args match {
-        case Seq(a) => ShingleGenerator(a, 3)
-        case Seq(a, w) => ShingleGenerator(a, litInt(w, "graft_shingles width"))
-        case _ => throw new IllegalArgumentException(
-          "graft_shingles(tokenArray[, width]) takes 1 or 2 arguments")
-      }))
+      (args: Seq[Expression]) => GraftExtensions.shingleBuilder(args)))
     ext.injectFunction((
       FunctionIdentifier("graft_unit_hash"),
       new ExpressionInfo(classOf[Md5].getName, "graft_unit_hash"),

@@ -56,8 +56,11 @@ case class ShingleGenerator(child: Expression, n: Int)
       var j = 0
       while (j < n) {
         if (j > 0) sb.append(' ')
-        // a null token renders as the empty string, matching
-        // concat()'s null-absorbing behavior only for non-null arrays
+        // a null token renders as the empty string — a DOCUMENTED
+        // divergence from the concat-based shingles3 (where one null
+        // token null-propagates and voids the whole shingle): a
+        // generator row must exist for every position, and split()
+        // inputs never contain nulls anyway
         val t = arr.getUTF8String(i + j)
         if (t != null) sb.append(t.toString)
         j += 1

@@ -614,6 +614,10 @@ object DedupOps {
         |FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents) t,
         |     unnest(range(1, len(tokens) - 1)) u(i)
         |WHERE len(tokens) >= 3""".stripMargin) { (s, dir) =>
+      // Verify/Bench/Scratch sessions load GraftExtensions via
+      // spark.sql.extensions (the real deployment path); this runtime
+      // registration is the fallback for plain library sessions and
+      // reuses the SAME builder so the paths cannot drift
       import org.apache.spark.sql.catalyst.FunctionIdentifier
       import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
       val reg = s.sessionState.functionRegistry
@@ -622,7 +626,7 @@ object DedupOps {
         fid,
         new ExpressionInfo(classOf[graft.functions.ShingleGenerator].getName,
           "graft_shingles"),
-        args => graft.functions.ShingleGenerator(args.head, 3))
+        args => graft.functions.GraftExtensions.shingleBuilder(args))
       Tables.load(s, dir, "documents").createOrReplaceTempView("udtf_docs")
       s.sql(
         """SELECT doc_id, s.pos, s.shingle

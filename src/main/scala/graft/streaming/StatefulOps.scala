@@ -341,13 +341,20 @@ object StatefulOps extends Serializable {
     * pattern: it grows with the corpus (like [[keepFirstByKey]]'s
     * forever horizon), because a near-dup a year later is still a
     * near-dup. The LSH contract keeps individual buckets small
-    * (corpus / 2^planes on uniform data); a bucket that exceeds
-    * `capPerBucket` stops emitting new pairs and flags nothing —
-    * callers watch bucket sizes via the emitted pairs themselves (the
-    * same visibility argument as the simhash candidate-count log).
-    * In-batch arrival order is normalized by sorting the trigger
-    * slice on vec_id, so a backfill replay produces the identical
-    * pair set in any trigger split (the equivalence spec's contract).
+    * (corpus / 2^planes on uniform data); a bucket that reaches
+    * `capPerBucket` stops ADMITTING members (existing members keep
+    * emitting against nothing new) — callers watch bucket sizes via
+    * the emitted pairs themselves (the same visibility argument as
+    * the simhash candidate-count log). Admission follows ARRIVAL
+    * order — deliberately NOT a per-trigger sort, which would make
+    * the admitted set depend on how arrivals split across triggers
+    * once a bucket nears the cap; arrival-order admission produces
+    * the identical pair set under any trigger split of the same
+    * arrival sequence (the keepFirstByKey/packStream contract). A
+    * replayed vec_id is ignored (no self-pairs, no re-emission), so
+    * duplicate ingestion cannot corrupt the candidate set; below the
+    * cap the emitted pair SET equals the batch bucket self-join
+    * regardless of arrival order (the equivalence spec's contract).
     */
   def lshCandidates(
       vecs: Dataset[BucketedVec],
@@ -358,13 +365,15 @@ object StatefulOps extends Serializable {
       OutputMode.Append(), GroupStateTimeout.NoTimeout) {
       (bucket: Long, it: Iterator[BucketedVec], state: GroupState[List[Long]]) =>
         var members = state.getOption.getOrElse(Nil)
+        var count = members.size // once per trigger, then O(1) upkeep
         val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
-        it.toIndexedSeq.sortBy(_.vec_id).foreach { v =>
-          if (members.size < capPerBucket) {
+        it.foreach { v =>
+          if (count < capPerBucket && !members.contains(v.vec_id)) {
             members.foreach { m =>
               out += CandidatePair(bucket, math.min(m, v.vec_id), math.max(m, v.vec_id))
             }
             members = v.vec_id :: members
+            count += 1
           }
         }
         state.update(members)
