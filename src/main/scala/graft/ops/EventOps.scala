@@ -780,6 +780,36 @@ object EventOps {
             .cast(DoubleType) / count(lit(1))).as("mae"))
     },
 
+    // ── incremental aggregate maintenance (partial merge) ───────────
+    // The materialized-view refresh pattern: per-type counts and
+    // decimal-exact spend are computed as PARTIAL aggregates over the
+    // standing corpus and the arriving batch (every 50th event as the
+    // stand-in) and MERGED — counts add, decimal sums add, one double
+    // cast after the merge. Because both stats are mergeable, a real
+    // deployment refreshes the view from stored partials at batch
+    // cost, never rescanning the corpus; the oracle replays the merge
+    // itself, proving merged == direct over any partitioning (decimal
+    // addition is associative — the same property that makes the
+    // per-type totals safe under Spark's partial/final agg split).
+    Q("q_agg_delta_merge",
+      """WITH p AS (
+        |  SELECT event_type, event_id % 50 = 0 AS is_delta,
+        |         count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS t
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(CAST(sum(t) AS STRING) AS DOUBLE) AS total,
+        |  CAST(COALESCE(sum(n) FILTER (WHERE is_delta), 0) AS BIGINT) AS n_delta
+        |FROM p GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val partials = events(s, dir)
+        .groupBy(col("event_type"), (col("event_id") % 50 === 0).as("is_delta"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).as("t"))
+      partials.groupBy("event_type")
+        .agg(sum("n").as("n"),
+          sum("t").cast(DoubleType).as("total"),
+          sum(when(col("is_delta"), col("n")).otherwise(0L)).as("n_delta"))
+    },
+
     // ── HyperLogLog distinct-count sketch (deterministic registers) ─
     // Per-event-type distinct users via a REAL m=256-register HLL,
     // built so both engines produce bit-identical estimates: the
