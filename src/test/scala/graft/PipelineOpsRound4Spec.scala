@@ -247,6 +247,24 @@ class PipelineOpsRound4Spec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(mass === clustered)
   }
 
+  test("q_agg_delta_merge: merged partials equal the direct aggregation") {
+    val rows = run("q_agg_delta_merge")
+    assert(rows.nonEmpty)
+    val direct = Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Cols.dsum(col("value")).as("total"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+    rows.foreach { r =>
+      val (n, t) = direct(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Double]("total") === t,
+        "decimal partial-merge must be bit-identical to the direct sum")
+      assert(r.getAs[Long]("n_delta") <= n)
+    }
+  }
+
   test("mm_shard_manifest: byte layout replays exactly per shard stream") {
     val rows = run("mm_shard_manifest")
     assert(rows.nonEmpty)
