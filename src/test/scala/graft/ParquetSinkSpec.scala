@@ -61,4 +61,30 @@ class ParquetSinkSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // 100 rows / 30 per file -> 4 files from ONE task
     assert(n == 4)
   }
+
+  test("dynamic partition pruning fires on a dim-filtered join against the partitioned fact") {
+    // the 100 TB join pattern: fact partitioned on the join key, dim
+    // filtered at runtime — Spark must inject a dynamic pruning
+    // subquery into the fact scan so only the dim's surviving
+    // partitions are read (static PartitionFilters can't see through
+    // the join). The dim must be FILE-backed: a local relation's
+    // filter constant-folds away (ConvertToLocalRelation) before the
+    // pruning rule looks for a selective predicate, silently
+    // disabling DPP — the same trap a notebook-built dim hits in
+    // production.
+    val dir = tmpDir()
+    val dimDir = tmpDir()
+    val fact = (1 to 200).map(i => (s"t${i % 4}", i.toLong)).toDF("etype", "id")
+    ParquetSink.writePartitioned(fact, dir, Seq("etype"))
+    Seq(("t1", "keep"), ("t2", "drop")).toDF("d_etype", "label")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = spark.read.parquet(dir)
+      .join(broadcast(dim.filter(col("label") === "keep")),
+        col("etype") === col("d_etype"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning subquery in the fact scan:\n$plan")
+    assert(joined.count() === 50)
+  }
 }
