@@ -149,6 +149,29 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got === want)
   }
 
+  test("transitionStream carries the chain tail across trigger boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, min: Int, t: String) =
+      StatefulOps.TypedEv(7L, Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), id, t)
+    val ms = MemoryStream[StatefulOps.TypedEv]
+    val q = StatefulOps.transitionStream(ms.toDS())
+      .writeStream.format("memory").queryName("split_transitions")
+      .outputMode("append").start()
+    try {
+      // trigger 1 ends on "view"; trigger 2 must chain FROM it
+      ms.addData(ev(1, 1, "click"), ev(2, 2, "view"))
+      q.processAllAvailable()
+      ms.addData(ev(3, 3, "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("split_transitions")
+        .select("from_type", "to_type").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(got === Seq(("click", "view"), ("view", "purchase")))
+    } finally q.stop()
+  }
+
   test("lshCandidates streams exactly the batch bucket self-join pair set") {
     import graft.functions.VectorFns
     val dir2 = Files.createTempDirectory("graft-lsh-staged").toString
