@@ -29,6 +29,17 @@ object DedupOps {
   // perm_j(h) = (A_j * (h % P) + B_j) % P. P prime ~1e9 keeps A*h well
   // inside int64 in both engines (no overflow, identical arithmetic).
   private val MinhashP = 1000000007L
+
+  /** Base offset for synthetic (augmented) doc ids. Every planted
+    * variant lives at id + k*AugBase (exact copies k=2, truncation
+    * near-dups k=1, reversed survivors k=3), so `id < AugBase` is BY
+    * CONSTRUCTION the corpus/incoming boundary that
+    * `dedup_incremental`'s crossing-edge filter tests — one constant
+    * derives both the offsets and the filter, so they cannot drift.
+    * A fixture whose base ids reached AugBase would break the
+    * invariant; the driver's corpora are ~4 orders of magnitude away.
+    */
+  private[graft] val AugBase = 10000000L
   private def MinhashA(j: Int): Long = 1000003L * j + 12345L
   private def MinhashB(j: Int): Long = 7919L * j + 271L
   // SimHash: 60-bit signature (fits positive in both engines' BIGINT),
@@ -97,13 +108,13 @@ object DedupOps {
     val d = Tables.load(s, dir, "documents")
       .select(("doc_id" +: extraCols).map(col): _*)
     d.union(d.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + lit(20000000L)).as("doc_id") +:
+      .select((col("doc_id") + lit(2 * AugBase)).as("doc_id") +:
         extraCols.map(col): _*))
   }
 
   private[graft] def dupAugSql(extraCols: Seq[String] = Seq("text")): String = {
     val cs = ("doc_id" +: extraCols).mkString(", ")
-    val shifted = ("doc_id + 20000000 AS doc_id" +: extraCols).mkString(", ")
+    val shifted = (s"doc_id + ${2 * AugBase} AS doc_id" +: extraCols).mkString(", ")
     s"""SELECT $cs FROM documents
        |  UNION ALL
        |  SELECT $shifted FROM documents WHERE doc_id % 7 = 0""".stripMargin
@@ -116,7 +127,7 @@ object DedupOps {
     val d = Tables.load(s, dir, "documents")
     d.select(col("doc_id"), col("text")).union(
       d.filter(col("doc_id") % 10 === 0).select(
-        (col("doc_id") + lit(10000000L)).as("doc_id"),
+        (col("doc_id") + lit(AugBase)).as("doc_id"),
         truncatedText(col("text")).as("text")))
       // The fixture corpus is one small parquet file -> one input split;
       // without this the md5-heavy signature stages downstream run on a
@@ -129,7 +140,7 @@ object DedupOps {
   val docsAugSql: String =
     s"""SELECT doc_id, text FROM documents
        |UNION ALL
-       |SELECT doc_id + 10000000 AS doc_id,
+       |SELECT doc_id + $AugBase AS doc_id,
        |       $truncatedTextSql AS text
        |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
@@ -141,22 +152,22 @@ object DedupOps {
   private[graft] def incrIncoming(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
     d.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text"))
+      .select((col("doc_id") + lit(2 * AugBase)).as("doc_id"), col("text"))
       .union(d.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        .select((col("doc_id") + lit(AugBase)).as("doc_id"),
           truncatedText(col("text")).as("text")))
       .union(d.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + lit(30000000L)).as("doc_id"),
+        .select((col("doc_id") + lit(3 * AugBase)).as("doc_id"),
           array_join(reverse(split(col("text"), " ")), " ").as("text")))
   }
 
   private[graft] val incrIncomingSql: String =
-    s"""SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+    s"""SELECT doc_id + ${2 * AugBase} AS doc_id, text FROM documents WHERE doc_id % 7 = 0
        |UNION ALL
-       |SELECT doc_id + 10000000 AS doc_id, $truncatedTextSql AS text
+       |SELECT doc_id + $AugBase AS doc_id, $truncatedTextSql AS text
        |FROM documents WHERE doc_id % 10 = 0
        |UNION ALL
-       |SELECT doc_id + 30000000 AS doc_id,
+       |SELECT doc_id + ${3 * AugBase} AS doc_id,
        |  array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
        |FROM documents WHERE doc_id % 13 = 0""".stripMargin
 
@@ -895,7 +906,7 @@ object DedupOps {
       s"""WITH emb_aug AS (
          |  SELECT vec_id, ${sqlToDouble("embedding")} AS emb FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 10000000 AS vec_id,
+         |  SELECT vec_id + $AugBase AS vec_id,
          |         list_transform(${sqlToDouble("embedding")},
          |           (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END) AS emb
          |  FROM embeddings WHERE vec_id % 10 = 0),
@@ -911,7 +922,7 @@ object DedupOps {
       val embD = VectorFns.toDouble(col("embedding"))
       val aug = e.select(col("vec_id"), embD.as("emb")).union(
         e.filter(col("vec_id") % 10 === 0).select(
-          (col("vec_id") + lit(10000000L)).as("vec_id"),
+          (col("vec_id") + lit(AugBase)).as("vec_id"),
           transform(embD, (x, i) => when(i === 0, x + lit(0.01)).otherwise(x)).as("emb")))
       // persist: the signature relation (widened emb + norm + 1,024-FLOP
       // LSH bucket) is computed once, not once per self-join side
@@ -1006,7 +1017,7 @@ object DedupOps {
          |pairs AS (${minhashPairsSqlOver(
               "SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM incoming")}),
          |near AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
-         |         WHERE doc_a < 10000000 AND doc_b >= 10000000),
+         |         WHERE doc_a < $AugBase AND doc_b >= $AugBase),
          |exact AS (SELECT DISTINCT i.doc_id FROM incoming i
          |          JOIN base b ON md5(i.text) = md5(b.text))
          |SELECT i.doc_id,
@@ -1024,7 +1035,7 @@ object DedupOps {
       val corpus = base.union(incoming)
         .repartition(s.sparkContext.defaultParallelism)
       val near = minhashPairsOver(corpus)
-        .filter(col("doc_a") < lit(10000000L) && col("doc_b") >= lit(10000000L))
+        .filter(col("doc_a") < lit(AugBase) && col("doc_b") >= lit(AugBase))
         .select(col("doc_b").as("doc_id")).distinct()
         .withColumn("near_hit", lit(true))
       val exact = incoming.as("i")
@@ -1083,7 +1094,7 @@ object DedupOps {
          |         (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
          |         (SELECT n_triangles FROM tri) AS n_triangles)
          |SELECT n_nodes, n_edges, n_wedges, n_triangles,
-         |       3.0 * n_triangles / n_wedges AS clustering
+         |       3.0 * n_triangles / NULLIF(n_wedges, 0) AS clustering
          |FROM stats""".stripMargin) { (s, dir) =>
       val nDocs = Tables.load(s, dir, "documents").count()
       val pairs = simhashPairs(s, dir, simBandBits(nDocs + nDocs / 10 + 1))
@@ -1108,7 +1119,11 @@ object DedupOps {
       val edges = e.agg(count(lit(1)).as("n_edges"))
       tri.crossJoin(stats).crossJoin(edges)
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
-          (lit(3.0) * col("n_triangles") / col("n_wedges")).as("clustering"))
+          // wedge-free graph (perfect matching): 0/0 is Spark NULL but
+          // DuckDB NaN — the NULLIF twin makes both engines emit NULL
+          when(col("n_wedges") === 0, lit(null))
+            .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges"))
+            .as("clustering"))
     },
   )
 }

@@ -385,8 +385,8 @@ object EventOps {
          |m AS (
          |  SELECT user_id, n_days, mean, ssq / n_days - mean * mean AS var_pop FROM (
          |    SELECT user_id, count(*) AS n_days,
-         |      CAST(sum($decTot) AS DOUBLE) / count(*) AS mean,
-         |      CAST(sum($decTot * $decTot) AS DOUBLE) AS ssq
+         |      CAST(CAST(sum($decTot) AS STRING) AS DOUBLE) / count(*) AS mean,
+         |      CAST(CAST(sum($decTot * $decTot) AS STRING) AS DOUBLE) AS ssq
          |    FROM dt GROUP BY user_id) t)
          |SELECT user_id, d, day_total, z FROM (
          |  SELECT dt.user_id, d, day_total,

@@ -421,24 +421,16 @@ object RelationalOps {
     // the mean of the middle one-or-two ranked values. One window pass,
     // partitioned by the group key — no driver-side sort.
     Q("q_median",
-      """SELECT c_mktsegment AS segment,
-        |       CAST(sum(c_acctbal) / count(*) AS DOUBLE) AS median_bal
-        |FROM (
-        |  SELECT c_mktsegment, c_acctbal,
-        |         row_number() OVER (PARTITION BY c_mktsegment
-        |                            ORDER BY c_acctbal, c_custkey) AS rn,
-        |         count(*) OVER (PARTITION BY c_mktsegment) AS cnt
-        |  FROM customer WHERE c_acctbal IS NOT NULL) t
-        |WHERE rn * 2 = cnt OR rn * 2 = cnt + 1 OR rn * 2 = cnt + 2
-        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
-      // null balances excluded on BOTH sides: the engines rank nulls
-      // differently (Spark asc = NULLS FIRST, DuckDB ASC = NULLS LAST),
-      // so an unguarded median would select different middle rows
-      val c = Tables.load(s, dir, "customer").filter(col("c_acctbal").isNotNull)
-      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
-      val wc = Window.partitionBy("c_mktsegment")
-      c.select(col("c_mktsegment"), col("c_acctbal"),
-        row_number().over(w).as("rn"), count(lit(1)).over(wc).as("cnt"))
+      s"""SELECT c_mktsegment AS segment,
+         |       CAST(sum(c_acctbal) / count(*) AS DOUBLE) AS median_bal
+         |FROM ($segRankedSql) t
+         |WHERE rn * 2 = cnt OR rn * 2 = cnt + 1 OR rn * 2 = cnt + 2
+         |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      // segRanked owns the rank convention (order, tie-break, and the
+      // null filter — the engines rank nulls differently, so an
+      // unguarded median would select different middle rows); the
+      // median is the mean of the middle one-or-two ranked values
+      segRanked(s, dir)
         .filter(col("rn") * 2 === col("cnt") || col("rn") * 2 === col("cnt") + 1 ||
           col("rn") * 2 === col("cnt") + 2)
         .groupBy(col("c_mktsegment").as("segment"))

@@ -131,15 +131,20 @@ object TextOps {
   private[graft] def qualityCol(text: Column): Column = {
     val toks = tokens(text)
     val nTok = size(toks).cast(LongType)
+    // zero-length guard: 0/0 is Spark NULL but DuckDB NaN (non-ANSI
+    // divide vs IEEE) — NULLIF-style divisor makes an empty document's
+    // quality NULL on BOTH engines (and NULL fails every quality
+    // floor, so empties never survive curation)
+    val nChars = when(length(text) === 0, lit(null)).otherwise(length(text))
     lit(0.5) * (countIn(toks, stopwords).cast(DoubleType) / nTok) +
       lit(0.5) * (length(regexp_replace(text, "[^a-z]", ""))
-        .cast(DoubleType) / length(text))
+        .cast(DoubleType) / nChars)
   }
 
   private val qualitySql: String = {
     val toks = "string_split(text, ' ')"
     s"""(0.5 * (CAST(${sqlCountIn(toks, stopwords)} AS DOUBLE) / len($toks))
-       | + 0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text)))""".stripMargin
+       | + 0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / NULLIF(length(text), 0)))""".stripMargin
   }
 
   val queries: Seq[Q] = Seq(
@@ -574,15 +579,21 @@ object TextOps {
       s"""SELECT doc_id,
          |  md5(text) AS fp_md5,
          |  CAST(list_sum(list_transform($toks,
-         |         (t, i) -> ((('0x' || substr(md5(t), 1, 15))::BIGINT % 1000003) * i)))
+         |         (t, i) -> (((('0x' || substr(md5(t), 1, 15))::BIGINT % 1000003) * i) % 2147483648)))
          |       % 2147483648 AS BIGINT) AS fp_roll
          |FROM documents""".stripMargin
     }) { (s, dir) =>
       // Same formula: token hash h = hex60(t) % 1000003, weighted by its
       // 1-based position, summed, mod 2^31. Spark's transform index is
-      // 0-based, hence i+1.
+      // 0-based, hence i+1. Each TERM reduces mod 2^31 before the sum
+      // (value unchanged — mod distributes over the sum of non-negative
+      // terms): the raw weighted sum grows ~1e6·n²/2, which wraps
+      // Spark's int64 silently at n ≈ 4M tokens while DuckDB's
+      // list_sum promotes to HUGEINT; reduced terms push the wrap
+      // beyond 4e9 tokens per document — unreachable.
       val weighted = transform(tokens(col("text")), (t, i) =>
-        (graft.Cols.hex60(t) % lit(1000003L)) * (i.cast(LongType) + lit(1L)))
+        ((graft.Cols.hex60(t) % lit(1000003L)) * (i.cast(LongType) + lit(1L)))
+          % lit(2147483648L))
       docs(s, dir).select(
         col("doc_id"),
         md5(col("text")).as("fp_md5"),
