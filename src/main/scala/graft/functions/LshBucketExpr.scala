@@ -24,6 +24,11 @@ final case class LshBucketExpr(
     child: Expression,
     planes: Seq[Seq[Double]]) extends UnaryExpression {
 
+  // an empty plane set would emit bucket 0 for EVERY vector, silently
+  // collapsing the LSH candidate join into an all-pairs cross join —
+  // fail at construction like DotExpr/SimHashExpr's width guards
+  require(planes.nonEmpty, "graft_lsh_bucket needs at least one hyperplane")
+
   // planes is Seq[Seq[Double]], NOT Array[Array[Double]]: case-class
   // equality on arrays is reference-based, which would make two
   // semantically identical LshBucketExpr instances never compare equal

@@ -23,6 +23,11 @@ final case class Scored(score: Double, id: Long)
   */
 final class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
 
+  // k = 0 would crash reduce's b.last inside a task; k < 0 would
+  // silently return nothing — fail at construction like the sibling
+  // expressions' width guards
+  require(k >= 1, s"top-k size must be >= 1, got $k")
+
   private def ord: Ordering[Scored] =
     Ordering.by((s: Scored) => (-s.score, s.id))
 

@@ -93,7 +93,11 @@ object VectorFns {
     * IEEE double.
     */
   private def litSql(d: Double): String =
-    if (d == Math.floor(d) && !d.isInfinite) f"$d%.1f" else d.toString
+    // Locale.ROOT: the default-locale format would render whole values
+    // as "-1,0" on comma-decimal locales and corrupt the oracle SQL
+    if (d == Math.floor(d) && !d.isInfinite)
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+    else d.toString
 
   def sqlToDouble(emb: String): String =
     s"list_transform($emb, x -> CAST(x AS DOUBLE))"

@@ -38,11 +38,19 @@ object CsvSink {
   def writeSingleCsv(df: DataFrame, destDir: String, fileName: String): (Path, Long) = {
     val dest = Paths.get(destDir)
     Files.createDirectories(dest)
-    val staging = dest.resolve(s".spark-staging-$fileName")
+    // unique staging suffix: a deterministic name would let two
+    // concurrent writers of the same destination delete/consume each
+    // other's in-flight staging output; uniqueness confines the race
+    // to the final atomic move
+    val staging = dest.resolve(
+      s".spark-staging-$fileName-${java.util.UUID.randomUUID().toString.take(8)}")
     deleteRecursively(staging)
     val obs = Observation()
-    df.observe(obs, count(lit(1)).as("rows"))
-      .repartition(1)
+    // observe AFTER the repartition: in the post-shuffle RESULT stage
+    // the metric is exactly-once, while a map-stage observation would
+    // double-count rows under stage retries / speculative duplicates
+    df.repartition(1)
+      .observe(obs, count(lit(1)).as("rows"))
       .write.mode("overwrite").option("header", value = true)
       .csv(staging.toString)
     val rows = obs.get("rows").asInstanceOf[Long]

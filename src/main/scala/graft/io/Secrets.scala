@@ -67,8 +67,14 @@ object Secrets {
       driver: String = "org.mariadb.jdbc.Driver"): JdbcOptions = {
     def req(k: String): String = secret.getOrElse(k,
       throw new IllegalArgumentException(s"secret is missing required key '$k'"))
+    // MariaDB Connector/J 3.x rejects the jdbc:mysql scheme unless
+    // permitMysqlScheme is set (2.x accepted it); the reference's URL
+    // template uses the mysql scheme, so keep it and add the flag when
+    // the MariaDB driver will serve it
+    val params =
+      if (driver.startsWith("org.mariadb")) "?permitMysqlScheme" else ""
     JdbcOptions(
-      url = s"jdbc:mysql://$endpoint:$port/${req("db_name")}",
+      url = s"jdbc:mysql://$endpoint:$port/${req("db_name")}$params",
       dbtable = req("table_name"),
       user = req("username"),
       password = req("password"),

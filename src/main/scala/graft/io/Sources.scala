@@ -144,6 +144,13 @@ final case class JdbcOptions(
     numPartitions: Option[Int] = None,
     fetchSize: Int = 10000) {
 
+  // the case-class toString would print the credential verbatim into
+  // any log/assertion/exception message interpolating this value;
+  // Spark's own option redaction covers only its plan output
+  override def toString: String =
+    s"JdbcOptions($url, $dbtable, $user, <redacted>, $driver, " +
+      s"$partitionColumn, $lowerBound, $upperBound, $numPartitions, $fetchSize)"
+
   /** The option map handed to `spark.read.format("jdbc")`. Partitioning
     * options are all-or-nothing: Spark requires
     * partitionColumn/lowerBound/upperBound/numPartitions together.

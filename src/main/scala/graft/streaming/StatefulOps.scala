@@ -39,7 +39,10 @@ object StatefulOps extends Serializable {
       total: Double)
 
   private def micros(ts: Timestamp): Long =
-    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+    // floorDiv, not truncating /: getNanos is always NON-negative, so
+    // for a pre-1970 instant the truncated millis-to-seconds division
+    // would round toward zero and misplace the event by a full second
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
 
   private def fromMicros(m: Long): Timestamp = {
     val t = new Timestamp(m / 1000000L * 1000L)
@@ -138,7 +141,10 @@ object StatefulOps extends Serializable {
           else cur.foreach { s =>
             state.update(s)
             if (watermarkDelay.isDefined)
-              state.setTimeoutTimestamp((s.lastMicros + gapMicros) / 1000L)
+              // round the micro deadline UP to millis: truncation could
+              // fire the timeout up to 1 ms early, closing a session an
+              // in-gap event would still have extended
+              state.setTimeoutTimestamp((s.lastMicros + gapMicros + 999L) / 1000L)
           }
           out.iterator
         }

@@ -110,7 +110,9 @@ class ConfigSpec extends AnyFunSuite {
         |  "destination": {"dir": "/data/c/out"}}}}""".stripMargin
     Config.parse(cfg, secrets).head.secondary match {
       case JdbcSource(o) =>
-        assert(o.url === "jdbc:mysql://db.example:3307/cdb")
+        // permitMysqlScheme rides along because the default driver is
+        // MariaDB Connector/J, whose 3.x rejects the mysql scheme bare
+        assert(o.url === "jdbc:mysql://db.example:3307/cdb?permitMysqlScheme")
         assert(o.dbtable === "c_data" && o.user === "svc" && o.password === "pw")
       case other => fail(s"expected JdbcSource, got $other")
     }
