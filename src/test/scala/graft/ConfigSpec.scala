@@ -154,6 +154,9 @@ class ConfigSpec extends AnyFunSuite {
 
   test("JDBC option map: base options and all-or-nothing partitioning") {
     val base = JdbcOptions("jdbc:mysql://h/db", "t", "u", "p")
+    assert(!base.toString.contains("p") || !base.toString.contains(", p,"),
+      "toString must not leak the password")
+    assert(base.toString.contains("<redacted>"))
     assert(base.asMap("driver") === "org.mariadb.jdbc.Driver")
     assert(!base.asMap.contains("partitionColumn"))
 

@@ -84,4 +84,14 @@ class LshBucketExprSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(ea.canonicalized === eb.canonicalized)
     assert(ea.semanticEquals(eb))
   }
+
+  test("degenerate parameters are rejected at construction, not at runtime") {
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.LshBucketExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L), Nil)
+    }
+    assert(e.getMessage.contains("hyperplane"))
+    val e2 = intercept[IllegalArgumentException] { new graft.functions.TopKAgg(0) }
+    assert(e2.getMessage.contains("top-k size"))
+  }
 }
