@@ -1116,10 +1116,14 @@ object RelationalOps {
     // carry X% of revenue" report. Rank ties break on o_custkey;
     // decile = ((rn-1)*10) div n in pure integer math; per-decile and
     // cumulative spend stay in DECIMAL until one final double cast +
-    // division. The global rank window single-partitions the PER-
-    // CUSTOMER aggregate (one row per customer, already reduced) —
-    // at extreme customer counts swap the exact rank for a
-    // spend-quantile bucketing; the decile report shape is unchanged.
+    // division. The rank is the two-phase exact global row_number
+    // (Ranks.withGlobalRowNumber): range-shuffle + per-partition
+    // positions + broadcast offsets — partition-parallel at any
+    // customer count, no single-partition WindowExec; the total count
+    // rides along, so count(*) OVER () disappears too. The only
+    // remaining windows (cumulative/total spend) run over the 10-row
+    // decile aggregate — bounded by construction, allowlisted in
+    // PlanSpec's unpartitioned-window gate.
     Q("q_pareto",
       s"""WITH ct AS (
          |  SELECT o_custkey, ${O.dsum("o_totalprice")} AS spend
@@ -1143,16 +1147,15 @@ object RelationalOps {
          |  CAST(CAST(cum AS STRING) AS DOUBLE)
          |    / CAST(CAST(tot AS STRING) AS DOUBLE) AS cum_share
          |FROM w""".stripMargin) { (s, dir) =>
-      val wRank = Window.orderBy(col("spend").desc, col("o_custkey"))
       val wAll = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
       val dec = (c: Column) => c.cast(DecimalType(18, 2))
       val ct = Tables.load(s, dir, "orders")
         .groupBy("o_custkey").agg(Cols.dsum(col("o_totalprice")).as("spend"))
-      val g = ct
-        .withColumn("rn", row_number().over(wRank).cast(LongType))
-        .withColumn("nc", count(lit(1)).over(wAll))
-        .withColumn("decile", expr("((rn - 1) * 10) div nc"))
+      val (ranked, nc) =
+        Ranks.withGlobalRowNumber(ct, "rn", col("spend").desc, col("o_custkey"))
+      val g = ranked
+        .withColumn("decile", expr(s"((rn - 1) * 10) div ${nc}L"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n_customers"), sum(dec(col("spend"))).as("ds"))
       val wCum = Window.orderBy("decile").rowsBetween(
@@ -1168,13 +1171,18 @@ object RelationalOps {
     // ── RFM customer segmentation ───────────────────────────────────
     // Recency / frequency / monetary quintiles per customer, reported
     // per RFM segment code — the classic CRM scoring operator. Each
-    // ntile(5) runs over a FULL order (metric + custkey tie-break), so
+    // quintile orders by a FULL order (metric + custkey tie-break), so
     // bucket assignment is deterministic and the SQL-standard "first
     // buckets take the remainder" rule agrees across engines. Recency
     // is integer days from the customer's last order to the corpus's
     // newest order (1-row broadcast attach); monetary stays decimal
-    // until the final cast. The rank windows single-partition the
-    // per-customer aggregate (already reduced), like q_pareto.
+    // until the final cast. No ntile window at all: each metric gets
+    // an exact two-phase global rank (Ranks.withGlobalRowNumber —
+    // range shuffle + broadcast offsets, partition-parallel at any
+    // customer count) and the quintile is derived arithmetically from
+    // (rank, total) with ntile's exact remainder rule
+    // (Ranks.ntileFromRank) — three range shuffles of the per-customer
+    // aggregate instead of three single-partition sorts.
     Q("q_rfm",
       s"""WITH cust AS (
          |  SELECT o_custkey, max(o_orderdate) AS last_o, count(*) AS freq,
@@ -1198,14 +1206,18 @@ object RelationalOps {
         .agg(max("o_orderdate").as("last_o"), count(lit(1)).as("freq"),
           Cols.dsum(col("o_totalprice")).as("monetary"))
       val mx = o.agg(max("o_orderdate").as("anchor"))
-      val rec = datediff(col("anchor"), col("last_o"))
-      val wr = Window.orderBy(rec, col("o_custkey"))
-      val wf = Window.orderBy(col("freq").desc, col("o_custkey"))
-      val wm = Window.orderBy(col("monetary").desc, col("o_custkey"))
-      cust.crossJoin(broadcast(mx))
-        .select(col("o_custkey"), col("monetary"),
-          (ntile(5).over(wr) * 100 + ntile(5).over(wf) * 10 + ntile(5).over(wm))
-            .cast(LongType).as("rfm"))
+      val base = cust.crossJoin(broadcast(mx))
+        .withColumn("rec_days", datediff(col("anchor"), col("last_o")))
+      val (r1, n) =
+        Ranks.withGlobalRowNumber(base, "rn_r", col("rec_days"), col("o_custkey"))
+      val (r2, _) =
+        Ranks.withGlobalRowNumber(r1, "rn_f", col("freq").desc, col("o_custkey"))
+      val (r3, _) =
+        Ranks.withGlobalRowNumber(r2, "rn_m", col("monetary").desc, col("o_custkey"))
+      r3.select(col("o_custkey"), col("monetary"),
+          (Ranks.ntileFromRank("rn_r", n, 5) * 100 +
+            Ranks.ntileFromRank("rn_f", n, 5) * 10 +
+            Ranks.ntileFromRank("rn_m", n, 5)).cast(LongType).as("rfm"))
         .groupBy("rfm")
         .agg(count(lit(1)).as("n_customers"),
           sum(col("monetary").cast(DecimalType(18, 2))).cast(DoubleType)
@@ -1254,14 +1266,20 @@ object RelationalOps {
         .filter(col("n_ab") >= 3)
       val lift = (col("n_ab") * col("n_orders")).cast(DoubleType) /
         (col("n_ia") * col("n_ib"))
-      val wr = Window.orderBy(lift.desc, col("pa"), col("pb"))
-      pair
+      // top-10 via distributed orderBy+limit (TakeOrderedAndProject —
+      // per-partition top-10 then a 10-row driver merge, never a global
+      // sort), THEN rank the 10-row head; the re-rank window is bounded
+      // by the limit, which PlanSpec's unpartitioned-window gate
+      // recognizes structurally (the q_sample_weighted pattern)
+      val top = pair
         .join(item.select(col("l_partkey").as("pa"), col("n_item").as("n_ia")), "pa")
         .join(item.select(col("l_partkey").as("pb"), col("n_item").as("n_ib")), "pb")
         .crossJoin(broadcast(nOrd))
         .withColumn("lift", lift)
-        .withColumn("rk", row_number().over(wr).cast(LongType))
-        .filter(col("rk") <= 10)
+        .orderBy(col("lift").desc, col("pa"), col("pb"))
+        .limit(10)
+      val wr = Window.orderBy(col("lift").desc, col("pa"), col("pb"))
+      top.withColumn("rk", row_number().over(wr).cast(LongType))
         .select(col("pa"), col("pb"), col("n_ab"), col("lift"), col("rk"))
     },
 
