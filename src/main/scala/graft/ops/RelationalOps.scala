@@ -1175,7 +1175,7 @@ object RelationalOps {
     // bucket assignment is deterministic and the SQL-standard "first
     // buckets take the remainder" rule agrees across engines. Recency
     // is integer days from the customer's last order to the corpus's
-    // newest order (1-row broadcast attach); monetary stays decimal
+    // newest order (a driver-scalar literal); monetary stays decimal
     // until the final cast. No ntile window at all: each metric gets
     // an exact two-phase global rank (Ranks.withGlobalRowNumber —
     // range shuffle + broadcast offsets, partition-parallel at any
@@ -1205,9 +1205,12 @@ object RelationalOps {
       val cust = o.groupBy("o_custkey")
         .agg(max("o_orderdate").as("last_o"), count(lit(1)).as("freq"),
           Cols.dsum(col("o_totalprice")).as("monetary"))
-      val mx = o.agg(max("o_orderdate").as("anchor"))
-      val base = cust.crossJoin(broadcast(mx))
-        .withColumn("rec_days", datediff(col("anchor"), col("last_o")))
+      // corpus anchor date as a driver scalar (one 1-row agg job, the
+      // same O(1) budget class as the rank offsets below) — a literal
+      // in the recency expression instead of a 1-row broadcast join
+      val anchor = o.agg(max("o_orderdate")).collect()(0).get(0)
+      val base = cust
+        .withColumn("rec_days", datediff(lit(anchor), col("last_o")))
       val (r1, n) =
         Ranks.withGlobalRowNumber(base, "rn_r", col("rec_days"), col("o_custkey"))
       val (r2, _) =

@@ -62,7 +62,6 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "q_dq_audit" -> 1,       // 1-row referential-rule x 1-row table-total attach
     "dedup_triangles" -> 2,  // two 1-row graph-stat attaches
     "q_events_decay" -> 1,   // 1-row anchor-timestamp attach
-    "q_rfm" -> 1,            // 1-row anchor-date attach
     "q_basket_lift" -> 1,    // 1-row order-total attach
     "q_tombstone_sweep" -> 3) // three 1-row x 1-row count attaches
 
@@ -147,6 +146,42 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // filter and split assignment must stay in the scan stage
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(shuffles === 1, s"expected exactly 1 hash shuffle, got $shuffles:\n$plan")
+  }
+
+  // Unpartitioned-window gate. Window.orderBy with no partition spec
+  // moves the WHOLE input relation into one partition (the WindowExec
+  // "No Partition Defined" warning) — fine over a provably bounded
+  // relation, a guaranteed single-task bottleneck over an unbounded
+  // one. A window is considered bounded when its subtree contains a
+  // LIMIT (the orderBy+limit+re-rank pattern: q_sample_weighted,
+  // q_basket_lift) — that is checked STRUCTURALLY; everything else
+  // needs a documented allowlist entry:
+  //   - q_pareto: cumulative/total spend over the 10-row decile
+  //     aggregate (decile = (rn-1)*10 div n has 10 values by
+  //     construction);
+  //   - q_events_paths: rank over the per-triple aggregate, at most
+  //     |event_types|^3 rows.
+  private val boundedWindowAllow = Set("q_pareto", "q_events_paths")
+
+  test("no unpartitioned window runs over an unbounded relation") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    (SparkEntry.queries.keySet - "pipeline_e2e").toSeq.sorted.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val unbounded = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.child.collectFirst { case l: GlobalLimit => l }.isEmpty => w
+      }
+      spark.catalog.clearCache()
+      withClue(s"$name:") {
+        if (boundedWindowAllow(name))
+          assert(unbounded.size <= 2,
+            s"$name exceeds its bounded-window allowance")
+        else
+          assert(unbounded.isEmpty,
+            s"$name plans ${unbounded.size} unpartitioned window(s) over an " +
+              "unbounded relation — single-partition sort at scale")
+      }
+    }
   }
 
   test("dedup self-joins are hash joins on bucket keys") {
