@@ -351,7 +351,17 @@ object DedupOps {
     * against the propagation implementation property-wise
     * (DedupSpec).
     */
-  private[graft] def connectedComponentsStar(edges: DataFrame): DataFrame = {
+  private[graft] def connectedComponentsStar(edges: DataFrame): DataFrame =
+    connectedComponentsStarWithRounds(edges)._1
+
+  /** [[connectedComponentsStar]] plus the number of contraction rounds
+    * it ran — the O(log n) round bound is the whole reason this
+    * variant exists, so the count is surfaced for StarComponentsSpec
+    * to pin against an adversarial chain graph (the contraction loop
+    * is eager, so the count is final by the time this returns).
+    */
+  private[graft] def connectedComponentsStarWithRounds(
+      edges: DataFrame): (DataFrame, Int) = {
     val allNodes = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node"))).distinct()
     // Lineage truncation per round: each round's plan references the
@@ -369,7 +379,11 @@ object DedupOps {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
-    while (!converged && iter < 25) {
+    // cap = safety valve only: alternating large/small-star halves the
+    // component count per round w.h.p. (Kiveris et al.), so even a
+    // billion-node instance converges in ~30 rounds; 64 leaves
+    // adversarial headroom without masking a genuine non-convergence
+    while (!converged && iter < 64) {
       // neighbor view from both endpoints, m = min(N(u) ∪ {u})
       val nbrs = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -413,10 +427,11 @@ object DedupOps {
       s"star contraction did not converge within $iter iterations")
     // fixpoint edges are disjoint stars (node, min); roots + isolated
     // nodes label themselves
-    allNodes
+    val labeled = allNodes
       .join(e.select(col("u").as("node"), col("v").as("label")), Seq("node"), "left")
       .select(col("node").as("doc_id"),
         coalesce(col("label"), col("node")).as("component"))
+    (labeled, iter)
   }
 
   /** Recursive-CTE transitive closure — the oracle twin of

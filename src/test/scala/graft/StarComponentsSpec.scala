@@ -41,6 +41,24 @@ class StarComponentsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(star.values.toSet.size >= 3)
   }
 
+  test("a 10^4-node path converges in O(log n) rounds, labeled 0") {
+    // THE adversarial case for label propagation (rounds = diameter =
+    // 9999); the star contraction's whole reason to exist is finishing
+    // this in logarithmically many rounds. 2*log2(n) + 4 ≈ 30 is a
+    // loose ceiling over the Kiveris et al. w.h.p. bound — a
+    // regression to per-hop propagation (10^4 rounds) or any
+    // super-logarithmic behavior fails immediately.
+    val n = 10000L
+    val chain = spark.range(n - 1).select(col("id").as("a"), (col("id") + 1).as("b"))
+    val (df, rounds) = DedupOps.connectedComponentsStarWithRounds(chain)
+    val got = labels(df)
+    assert(got.size == n)
+    assert(got.values.forall(_ == 0L))
+    val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt + 4
+    assert(rounds <= bound,
+      s"star contraction took $rounds rounds on a ${n}-node path (bound $bound)")
+  }
+
   test("star labels isolated star centers as themselves") {
     val edges = Seq((5L, 9L), (9L, 7L), (100L, 101L)).toDF("a", "b")
     val got = labels(DedupOps.connectedComponentsStar(edges))
