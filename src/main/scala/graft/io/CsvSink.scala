@@ -41,31 +41,33 @@ object CsvSink {
     // unique staging suffix: a deterministic name would let two
     // concurrent writers of the same destination delete/consume each
     // other's in-flight staging output; uniqueness confines the race
-    // to the final atomic move
+    // to the final atomic move. The unique name also means the path
+    // can never pre-exist — staging cleanup happens in the finally,
+    // so a FAILED write cannot orphan its staging dir either.
     val staging = dest.resolve(
       s".spark-staging-$fileName-${java.util.UUID.randomUUID().toString.take(8)}")
-    deleteRecursively(staging)
-    val obs = Observation()
-    // observe AFTER the repartition: in the post-shuffle RESULT stage
-    // the metric is exactly-once, while a map-stage observation would
-    // double-count rows under stage retries / speculative duplicates
-    df.repartition(1)
-      .observe(obs, count(lit(1)).as("rows"))
-      .write.mode("overwrite").option("header", value = true)
-      .csv(staging.toString)
-    val rows = obs.get("rows").asInstanceOf[Long]
-    val listing = Files.list(staging)
-    val part =
-      try listing.iterator.asScala
-        .find(p => p.getFileName.toString.startsWith("part-") &&
-          p.getFileName.toString.endsWith(".csv"))
-        .getOrElse(throw new IllegalStateException(
-          s"CSV write produced no part file under $staging"))
-      finally listing.close()
-    val target = dest.resolve(fileName)
-    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
-    deleteRecursively(staging)
-    (target, rows)
+    try {
+      val obs = Observation()
+      // observe AFTER the repartition: in the post-shuffle RESULT stage
+      // the metric is exactly-once, while a map-stage observation would
+      // double-count rows under stage retries / speculative duplicates
+      df.repartition(1)
+        .observe(obs, count(lit(1)).as("rows"))
+        .write.mode("overwrite").option("header", value = true)
+        .csv(staging.toString)
+      val rows = obs.get("rows").asInstanceOf[Long]
+      val listing = Files.list(staging)
+      val part =
+        try listing.iterator.asScala
+          .find(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".csv"))
+          .getOrElse(throw new IllegalStateException(
+            s"CSV write produced no part file under $staging"))
+        finally listing.close()
+      val target = dest.resolve(fileName)
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      (target, rows)
+    } finally deleteRecursively(staging)
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -349,14 +349,16 @@ object StatefulOps extends Serializable {
     * near-dup. The LSH contract keeps individual buckets small
     * (corpus / 2^planes on uniform data); a bucket that reaches
     * `capPerBucket` stops ADMITTING members (existing members keep
-    * emitting against nothing new) — callers watch bucket sizes via
-    * the emitted pairs themselves (the same visibility argument as
-    * the simhash candidate-count log). Admission follows ARRIVAL
-    * order — deliberately NOT a per-trigger sort, which would make
-    * the admitted set depend on how arrivals split across triggers
-    * once a bucket nears the cap; arrival-order admission produces
-    * the identical pair set under any trigger split of the same
-    * arrival sequence (the keepFirstByKey/packStream contract). A
+    * emitting against nothing new). Saturation is surfaced, not
+    * silent: the first admission that fills a bucket logs a WARN with
+    * the bucket key and cap — recall loss past that point is an
+    * operator-visible event, not something to infer from missing
+    * pairs. Each trigger slice is sorted on vec_id before admission
+    * (the transitionStream discipline): flatMapGroupsWithState's
+    * within-trigger group iterator order is unspecified, so an
+    * unsorted fold would make the admitted set near the cap
+    * nondeterministic across runs of the same input; with the sort
+    * the admitted set is a pure function of the trigger slices. A
     * replayed vec_id is ignored (no self-pairs, no re-emission), so
     * duplicate ingestion cannot corrupt the candidate set; below the
     * cap the emitted pair SET equals the batch bucket self-join
@@ -373,13 +375,18 @@ object StatefulOps extends Serializable {
         var members = state.getOption.getOrElse(Nil)
         var count = members.size // once per trigger, then O(1) upkeep
         val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
-        it.foreach { v =>
+        it.toIndexedSeq.sortBy(_.vec_id).foreach { v =>
           if (count < capPerBucket && !members.contains(v.vec_id)) {
             members.foreach { m =>
               out += CandidatePair(bucket, math.min(m, v.vec_id), math.max(m, v.vec_id))
             }
             members = v.vec_id :: members
             count += 1
+            if (count == capPerBucket)
+              org.slf4j.LoggerFactory.getLogger("graft.streaming.StatefulOps")
+                .warn(s"lshCandidates bucket $bucket reached capPerBucket=" +
+                  s"$capPerBucket — further arrivals in this bucket will " +
+                  "not generate candidate pairs (recall loss)")
           }
         }
         state.update(members)

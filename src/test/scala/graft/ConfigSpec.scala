@@ -153,9 +153,12 @@ class ConfigSpec extends AnyFunSuite {
   }
 
   test("JDBC option map: base options and all-or-nothing partitioning") {
-    val base = JdbcOptions("jdbc:mysql://h/db", "t", "u", "p")
-    assert(!base.toString.contains("p") || !base.toString.contains(", p,"),
-      "toString must not leak the password")
+    // distinctive password: a one-letter secret can collide with other
+    // rendered text ("JdbcOptions" contains "p"), making a leak check
+    // vacuous — this string appears in toString iff the password leaks
+    val base = JdbcOptions("jdbc:mysql://h/db", "t", "u", "s3cr3t-pw!")
+    assert(!base.toString.contains("s3cr3t-pw!"),
+      "toString must not leak the password in any position")
     assert(base.toString.contains("<redacted>"))
     assert(base.asMap("driver") === "org.mariadb.jdbc.Driver")
     assert(!base.asMap.contains("partitionColumn"))

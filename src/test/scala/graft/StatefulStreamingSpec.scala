@@ -198,6 +198,51 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got === want)
   }
 
+  test("streamed candidates + batch scoring == the oracle-gated dedup_embedding") {
+    // The full-circle pin: run the REGISTERED query's own augmented
+    // corpus through the streaming candidate generator, score the
+    // streamed pairs with the batch cosine expressions, and the result
+    // must equal the DuckDB-gated dedup_embedding output exactly —
+    // streaming ingestion is a drop-in for the batch self-join, not
+    // just similar to a hand-built fixture join.
+    import graft.functions.VectorFns
+    import graft.ops.DedupOps
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.load(spark, dir, "embeddings")
+    val embD = VectorFns.toDouble(col("embedding"))
+    val aug = e.select(col("vec_id"), embD.as("emb")).union(
+      e.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + lit(DedupOps.AugBase)).as("vec_id"),
+        transform(embD, (x, i) => when(i === 0, x + lit(0.01)).otherwise(x)).as("emb")))
+    val v = aug.select(col("vec_id"), col("emb"),
+      VectorFns.normSq(col("emb")).as("nsq"),
+      VectorFns.lshBucket(col("emb")).as("bucket")).persist()
+    val staged = Files.createTempDirectory("graft-lsh-embed-staged").toString
+    v.select(col("bucket"), col("vec_id")).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(staged).schema).parquet(staged)
+      .as[StatefulOps.BucketedVec]
+    val q = StatefulOps.lshCandidates(stream)
+      .writeStream.format("memory").queryName("lsh_embed_candidates")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "streaming query timed out")
+    val got = spark.table("lsh_embed_candidates")
+      .join(v.select(col("vec_id").as("a"), col("emb").as("ea"), col("nsq").as("na")), "a")
+      .join(v.select(col("vec_id").as("b"), col("emb").as("eb"), col("nsq").as("nb")), "b")
+      .select(col("a").as("vec_a"), col("b").as("vec_b"),
+        VectorFns.cosine(VectorFns.dot(col("ea"), col("eb")),
+          col("na"), col("nb")).as("cos"))
+      .filter(col("cos") >= 0.99)
+      .collect().map(_.toString).sorted
+    val want = SparkEntry.queries("dedup_embedding")(spark, dir)
+      .collect().map(_.toString).sorted
+    v.unpersist()
+    assert(got.nonEmpty, "no scored near-dup pairs — vacuous fixture")
+    assert(got === want)
+  }
+
   test("dropDuplicatesWithinWatermark emits exactly the distinct key set") {
     val q = StatefulOps.dedupWithinWatermark(
       streamEvents, Seq("user_id"), "ts", "1 hour")
