@@ -23,6 +23,24 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongTyp
   */
 object DedupOps {
 
+  /** Runtime registration of the graft_shingles UDTF. Verify/Bench/
+    * Scratch sessions load GraftExtensions via spark.sql.extensions
+    * (the real deployment path); this is the fallback for plain
+    * library sessions and reuses the SAME builder so the paths cannot
+    * drift. Shared by dedup_shingle_udtf and text_boilerplate.
+    */
+  private def ensureShingleUdtf(s: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    val reg = s.sessionState.functionRegistry
+    val fid = FunctionIdentifier("graft_shingles")
+    if (!reg.functionExists(fid)) reg.registerFunction(
+      fid,
+      new ExpressionInfo(classOf[graft.functions.ShingleGenerator].getName,
+        "graft_shingles"),
+      args => graft.functions.GraftExtensions.shingleBuilder(args))
+  }
+
   private val MinhashK = 12 // minhash permutations
   private val Bands = 6     // LSH bands (rows-per-band = 2)
   // universal-hash permutation family over the 60-bit shingle digest:
@@ -640,24 +658,54 @@ object DedupOps {
         |FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents) t,
         |     unnest(range(1, len(tokens) - 1)) u(i)
         |WHERE len(tokens) >= 3""".stripMargin) { (s, dir) =>
-      // Verify/Bench/Scratch sessions load GraftExtensions via
-      // spark.sql.extensions (the real deployment path); this runtime
-      // registration is the fallback for plain library sessions and
-      // reuses the SAME builder so the paths cannot drift
-      import org.apache.spark.sql.catalyst.FunctionIdentifier
-      import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-      val reg = s.sessionState.functionRegistry
-      val fid = FunctionIdentifier("graft_shingles")
-      if (!reg.functionExists(fid)) reg.registerFunction(
-        fid,
-        new ExpressionInfo(classOf[graft.functions.ShingleGenerator].getName,
-          "graft_shingles"),
-        args => graft.functions.GraftExtensions.shingleBuilder(args))
+      ensureShingleUdtf(s)
       Tables.load(s, dir, "documents").createOrReplaceTempView("udtf_docs")
       s.sql(
         """SELECT doc_id, s.pos, s.shingle
           |FROM udtf_docs
           |LATERAL VIEW graft_shingles(split(text, ' '), 3) s AS pos, shingle""".stripMargin)
+    },
+
+    // ── cross-document boilerplate detection ────────────────────────
+    // The repeated-n-gram sweep an LLM-data pipeline runs before
+    // training: word-5-grams appearing in >= 3 DISTINCT documents are
+    // boilerplate candidates (headers, disclaimers, templates), and
+    // the top-20 by document reach is the removal worklist. Scale
+    // shape: the native graft_shingles UDTF streams n-gram rows
+    // inside the scan stage (no per-doc shingle array materialized);
+    // the distinct-doc count is one hash aggregation on the shingle
+    // key (map-side partials first); the top-20 is a distributed
+    // orderBy+limit (per-partition heads, 20-row driver merge) and
+    // only the 20-row head is re-ranked — no global sort, no
+    // unpartitioned window over the aggregate.
+    Q("text_boilerplate", {
+      val cat = (0 until 5).map(j => s"tokens[i+$j]").mkString(" || ' ' || ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, $cat AS shingle
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents) t,
+         |       unnest(range(1, len(tokens) - 3)) u(i)
+         |  WHERE len(tokens) >= 5),
+         |agg AS (
+         |  SELECT shingle, count(DISTINCT doc_id) AS n_docs
+         |  FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) >= 3)
+         |SELECT shingle, n_docs, rk FROM (
+         |  SELECT shingle, n_docs,
+         |    row_number() OVER (ORDER BY n_docs DESC, shingle) AS rk
+         |  FROM agg) r
+         |WHERE rk <= 20""".stripMargin
+    }) { (s, dir) =>
+      ensureShingleUdtf(s)
+      Tables.load(s, dir, "documents").createOrReplaceTempView("bp_docs")
+      val agg = s.sql(
+        """SELECT s.shingle, count(DISTINCT doc_id) AS n_docs
+          |FROM bp_docs
+          |LATERAL VIEW graft_shingles(split(text, ' '), 5) s AS pos, shingle
+          |GROUP BY s.shingle
+          |HAVING count(DISTINCT doc_id) >= 3""".stripMargin)
+      val top = agg.orderBy(col("n_docs").desc, col("shingle")).limit(20)
+      val wr = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_docs").desc, col("shingle"))
+      top.withColumn("rk", row_number().over(wr).cast(LongType))
     },
 
     // Component SIZE distribution over the near-dup graph — the dedup

@@ -282,6 +282,68 @@ object SimilarityOps {
       scored.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= 3)
     },
 
+    // IVF recall@3 against the exact brute-force ground truth — the
+    // same evaluation harness as sim_ann_recall{,_mp}, pointed at the
+    // IVF probe path, completing the recall matrix over both ANN
+    // indexes (an IVF deployment needs its nprobe=1 recall measured
+    // exactly as an LSH one needs its bucket recall). Same plan
+    // economics: truth is one broadcast pass (Q=10 queries), the IVF
+    // side reuses the cell-keyed hash join, and the centroid
+    // assignments are O(1)-bounded broadcast replicates.
+    Q("sim_ann_recall_ivf",
+      s"""WITH v AS ($vectorsSql),
+         |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
+         |cents AS ($centsSql),
+         |cl AS (${assignSql("n", "vec_id")}),
+         |pq AS ($perturbedQueriesSql),
+         |qcl AS (${assignSql("pq", "q_id")}),
+         |truth AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT p.q_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY p.q_id
+         |        ORDER BY ${sqlCosine(sqlDot("p.emb", "c.emb"), "p.nsq", "c.nsq")} DESC, c.vec_id) AS rk
+         |    FROM pq p CROSS JOIN n c) t
+         |  WHERE rk <= 3),
+         |approx AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")} DESC, c.vec_id) AS rk
+         |    FROM qcl q JOIN cl c ON c.c_id = q.c_id) t
+         |  WHERE rk <= 3),
+         |hits AS (
+         |  SELECT t.q_id, count(*) AS n_hit
+         |  FROM truth t JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+         |  GROUP BY t.q_id)
+         |SELECT q.q_id, COALESCE(h.n_hit, 0) AS n_hit,
+         |       COALESCE(h.n_hit, 0) / 3.0 AS recall
+         |FROM (SELECT q_id FROM pq) q LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin) {
+      (s, dir) =>
+      val n = vectors(s, dir).withColumn("nsq", normSq(col("emb"))).persist()
+      val cs = cents(n)
+      val clustered = assign(n, "vec_id", cs).persist()
+      val qBase = perturbedQueries(s, dir)
+        .select(col("q_id"), col("emb").as("q_emb"), col("nsq").as("q_nsq"))
+      val qcl = assign(perturbedQueries(s, dir), "q_id", cs)
+        .select(col("q_id"), col("emb").as("q_emb"),
+          col("nsq").as("q_nsq"), col("c_id").as("q_cid"))
+      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+      def top3(scored: DataFrame): DataFrame =
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3).select("q_id", "vec_id")
+      val truth = top3(n.crossJoin(broadcast(qBase))
+        .select(col("q_id"), col("vec_id"),
+          cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score")))
+      val approx = top3(clustered.join(broadcast(qcl), col("c_id") === col("q_cid"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score")))
+      val hits = truth.join(approx, Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      qBase.select("q_id").join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)) / lit(3.0)).as("recall"))
+    },
+
     // One Lloyd iteration of (spherical) k-means over the corpus:
     // cosine-argmax assignment against the current centroids (the
     // shared `assign` broadcast map stage), then per-cluster per-dim

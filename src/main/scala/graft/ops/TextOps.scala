@@ -573,6 +573,54 @@ object TextOps {
         .withColumn("split", splitCol(col("doc_id")))
     },
 
+    // ── near-dup curation with a QUALITY keeper policy ──────────────
+    // Same composed pipeline as curate_neardup, but each near-dup
+    // family keeps its HIGHEST-QUALITY member (ties -> lowest id)
+    // instead of the lowest id — the keeper policy a production
+    // curation run actually wants: among near-identical copies,
+    // retain the cleanest text, then apply the floor and split. Scale
+    // shape: the per-family argmax is a window PARTITIONED by the
+    // family key — one hash shuffle, partition-parallel at any corpus
+    // size, and family cardinality is bounded by the LSH contract
+    // (dedup_component_sizes is the check), so no skew. Singletons
+    // (no near-dup edge) are their own family via COALESCE. A family
+    // whose best member still fails the quality floor is dropped
+    // entirely — by design: every copy of junk is junk.
+    Q("curate_rep_quality",
+      s"""WITH pairs AS (${DedupOps.minhashPairsSql}),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+         |comp AS (WITH ${DedupOps.componentsSql("edges")}),
+         |corpus AS (${DedupOps.docsAugSql}),
+         |fam AS (
+         |  SELECT c.doc_id AS doc_id, COALESCE(k.component, c.doc_id) AS family,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    $qualitySql AS quality
+         |  FROM corpus c LEFT JOIN comp k ON c.doc_id = k.doc_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY family ORDER BY quality DESC, doc_id) AS rn
+         |  FROM fam)
+         |SELECT doc_id, family, n_tokens, quality,
+         |  ${splitSql("doc_id")} AS split
+         |FROM r WHERE rn = 1 AND quality >= $QualityMin""".stripMargin) { (s, dir) =>
+      val comp = DedupOps.connectedComponentsStar(
+        DedupOps.minhashPairsDf(s, dir)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .withColumnRenamed("doc_id", "cid")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("family").orderBy(col("quality").desc, col("doc_id"))
+      DedupOps.docsAug(s, dir)
+        .join(comp, col("doc_id") === col("cid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("family"),
+          size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+          qualityCol(col("text")).as("quality"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("quality") >= QualityMin)
+        .select(col("doc_id"), col("family"), col("n_tokens"), col("quality"),
+          splitCol(col("doc_id")).as("split"))
+    },
+
     // ── fingerprinting: content md5 + position-weighted rolling hash ─
     Q("text_fingerprint", {
       val toks = "string_split(text, ' ')"
