@@ -48,10 +48,15 @@ object VectorFns {
     * codegen loop ([[DotExpr]]) evaluating the identical IEEE sequence
     * the oracle's unrolled SQL chain does.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = dotN(a, b, Dim)
+
+  /** Dim-parameterized variant for subvector kernels (PQ subspaces):
+    * same left-associated chain contract over the first `n` elements.
+    */
+  def dotN(a: Column, b: Column, n: Int): Column =
     org.apache.spark.sql.GraftColumnShim.column(DotExpr(
       org.apache.spark.sql.GraftColumnShim.expression(a),
-      org.apache.spark.sql.GraftColumnShim.expression(b), Dim))
+      org.apache.spark.sql.GraftColumnShim.expression(b), n))
 
   def normSq(a: Column): Column = dot(a, a)
 
@@ -102,8 +107,10 @@ object VectorFns {
   def sqlToDouble(emb: String): String =
     s"list_transform($emb, x -> CAST(x AS DOUBLE))"
 
-  def sqlDot(a: String, b: String): String =
-    (1 to Dim).map(i => s"$a[$i]*$b[$i]").mkString("(0.0 + ", " + ", ")")
+  def sqlDot(a: String, b: String): String = sqlDotN(a, b, Dim)
+
+  def sqlDotN(a: String, b: String, n: Int): String =
+    (1 to n).map(i => s"$a[$i]*$b[$i]").mkString("(0.0 + ", " + ", ")")
 
   def sqlNormSq(a: String): String = sqlDot(a, a)
 

@@ -32,6 +32,17 @@ object SimilarityOps {
   // valid IVF; training is orthogonal to the engine plumbing)
   private val NumCentroids = 8
 
+  // Product-quantization geometry: M subspaces of Dim/M dims, K
+  // codewords per subspace. Codewords are deterministically-sampled
+  // corpus subvectors (same convention as the IVF coarse quantizer —
+  // training a better codebook is orthogonal to the engine plumbing).
+  private val PqM = 4
+  private val PqSub = Dim / PqM
+  private val PqK = 4
+
+  // SemDeDup keep/drop cosine threshold (within-cluster near-dup cut)
+  private val SemTau = 0.3
+
   private def vectors(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings").select(
       col("vec_id"), toDouble(col("embedding")).as("emb"))
@@ -134,6 +145,69 @@ object SimilarityOps {
   private def cents(n: DataFrame): DataFrame =
     n.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"), col("nsq").as("c_nsq"))
+
+  // ── product-quantization building blocks ──────────────────────────
+
+  /** Explode a vector relation into (id, m, sub, snsq) subvector rows —
+    * a per-row generator (M small arrays from one slice pass), no
+    * shuffle. posexplode's 0-based pos is the subspace index.
+    */
+  private def pqSubs(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol), posexplode(array(
+        (0 until PqM).map(m => slice(col("emb"), m * PqSub + 1, PqSub)): _*))
+        .as(Seq("m", "sub")))
+      .withColumn("snsq", dotN(col("sub"), col("sub"), PqSub))
+
+  /** DuckDB twin of [[pqSubs]] (end-inclusive 1-based list slices). */
+  private def pqSubsSql(rel: String, idCol: String): String =
+    (0 until PqM).map { m =>
+      val sub = s"emb[${m * PqSub + 1}:${(m + 1) * PqSub}]"
+      s"""SELECT $idCol, $m AS m, $sub AS sub,
+         |  ${sqlDotN(sub, sub, PqSub)} AS snsq FROM $rel""".stripMargin
+    }.mkString(" UNION ALL ")
+
+  /** Per-subspace codebook: the first PqK corpus vectors' subvectors,
+    * O(M·K) rows — always broadcast.
+    */
+  private def pqCodebook(subs: DataFrame): DataFrame =
+    subs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("k"), col("sub").as("c_sub"),
+        col("snsq").as("c_nsq"))
+
+  /** PQ encode: per (vector, subspace) the cosine-argmax codeword (ties
+    * to the lowest code id), plus the codeword's norm² floor-quantized
+    * to int64 (`ccq`) so downstream reconstruction sums stay exact and
+    * order-independent. One broadcast hash join on the subspace key +
+    * one (vec_id, m)-partitioned argmax window — both partition-
+    * parallel at any corpus size.
+    */
+  private def pqCodes(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "m")
+      .orderBy(col("score").desc, col("k").asc)
+    subs.join(broadcast(cb), Seq("m"))
+      .withColumn("score",
+        cosine(dotN(col("sub"), col("c_sub"), PqSub), col("snsq"), col("c_nsq")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("k").as("code"),
+        floor(col("c_nsq") * lit(1000000000.0)).cast(LongType).as("ccq"))
+  }
+
+  /** Shared CTE chain (`subs`→`ssub`→`cb`→`cand`→`codes`) mirroring
+    * [[pqSubs]]+[[pqCodebook]]+[[pqCodes]]; expects a `v` CTE with
+    * (vec_id, emb).
+    */
+  private def pqCodesSql: String =
+    s"""ssub AS (${pqSubsSql("v", "vec_id")}),
+       |cb AS (SELECT m, vec_id AS k, sub AS c_sub, snsq AS c_nsq
+       |       FROM ssub WHERE vec_id < $PqK),
+       |cand AS (
+       |  SELECT s.vec_id, s.m, c.k,
+       |    CAST(floor(c.c_nsq * 1000000000.0) AS BIGINT) AS ccq,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${sqlCosine(sqlDotN("s.sub", "c.c_sub", PqSub), "s.snsq", "c.c_nsq")} DESC, c.k) AS rn
+       |  FROM ssub s JOIN cb c ON c.m = s.m),
+       |codes AS (SELECT vec_id, m, k AS code, ccq FROM cand WHERE rn = 1)""".stripMargin
 
   private def recallDf(s: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
     val n = vectors(s, dir)
@@ -337,6 +411,152 @@ object SimilarityOps {
       val approx = top3(clustered.join(broadcast(qcl), col("c_id") === col("q_cid"))
         .select(col("q_id"), col("vec_id"),
           cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score")))
+      val hits = truth.join(approx, Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      qBase.select("q_id").join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)) / lit(3.0)).as("recall"))
+    },
+
+    // ── semantic dedup (SemDeDup-style) ─────────────────────────────
+    // Cluster the corpus with the coarse quantizer, then drop any
+    // vector with a SMALLER-id near-twin (cosine > SemTau) in its own
+    // cluster — the SemDeDup recipe (Abbas et al. 2023): restricting
+    // the near-dup search to within-cluster pairs turns an O(N²)
+    // all-pairs problem into Σ|cluster|², controlled by cluster
+    // granularity (production runs k ≈ N/target_size; the fixture's 8
+    // stand-in centroids exercise the identical plan). Scale shape:
+    // one broadcast assign map stage, one hash-shuffle self-join on
+    // the cluster key, one distinct, one left anti-style flag join —
+    // nothing global. Output: every vector with its cluster and
+    // kept/dropped verdict (kept = no smaller-id twin above SemTau).
+    Q("dedup_semantic",
+      s"""WITH v AS ($vectorsSql),
+         |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
+         |cents AS ($centsSql),
+         |cl AS (${assignSql("n", "vec_id")}),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM cl a JOIN cl b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+         |  WHERE ${sqlCosine(sqlDot("a.emb", "b.emb"), "a.nsq", "b.nsq")} > CAST($SemTau AS DOUBLE))
+         |SELECT c.vec_id, c.c_id,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM cl c LEFT JOIN dropped d ON c.vec_id = d.vec_id""".stripMargin) {
+      (s, dir) =>
+      val n = vectors(s, dir).withColumn("nsq", normSq(col("emb")))
+      val cl = assign(n, "vec_id", cents(n)).persist()
+      val a = cl.select(col("c_id"), col("vec_id").as("a_id"),
+        col("emb").as("a_emb"), col("nsq").as("a_nsq"))
+      val b = cl.select(col("c_id"), col("vec_id").as("b_id"),
+        col("emb").as("b_emb"), col("nsq").as("b_nsq"))
+      val dropped = a.join(b, Seq("c_id"))
+        .filter(col("a_id") < col("b_id") &&
+          cosine(dot(col("a_emb"), col("b_emb")),
+            col("a_nsq"), col("b_nsq")) > lit(SemTau))
+        .select(col("b_id").as("vec_id")).distinct()
+      cl.join(dropped.withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("c_id"),
+          when(col("is_dropped").isNull, 1L).otherwise(0L)
+            .cast(LongType).as("kept"))
+    },
+
+    // ── product-quantization encode ─────────────────────────────────
+    // The PQ compression pass an ANN serving layer materializes: each
+    // vector becomes M small codes (here 4×2 bits standing in for the
+    // production 8-bit codebooks). Plan: subvector explode (per-row
+    // generator), broadcast codebook join on the subspace key, and a
+    // (vec_id, m)-partitioned argmax window — every stage partition-
+    // parallel, no global ordering anywhere.
+    Q("sim_pq_codes",
+      s"""WITH v AS ($vectorsSql),
+         |$pqCodesSql
+         |SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code
+         |FROM codes""".stripMargin) { (s, dir) =>
+      val subs = pqSubs(vectors(s, dir), "vec_id")
+      pqCodes(subs, pqCodebook(subs))
+        .select(col("vec_id"), col("m").cast(LongType).as("m"),
+          col("code").cast(LongType).as("code"))
+    },
+
+    // ── PQ asymmetric-distance recall@3 vs brute-force truth ────────
+    // Completes the recall matrix's third row (LSH, IVF, PQ): score
+    // every vector from its codes alone via the classic ADC lookup
+    // table — lut(q, m, k) = dot(q_sub_m, codeword_{m,k}), and a
+    // vector's approximate cosine is the code-gathered sum divided by
+    // the reconstructed norm. Cross-engine determinism: lut partials
+    // and codeword norms² are floor-quantized to int64 BEFORE the
+    // per-vector sum (int sums are order-independent where a 4-double
+    // sum would depend on association order), then ONE division +
+    // sqrt. Scale shape: codes are M ints per vector (the point of
+    // PQ), the lut is O(Q·M·K) broadcast, scoring is one hash agg on
+    // (q_id, vec_id) — the full-scan ADC baseline an IVF list-pruning
+    // layer would sit on top of.
+    Q("sim_ann_recall_pq",
+      s"""WITH v AS ($vectorsSql),
+         |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
+         |$pqCodesSql,
+         |pq AS ($perturbedQueriesSql),
+         |qsubs AS (${pqSubsSql("pq", "q_id")}),
+         |lut AS (
+         |  SELECT qs.q_id, qs.m, c.k,
+         |    CAST(floor(${sqlDotN("qs.sub", "c.c_sub", PqSub)} * 1000000000.0) AS BIGINT) AS ipq
+         |  FROM qsubs qs JOIN cb c ON c.m = qs.m),
+         |scored AS (
+         |  SELECT l.q_id, cd.vec_id,
+         |    CAST(sum(l.ipq) AS DOUBLE) AS sip,
+         |    CAST(sum(cd.ccq) AS DOUBLE) AS srec
+         |  FROM codes cd JOIN lut l ON l.m = cd.m AND l.k = cd.code
+         |  GROUP BY l.q_id, cd.vec_id),
+         |approx AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT s.q_id, s.vec_id,
+         |      row_number() OVER (PARTITION BY s.q_id
+         |        ORDER BY (s.sip / 1000000000.0) /
+         |          (sqrt(p.nsq) * sqrt(s.srec / 1000000000.0)) DESC, s.vec_id) AS rk
+         |    FROM scored s JOIN pq p ON p.q_id = s.q_id) t
+         |  WHERE rk <= 3),
+         |truth AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT p.q_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY p.q_id
+         |        ORDER BY ${sqlCosine(sqlDot("p.emb", "c.emb"), "p.nsq", "c.nsq")} DESC, c.vec_id) AS rk
+         |    FROM pq p CROSS JOIN n c) t
+         |  WHERE rk <= 3),
+         |hits AS (
+         |  SELECT t.q_id, count(*) AS n_hit
+         |  FROM truth t JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+         |  GROUP BY t.q_id)
+         |SELECT q.q_id, COALESCE(h.n_hit, 0) AS n_hit,
+         |       COALESCE(h.n_hit, 0) / 3.0 AS recall
+         |FROM (SELECT q_id FROM pq) q LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin) {
+      (s, dir) =>
+      val n = vectors(s, dir).withColumn("nsq", normSq(col("emb"))).persist()
+      val subs = pqSubs(n, "vec_id")
+      val cb = pqCodebook(subs)
+      val codes = pqCodes(subs, cb)
+      val pqq = perturbedQueries(s, dir)
+      val lut = pqSubs(pqq, "q_id").join(broadcast(cb), Seq("m"))
+        .select(col("q_id"), col("m").as("lm"), col("k"),
+          floor(dotN(col("sub"), col("c_sub"), PqSub) * lit(1000000000.0))
+            .cast(LongType).as("ipq"))
+      val scored = codes
+        .join(broadcast(lut), col("lm") === col("m") && col("k") === col("code"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum("ipq").cast(org.apache.spark.sql.types.DoubleType).as("sip"),
+          sum("ccq").cast(org.apache.spark.sql.types.DoubleType).as("srec"))
+      val qn = pqq.select(col("q_id"), col("nsq").as("q_nsq"))
+      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+      val approx = scored.join(broadcast(qn), Seq("q_id"))
+        .withColumn("score", (col("sip") / lit(1000000000.0)) /
+          (sqrt(col("q_nsq")) * sqrt(col("srec") / lit(1000000000.0))))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3).select("q_id", "vec_id")
+      val qBase = pqq.select(col("q_id"), col("emb").as("q_emb"), col("nsq").as("q_nsq"))
+      val truth = n.crossJoin(broadcast(qBase))
+        .select(col("q_id"), col("vec_id"),
+          cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3).select("q_id", "vec_id")
       val hits = truth.join(approx, Seq("q_id", "vec_id"))
         .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
       qBase.select("q_id").join(hits, Seq("q_id"), "left")

@@ -59,6 +59,11 @@ object TextOps {
   /** Cross-validation fold count for `q_cv_folds`. */
   val CvFolds = 5
 
+  /** Training-shard count for `text_shuffle_shard` (production sizes
+    * this to the writer parallelism; the plan shape is independent).
+    */
+  val NumShards = 16
+
   /** Per-language signature token sets for the n-gram language-ID
     * heuristic. Deterministic argmax, ties broken by this fixed order.
     */
@@ -619,6 +624,39 @@ object TextOps {
         .filter(col("rn") === 1 && col("quality") >= QualityMin)
         .select(col("doc_id"), col("family"), col("n_tokens"), col("quality"),
           splitCol(col("doc_id")).as("split"))
+    },
+
+    // ── deterministic global shuffle into training shards ───────────
+    // The "shuffle the corpus and write N shards" step before
+    // training: shard = hash(id) mod NumShards, within-shard order =
+    // an independent hash (so shard assignment and intra-shard order
+    // are uncorrelated), ordinal = row_number PARTITIONED by shard —
+    // one hash shuffle into NumShards groups, each sorted
+    // independently, no global sort. Reproducible end-to-end from ids
+    // alone (reruns and backfills land every doc in the same place),
+    // which is what makes the training order auditable. At 100 TB
+    // NumShards is sized to executor count; the per-shard sort is the
+    // only per-group cost.
+    Q("text_shuffle_shard", {
+      val shardH = graft.OracleSql.hex60("'shard|' || CAST(doc_id AS VARCHAR)")
+      val ordH = graft.OracleSql.hex60("'ord|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH h AS (
+         |  SELECT doc_id, $shardH % $NumShards AS shard, $ordH AS ord
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+         |       AS BIGINT) AS ordinal
+         |FROM h""".stripMargin
+    }) { (s, dir) =>
+      val h = docs(s, dir).select(col("doc_id"),
+        (graft.Cols.hex60(concat(lit("shard|"), col("doc_id").cast("string")))
+          % NumShards).as("shard"),
+        graft.Cols.hex60(concat(lit("ord|"), col("doc_id").cast("string")))
+          .as("ord"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy(col("ord"), col("doc_id"))
+      h.withColumn("ordinal", row_number().over(w).cast(LongType))
+        .select("doc_id", "shard", "ordinal")
     },
 
     // ── fingerprinting: content md5 + position-weighted rolling hash ─

@@ -54,6 +54,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "sim_ann_recall" -> 1,   // brute-force ground-truth side
     "sim_ann_recall_mp" -> 1,
     "sim_ann_recall_ivf" -> 3, // ground truth + 2 centroid assignments
+    "sim_ann_recall_pq" -> 1,  // brute-force ground-truth side
+    // ONE centroid-assignment cross join, stringified once per
+    // reference to the persisted clustered relation (cl, a, b)
+    "dedup_semantic" -> 3,
     "q_kmeans_step" -> 1,    // corpus x broadcast(8 centroids)
     "q_kmeans3" -> 3,        // one centroid broadcast per Lloyd iteration
     "text_vocab" -> 1,       // 1-row corpus-total attach
