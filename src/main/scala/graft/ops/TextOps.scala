@@ -64,6 +64,15 @@ object TextOps {
     */
   val NumShards = 16
 
+  /** Per-source document cap for `q_source_cap` (per-domain quota). */
+  val SourceCap = 15
+
+  /** Hashed-unigram feature-bucket count for the DSIR-style importance
+    * queries (production uses 10⁴–10⁶ buckets; the ratio-table shape is
+    * count-independent).
+    */
+  val DsirBuckets = 64
+
   /** Per-language signature token sets for the n-gram language-ID
     * heuristic. Deterministic argmax, ties broken by this fixed order.
     */
@@ -657,6 +666,97 @@ object TextOps {
         .partitionBy("shard").orderBy(col("ord"), col("doc_id"))
       h.withColumn("ordinal", row_number().over(w).cast(LongType))
         .select("doc_id", "shard", "ordinal")
+    },
+
+    // ── per-source quota cap (domain balancing) ─────────────────────
+    // "No source may contribute more than SourceCap documents, keep
+    // its best by quality" — the per-domain cap every web-scale corpus
+    // applies so one crawl domain cannot dominate the mixture. A
+    // window PARTITIONED by source (one hash shuffle on the source
+    // key, each group ranked independently) — never a global sort; at
+    // 100 TB the group count is the domain count, and a pathological
+    // mega-domain is exactly what the cap truncates.
+    Q("q_source_cap",
+      s"""WITH q AS (
+         |  SELECT doc_id, source, $qualitySql AS quality FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, quality,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id) AS rn
+         |  FROM q)
+         |SELECT doc_id, source, quality, CAST(rn AS BIGINT) AS source_rank
+         |FROM r WHERE rn <= $SourceCap""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), qualityCol(col("text")).as("quality"))
+        .withColumn("source_rank", row_number().over(w).cast(LongType))
+        .filter(col("source_rank") <= SourceCap)
+    },
+
+    // ── DSIR-style hashed-unigram importance ratios ─────────────────
+    // The distribution-matching table behind importance resampling
+    // (Xie et al. 2023, "Data Selection for LMs via Importance
+    // Resampling"): hash every token into DsirBuckets buckets and
+    // compare the target distribution (here: English docs as the
+    // stand-in target domain) against the raw corpus. Per-bucket
+    // ratio = n_target / n_raw — exactly one division of two exact
+    // counts, so cross-engine determinism is free. Scale shape: one
+    // explode + one map-side-combinable hash agg to a DsirBuckets-row
+    // relation; the token stream never leaves the scan stage.
+    Q("q_dsir_buckets",
+      s"""WITH tok AS (
+         |  SELECT lang, ${graft.OracleSql.hex60("u.tok")} % $DsirBuckets AS bucket
+         |  FROM documents, unnest(string_split(text, ' ')) u(tok))
+         |SELECT bucket, count(*) AS n_raw,
+         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_target,
+         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) / count(*) AS ratio
+         |FROM tok GROUP BY bucket""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .select(col("lang"), (graft.Cols.hex60(col("tok")) % DsirBuckets).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_target"))
+        .select(col("bucket"), col("n_raw"), col("n_target"),
+          (col("n_target") / col("n_raw")).as("ratio"))
+    },
+
+    // ── per-document DSIR importance weight ─────────────────────────
+    // Apply the bucket-ratio table: a document's weight is the mean
+    // target/raw ratio over its tokens — the log-free importance
+    // proxy that keeps the oracle exact (ln is not correctly rounded
+    // cross-engine; a mean of ratios preserves the resampling order).
+    // Ratios are floor-quantized to int64 BEFORE the per-doc sum
+    // (order-independent where a float sum would drift), one division
+    // at the end. Scale shape: the bucket table is O(DsirBuckets) and
+    // broadcast; the per-doc agg is one hash shuffle on doc_id.
+    Q("q_dsir_weights",
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, ${graft.OracleSql.hex60("u.tok")} % $DsirBuckets AS bucket
+         |  FROM documents, unnest(string_split(text, ' ')) u(tok)),
+         |b AS (
+         |  SELECT bucket,
+         |    CAST(floor((CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      / count(*)) * 1000000000.0) AS BIGINT) AS rq
+         |  FROM tok GROUP BY bucket)
+         |SELECT t.doc_id, count(*) AS n_tokens,
+         |  CAST(sum(b.rq) AS DOUBLE) / (count(*) * 1000000000.0) AS weight
+         |FROM tok t JOIN b ON b.bucket = t.bucket
+         |GROUP BY t.doc_id""".stripMargin) { (s, dir) =>
+      val tok = docs(s, dir)
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("lang"),
+          (graft.Cols.hex60(col("tok")) % DsirBuckets).as("bucket"))
+      val b = tok.groupBy("bucket")
+        .agg(floor((sum(when(col("lang") === "en", 1L).otherwise(0L)) /
+            count(lit(1))) * lit(1000000000.0))
+          .cast(LongType).as("rq"))
+      tok.join(broadcast(b), Seq("bucket"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum("rq").cast(DoubleType) /
+            (count(lit(1)) * lit(1000000000.0))).as("weight"))
     },
 
     // ── fingerprinting: content md5 + position-weighted rolling hash ─
