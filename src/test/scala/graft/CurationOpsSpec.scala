@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the round-5 curation/ANN operators — the
+  * properties a consumer relies on that the row-hash oracle compare
+  * does not state explicitly (contiguity, bounds, quota respect).
+  */
+class CurationOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  test("text_shuffle_shard: every shard's ordinals are contiguous from 1") {
+    val rows = run("text_shuffle_shard")
+      .select("shard", "ordinal").as[(Long, Long)].collect()
+    val total = Tables.load(spark, dir, "documents").count()
+    assert(rows.length.toLong === total) // every doc lands in a shard
+    val byShard = rows.groupBy(_._1)
+    assert(byShard.keySet.forall(s => s >= 0 && s < graft.ops.TextOps.NumShards))
+    byShard.foreach { case (shard, grp) =>
+      val ords = grp.map(_._2).sorted.toSeq
+      assert(ords === (1L to grp.length.toLong).toSeq,
+        s"shard $shard ordinals not contiguous")
+    }
+  }
+
+  test("sim_pq_codes: one code per (vector, subspace), codes within codebook") {
+    val rows = run("sim_pq_codes")
+      .select("vec_id", "m", "code").as[(Long, Long, Long)].collect()
+    val nVec = Tables.load(spark, dir, "embeddings").count()
+    assert(rows.length.toLong === nVec * 4) // PqM subspaces each
+    assert(rows.forall { case (_, m, c) => m >= 0 && m < 4 && c >= 0 && c < 4 })
+    // exactly one code per (vec, m)
+    assert(rows.map(r => (r._1, r._2)).distinct.length === rows.length)
+  }
+
+  test("dedup_semantic: verdict covers the corpus and both classes occur") {
+    val rows = run("dedup_semantic")
+      .select("vec_id", "kept").as[(Long, Long)].collect()
+    val nVec = Tables.load(spark, dir, "embeddings").count()
+    assert(rows.length.toLong === nVec)
+    val kept = rows.count(_._2 == 1L)
+    assert(kept > 0 && kept < rows.length,
+      s"degenerate verdict: $kept kept of ${rows.length}")
+  }
+
+  test("q_source_cap: no source exceeds its quota") {
+    val bySource = run("q_source_cap")
+      .select("source").as[String].collect().groupBy(identity)
+    assert(bySource.nonEmpty)
+    assert(bySource.values.forall(_.length <= graft.ops.TextOps.SourceCap))
+  }
+
+  test("q_dsir_weights: weights are mean ratios, so within [0, 1]") {
+    val rows = run("q_dsir_weights")
+      .select("n_tokens", "weight").as[(Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (n, w) => n > 0 && w >= 0.0 && w <= 1.0 })
+  }
+}
