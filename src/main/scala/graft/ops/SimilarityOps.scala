@@ -142,6 +142,44 @@ object SimilarityOps {
   private val centsSql =
     s"SELECT vec_id AS c_id, emb AS c_emb, nsq AS c_nsq FROM n WHERE vec_id < $NumCentroids"
 
+  // ── SemDeDup building blocks (shared with TextOps.curate_semantic,
+  //    same convention as DedupOps.minhashPairsSql) ──────────────────
+
+  /** Corpus with cluster assignment — callers persist (referenced more
+    * than once in every consumer).
+    */
+  private[graft] def clusteredVectors(s: SparkSession, dir: String): DataFrame = {
+    val n = vectors(s, dir).withColumn("nsq", normSq(col("emb")))
+    assign(n, "vec_id", cents(n))
+  }
+
+  /** Vectors with a SMALLER-id near-twin (cosine > SemTau) in their own
+    * cluster — the SemDeDup drop set. One cluster-key self-join.
+    */
+  private[graft] def semanticDropped(cl: DataFrame): DataFrame = {
+    val a = cl.select(col("c_id"), col("vec_id").as("a_id"),
+      col("emb").as("a_emb"), col("nsq").as("a_nsq"))
+    val b = cl.select(col("c_id"), col("vec_id").as("b_id"),
+      col("emb").as("b_emb"), col("nsq").as("b_nsq"))
+    a.join(b, Seq("c_id"))
+      .filter(col("a_id") < col("b_id") &&
+        cosine(dot(col("a_emb"), col("b_emb")),
+          col("a_nsq"), col("b_nsq")) > lit(SemTau))
+      .select(col("b_id").as("vec_id")).distinct()
+  }
+
+  /** Standalone SQL twin of [[semanticDropped]]∘[[clusteredVectors]]
+    * (self-contained WITH…SELECT, embeddable as a nested-WITH CTE).
+    */
+  private[graft] def semanticDroppedSql: String =
+    s"""WITH v AS ($vectorsSql),
+       |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
+       |cents AS ($centsSql),
+       |cl AS (${assignSql("n", "vec_id")})
+       |SELECT DISTINCT b.vec_id
+       |FROM cl a JOIN cl b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+       |WHERE ${sqlCosine(sqlDot("a.emb", "b.emb"), "a.nsq", "b.nsq")} > CAST($SemTau AS DOUBLE)""".stripMargin
+
   private def cents(n: DataFrame): DataFrame =
     n.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"), col("nsq").as("c_nsq"))
@@ -443,17 +481,8 @@ object SimilarityOps {
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM cl c LEFT JOIN dropped d ON c.vec_id = d.vec_id""".stripMargin) {
       (s, dir) =>
-      val n = vectors(s, dir).withColumn("nsq", normSq(col("emb")))
-      val cl = assign(n, "vec_id", cents(n)).persist()
-      val a = cl.select(col("c_id"), col("vec_id").as("a_id"),
-        col("emb").as("a_emb"), col("nsq").as("a_nsq"))
-      val b = cl.select(col("c_id"), col("vec_id").as("b_id"),
-        col("emb").as("b_emb"), col("nsq").as("b_nsq"))
-      val dropped = a.join(b, Seq("c_id"))
-        .filter(col("a_id") < col("b_id") &&
-          cosine(dot(col("a_emb"), col("b_emb")),
-            col("a_nsq"), col("b_nsq")) > lit(SemTau))
-        .select(col("b_id").as("vec_id")).distinct()
+      val cl = clusteredVectors(s, dir).persist()
+      val dropped = semanticDropped(cl)
       cl.join(dropped.withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
         .select(col("vec_id"), col("c_id"),
           when(col("is_dropped").isNull, 1L).otherwise(0L)

@@ -759,6 +759,38 @@ object TextOps {
             (count(lit(1)) * lit(1000000000.0))).as("weight"))
     },
 
+    // ── cross-modal curation: SemDeDup verdict + quality + split ────
+    // The third curation variant (after exact-dedup corpus_curate and
+    // MinHash curate_neardup): dedup on the EMBEDDING side — a doc
+    // survives if its vector has no smaller-id semantic near-twin in
+    // its cluster (SimilarityOps.semanticDropped, fixture contract
+    // doc_id == vec_id) — then the quality floor and hash split. The
+    // composition a multimodal corpus actually runs: text features
+    // gate quality, embedding geometry gates redundancy. Scale shape:
+    // the drop set arrives via one hash anti-join on doc_id; the
+    // SemDeDup machinery keeps its Σ|cluster|² bound.
+    Q("curate_semantic",
+      s"""WITH sem AS (${graft.ops.SimilarityOps.semanticDroppedSql}),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    $qualitySql AS quality
+         |  FROM documents d
+         |  WHERE NOT EXISTS (SELECT 1 FROM sem WHERE sem.vec_id = d.doc_id))
+         |SELECT doc_id, n_tokens, quality, ${splitSql("doc_id")} AS split
+         |FROM q WHERE quality >= $QualityMin""".stripMargin) { (s, dir) =>
+      val cl = graft.ops.SimilarityOps.clusteredVectors(s, dir).persist()
+      val dropped = graft.ops.SimilarityOps.semanticDropped(cl)
+        .withColumnRenamed("vec_id", "doc_id")
+      docs(s, dir)
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+          qualityCol(col("text")).as("quality"))
+        .filter(col("quality") >= QualityMin)
+        .withColumn("split", splitCol(col("doc_id")))
+    },
+
     // ── fingerprinting: content md5 + position-weighted rolling hash ─
     Q("text_fingerprint", {
       val toks = "string_split(text, ' ')"

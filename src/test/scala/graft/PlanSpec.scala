@@ -58,6 +58,7 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // ONE centroid-assignment cross join, stringified once per
     // reference to the persisted clustered relation (cl, a, b)
     "dedup_semantic" -> 3,
+    "curate_semantic" -> 2,    // same, referenced twice (a, b)
     "q_kmeans_step" -> 1,    // corpus x broadcast(8 centroids)
     "q_kmeans3" -> 3,        // one centroid broadcast per Lloyd iteration
     "text_vocab" -> 1,       // 1-row corpus-total attach
