@@ -236,6 +236,121 @@ object EventOps {
             .as("kmv_est"))
     },
 
+    // ── KMV set operations: union/intersection across sketches ─────
+    // The reason a mergeable sketch earns its place in a pipeline:
+    // audience-overlap questions ("how many distinct users did types
+    // A and B share?") answered from two k-sized sketches instead of
+    // a full distinct-join. Standard KMV combine (Beyer et al. 2007):
+    // the pair's union sketch is the k smallest hashes of S_a ∪ S_b;
+    // est_union from its kth minimum; est_intersection = (fraction of
+    // those k present in BOTH sketches) × est_union. A non-full union
+    // sketch IS the union set, so both estimates collapse to exact
+    // counts. Deterministic: md5-derived hashes, full-order
+    // tie-breaks, the same (k-1)·M/kth arithmetic q_sketch_kmv pins.
+    // Exact counts ride along as the evaluation column. Scale shape:
+    // sketches are k rows per type, the pair fan-out is
+    // O(|types|²·k) broadcast-sized, and only the exact-evaluation
+    // side touches the full member sets (drop `ex` in production and
+    // nothing scans past the per-type dedup).
+    Q("q_sketch_kmv_ops", {
+      val k = 64
+      s"""WITH du AS (
+         |  SELECT DISTINCT event_type,
+         |    user_id * 100 + date_part('day', ts) AS member
+         |  FROM events),
+         |h AS (SELECT event_type AS et, member,
+         |        ('0x' || substr(md5(CAST(member AS VARCHAR)), 1, 15))::BIGINT AS hv
+         |      FROM du),
+         |sk AS (SELECT et, member, hv FROM (
+         |    SELECT et, member, hv,
+         |      row_number() OVER (PARTITION BY et ORDER BY hv, member) AS rn
+         |    FROM h) z
+         |  WHERE rn <= $k),
+         |ty AS (SELECT DISTINCT event_type FROM events),
+         |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+         |          FROM ty a JOIN ty b ON a.event_type < b.event_type),
+         |fm AS (
+         |  SELECT ta, tb, member,
+         |    max(CASE WHEN et = ta THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN et = tb THEN 1 ELSE 0 END) AS in_b
+         |  FROM (
+         |    SELECT p.ta, p.tb, s.et, s.member FROM pairs p JOIN h s ON s.et = p.ta
+         |    UNION ALL
+         |    SELECT p.ta, p.tb, s.et, s.member FROM pairs p JOIN h s ON s.et = p.tb) u
+         |  GROUP BY ta, tb, member),
+         |ex AS (
+         |  SELECT ta, tb, CAST(count(*) AS BIGINT) AS exact_union,
+         |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+         |  FROM fm GROUP BY ta, tb),
+         |sm AS (
+         |  SELECT ta, tb, member, hv,
+         |    max(CASE WHEN et = ta THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN et = tb THEN 1 ELSE 0 END) AS in_b
+         |  FROM (
+         |    SELECT p.ta, p.tb, s.et, s.member, s.hv FROM pairs p JOIN sk s ON s.et = p.ta
+         |    UNION ALL
+         |    SELECT p.ta, p.tb, s.et, s.member, s.hv FROM pairs p JOIN sk s ON s.et = p.tb) u
+         |  GROUP BY ta, tb, member, hv),
+         |t AS (
+         |  SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_u, max(hv) AS kth,
+         |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY hv, member) AS rn
+         |        FROM sm) z
+         |  WHERE rn <= $k GROUP BY ta, tb)
+         |SELECT t.ta, t.tb, ex.exact_union, ex.exact_inter,
+         |  CASE WHEN t.n_u < $k THEN CAST(t.n_u AS DOUBLE)
+         |       ELSE ${k - 1}.0 * 1152921504606846976.0 / t.kth END AS est_union,
+         |  CASE WHEN t.n_u < $k THEN CAST(t.n_both AS DOUBLE)
+         |       ELSE (CAST(t.n_both AS DOUBLE) / $k.0) *
+         |            (${k - 1}.0 * 1152921504606846976.0 / t.kth) END AS est_inter
+         |FROM ex JOIN t ON ex.ta = t.ta AND ex.tb = t.tb""".stripMargin
+    }) { (s, dir) =>
+      val k = 64
+      val du = events(s, dir)
+        .select(col("event_type"),
+          (col("user_id") * 100 + dayofmonth(col("ts"))).as("member"))
+        .distinct().persist()
+      val h = du.select(col("event_type").as("et"), col("member"),
+        graft.Cols.hex60(col("member").cast("string")).as("hv")).persist()
+      val wT = Window.partitionBy("et").orderBy(col("hv").asc, col("member").asc)
+      val sk = h.withColumn("rn", row_number().over(wT)).filter(col("rn") <= k)
+        .select("et", "member", "hv").persist()
+      val ty = du.select("event_type").distinct()
+      // O(|event_types|²) pair dimension — the one bounded non-equi join
+      val pairs = ty.select(col("event_type").as("ta"))
+        .join(ty.select(col("event_type").as("tb")), col("ta") < col("tb"))
+        .persist()
+      def membership(rel: DataFrame, withHv: Boolean): DataFrame = {
+        val tagged = pairs.join(rel, col("et") === col("ta"))
+          .unionByName(pairs.join(rel, col("et") === col("tb")))
+        val keys = if (withHv) Seq("ta", "tb", "member", "hv")
+                   else Seq("ta", "tb", "member")
+        tagged.groupBy(keys.map(col): _*)
+          .agg(max(when(col("et") === col("ta"), 1).otherwise(0)).as("in_a"),
+            max(when(col("et") === col("tb"), 1).otherwise(0)).as("in_b"))
+      }
+      val ex = membership(h.select("et", "member"), withHv = false)
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+            .as("exact_inter"))
+      val wP = Window.partitionBy("ta", "tb").orderBy(col("hv").asc, col("member").asc)
+      val t = membership(sk, withHv = true)
+        .withColumn("rn", row_number().over(wP)).filter(col("rn") <= k)
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("n_u"), max("hv").as("kth"),
+          sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+            .as("n_both"))
+      val estU = lit((k - 1).toDouble) * lit(1.152921504606846976e18) / col("kth")
+      ex.join(t, Seq("ta", "tb"))
+        .select(col("ta"), col("tb"), col("exact_union"), col("exact_inter"),
+          when(col("n_u") < k, col("n_u").cast(DoubleType))
+            .otherwise(estU).as("est_union"),
+          when(col("n_u") < k, col("n_both").cast(DoubleType))
+            .otherwise((col("n_both").cast(DoubleType) / lit(k.toDouble)) * estU)
+            .as("est_inter"))
+    },
+
     // ── funnel analysis: view → click → purchase, strictly ordered ──
     // Each stage requires an event strictly AFTER the user's entry into
     // the previous stage — the product-analytics conversion funnel.

@@ -59,6 +59,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // reference to the persisted clustered relation (cl, a, b)
     "dedup_semantic" -> 3,
     "curate_semantic" -> 2,    // same, referenced twice (a, b)
+    // ONE O(|event_types|²) pair-dimension non-equi self-join (ta <
+    // tb), stringified once per reference to the persisted pair
+    // relation (exact + sketch membership, two union branches each)
+    "q_sketch_kmv_ops" -> 4,
     "q_kmeans_step" -> 1,    // corpus x broadcast(8 centroids)
     "q_kmeans3" -> 3,        // one centroid broadcast per Lloyd iteration
     "text_vocab" -> 1,       // 1-row corpus-total attach
