@@ -759,6 +759,79 @@ object TextOps {
             (count(lit(1)) * lit(1000000000.0))).as("weight"))
     },
 
+    // ── Bloom-filter decontamination (the scale path) ───────────────
+    // text_decontam's exact shingle join shuffles the full benchmark
+    // n-gram set; at 100 TB the production screen is a Bloom filter:
+    // the benchmark's shingles set J=3 md5-derived bit positions in an
+    // M=4096-bit filter (kept as a ≤M-row distinct-position relation —
+    // mergeable, broadcastable), and a corpus shingle is a
+    // contamination CANDIDATE iff all J of its positions are set.
+    // n_exact rides along, so every row exhibits the one-sided
+    // guarantee (n_maybe >= n_exact; the gap is the FP rate the
+    // M/J sizing controls). Determinism: bit positions are integer
+    // arithmetic over the shared md5 hash — no floats anywhere.
+    // Scale shape: filter build is one hash agg over the (small)
+    // benchmark side; the probe is a per-row generator (J rows per
+    // distinct shingle) + one broadcast join on the position key.
+    Q("text_decontam_bloom", {
+      val m = 4096; val j = 3
+      val posSql = (tag: String) =>
+        s"${graft.OracleSql.hex60(s"$tag || '#' || CAST(u.j AS VARCHAR)")} % $m"
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         |s0 AS (
+         |  SELECT doc_id, unnest(${DedupOps.shingles3Sql}) AS sh
+         |  FROM t WHERE len(tokens) >= 3),
+         |s AS (SELECT DISTINCT doc_id, sh FROM s0),
+         |bench AS (SELECT DISTINCT sh FROM s WHERE doc_id % 97 = 0),
+         |bits AS (
+         |  SELECT DISTINCT ${posSql("sh")} AS pos
+         |  FROM bench, unnest([0, 1, 2]) u(j)),
+         |probe AS (
+         |  SELECT doc_id, sh, ${posSql("sh")} AS pos
+         |  FROM s, unnest([0, 1, 2]) u(j)
+         |  WHERE doc_id % 97 <> 0),
+         |hit AS (
+         |  SELECT p.doc_id, p.sh, count(*) AS n_set
+         |  FROM probe p JOIN bits b ON b.pos = p.pos
+         |  GROUP BY p.doc_id, p.sh),
+         |mb AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_maybe
+         |  FROM hit WHERE n_set = $j GROUP BY doc_id),
+         |exact AS (
+         |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM s JOIN bench ON s.sh = bench.sh
+         |  WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id)
+         |SELECT mb.doc_id, mb.n_maybe, COALESCE(exact.n_exact, 0) AS n_exact
+         |FROM mb LEFT JOIN exact ON mb.doc_id = exact.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val m = 4096; val j = 3
+      val seeds = explode(array((0 until j).map(lit): _*)).as("j")
+      def pos(sh: Column, seed: Column): Column =
+        graft.Cols.hex60(concat(sh, lit("#"), seed.cast("string"))) % m
+      val shRel = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tokens"))
+        .filter(size(col("tokens")) >= 3)
+        .select(col("doc_id"), explode(DedupOps.shingles3(col("tokens"))).as("sh"))
+        .distinct().persist()
+      val bench = shRel.filter(col("doc_id") % 97 === 0).select("sh").distinct()
+      val bits = bench.select(seeds, col("sh"))
+        .select(pos(col("sh"), col("j")).as("pos")).distinct()
+      val probe = shRel.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("sh"), seeds)
+        .select(col("doc_id"), col("sh"), pos(col("sh"), col("j")).as("pos"))
+      val mb = probe.join(broadcast(bits), "pos")
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("n_set"))
+        .filter(col("n_set") === j)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_maybe"))
+      val exact = shRel.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+      mb.join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_maybe"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+    },
+
     // ── cross-modal curation: SemDeDup verdict + quality + split ────
     // The third curation variant (after exact-dedup corpus_curate and
     // MinHash curate_neardup): dedup on the EMBEDDING side — a doc
