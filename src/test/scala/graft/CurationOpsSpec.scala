@@ -55,6 +55,26 @@ class CurationOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(bySource.values.forall(_.length <= graft.ops.TextOps.SourceCap))
   }
 
+  test("text_decontam_bloom: the screen is one-sided (no false negatives)") {
+    val rows = run("text_decontam_bloom")
+      .select("n_maybe", "n_exact").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // a Bloom filter may over-approximate, never under-approximate
+    assert(rows.forall { case (maybe, exact) => maybe >= exact })
+  }
+
+  test("q_sketch_kmv_ops: estimates respect set algebra and stay near exact") {
+    val rows = run("q_sketch_kmv_ops")
+      .select("exact_union", "exact_inter", "est_union", "est_inter")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (exU, exI, esU, esI) =>
+      assert(exI <= exU && esI <= esU + 1e-9)
+      // k=64 KMV: loose 3x envelope — catches broken arithmetic, not variance
+      assert(esU > exU / 3.0 && esU < exU * 3.0)
+    }
+  }
+
   test("q_dsir_weights: weights are mean ratios, so within [0, 1]") {
     val rows = run("q_dsir_weights")
       .select("n_tokens", "weight").as[(Long, Double)].collect()
