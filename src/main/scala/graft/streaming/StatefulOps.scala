@@ -329,6 +329,38 @@ object StatefulOps extends Serializable {
       }
   }
 
+  /** One live KMV sketch snapshot: group, occupancy, kth-minimum hash. */
+  final case class KmvSketch(group: String, n_k: Long, kth: Long)
+
+  /** Streaming k-minimum-values monitor — the ingestion-time face of
+    * batch `q_sketch_kmv`: per group keep the k smallest DISTINCT
+    * member hashes (state bounded by k FOREVER, the sketch property);
+    * every trigger emits the refreshed (n_k, kth) snapshot, from which
+    * a consumer forms the identical (k-1)·M/kth estimate the batch
+    * query pins (StreamingKmvSpec). The fold is set-union + truncate —
+    * idempotent, so replays and duplicate members cannot corrupt the
+    * sketch. Snapshots collapse deterministically across triggers:
+    * n_k is monotone non-decreasing, and once the sketch is full kth
+    * only improves (decreases), so the final state is the max-n_k /
+    * then-min-kth emission.
+    */
+  def kmvMonitor(keyed: Dataset[(String, String)], k: Int = 64): Dataset[KmvSketch] = {
+    import keyed.sparkSession.implicits._
+    keyed
+      .map { case (g, key) => (g, graft.Cols.hex60Scalar(key), key) }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[(String, Long, String)],
+         state: GroupState[Seq[(Long, String)]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+              it.map { case (_, hv, key) => (hv, key) })
+            .distinct.sorted.take(k)
+          state.update(merged)
+          if (merged.isEmpty) Iterator.empty
+          else Iterator(KmvSketch(g, merged.size.toLong, merged.last._1))
+      }
+  }
+
   /** One LSH-bucketed vector arrival: the bucket key and the vector id. */
   final case class BucketedVec(bucket: Long, vec_id: Long)
 
