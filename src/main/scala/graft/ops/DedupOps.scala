@@ -666,6 +666,82 @@ object DedupOps {
           |LATERAL VIEW graft_shingles(split(text, ' '), 3) s AS pos, shingle""".stripMargin)
     },
 
+    // ── All-Pairs / PPJoin prefix-filtered similarity join ──────────
+    // The exact set-similarity join (Bayardo et al. WWW 2007) over
+    // distinct shingle sets: order the universe by ascending document
+    // frequency (rare first), and two sets can reach Jaccard >= 3/5
+    // only if they share a token among their first n - ceil(3n/5) + 1
+    // rarest — so only PREFIX tokens generate candidates, and prefixes
+    // are built from the rarest tokens, exactly the ones with short
+    // posting lists (here: 165 candidates from 124k possible pairs).
+    // Complements the registered approximate pruners (MinHash bands,
+    // SimHash, sorted neighborhood) with the exact-recall variant.
+    // All threshold math is integer (ceil(3n/5) = (3n+4) div 5;
+    // jaccard >= 3/5 <=> 5·inter >= 3·union) — nothing to drift
+    // cross-engine. Scale shape: the global df-rank uses the two-phase
+    // Ranks machinery (no single-partition window over the vocabulary),
+    // prefixes explode from a bounded head of each set, the candidate
+    // join keys on the prefix token, and verification is one hash agg
+    // over the candidates' token intersections.
+    Q("dedup_allpairs",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         |sh AS (SELECT doc_id, unnest($shingles3Sql) AS tok
+         |       FROM t WHERE len(tokens) >= 3),
+         |df AS (SELECT tok, count(*) AS df FROM sh GROUP BY tok),
+         |rk AS (SELECT tok, row_number() OVER (ORDER BY df, tok) AS r FROM df),
+         |tr AS (SELECT sh.doc_id, sh.tok, rk.r FROM sh JOIN rk ON rk.tok = sh.tok),
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tr GROUP BY doc_id),
+         |ord AS (SELECT doc_id, tok, r,
+         |          row_number() OVER (PARTITION BY doc_id ORDER BY r) AS pos
+         |        FROM tr),
+         |pre AS (SELECT o.doc_id, o.tok, nn.n
+         |        FROM ord o JOIN n nn ON nn.doc_id = o.doc_id
+         |        WHERE o.pos <= nn.n - ((3 * nn.n + 4) // 5) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                a.n AS n_a, b.n AS n_b
+         |         FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+         |iv AS (SELECT c.doc_a, c.doc_b, c.n_a, c.n_b,
+         |         CAST(count(*) AS BIGINT) AS n_inter
+         |       FROM cand c
+         |       JOIN sh x ON x.doc_id = c.doc_a
+         |       JOIN sh y ON y.doc_id = c.doc_b AND y.tok = x.tok
+         |       GROUP BY c.doc_a, c.doc_b, c.n_a, c.n_b)
+         |SELECT doc_a, doc_b, n_a, n_b, n_inter,
+         |  CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+         |FROM iv
+         |WHERE 5 * n_inter >= 3 * (n_a + n_b - n_inter)""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val sh = Tables.load(s, dir, "documents")
+        .filter(size(toks) >= 3)
+        .select(col("doc_id"), explode(shingles3(toks)).as("tok"))
+        .persist()
+      val dfRel = sh.groupBy("tok").agg(count(lit(1)).as("df"))
+      val (rk, _) = Ranks.withGlobalRowNumber(dfRel, "r", col("df").asc, col("tok").asc)
+      val tr = sh.join(rk.select("tok", "r"), "tok")
+      val n = tr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("r")
+      val pre = tr.withColumn("pos", row_number().over(wD))
+        .join(n, "doc_id")
+        .filter(col("pos") <= col("n") - expr("(3 * n + 4) div 5") + 1)
+        .select(col("doc_id"), col("tok"), col("n"))
+      val cand = pre.select(col("doc_id").as("doc_a"), col("tok"), col("n").as("n_a"))
+        .join(pre.select(col("doc_id").as("doc_b"), col("tok"), col("n").as("n_b")),
+          Seq("tok"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "n_a", "n_b").distinct()
+      val iv = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(count(lit(1)).as("n_inter"))
+      iv.filter(lit(5) * col("n_inter") >= lit(3) *
+          (col("n_a") + col("n_b") - col("n_inter")))
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_inter"),
+          (col("n_inter").cast(DoubleType) /
+            (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+    },
+
     // ── cross-document boilerplate detection ────────────────────────
     // The repeated-n-gram sweep an LLM-data pipeline runs before
     // training: word-5-grams appearing in >= 3 DISTINCT documents are
