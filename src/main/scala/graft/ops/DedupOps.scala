@@ -699,7 +699,8 @@ object DedupOps {
          |        WHERE o.pos <= nn.n - ((3 * nn.n + 4) // 5) + 1),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |                a.n AS n_a, b.n AS n_b
-         |         FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+         |         FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |         WHERE 5 * a.n >= 3 * b.n AND 5 * b.n >= 3 * a.n),
          |iv AS (SELECT c.doc_a, c.doc_b, c.n_a, c.n_b,
          |         CAST(count(*) AS BIGINT) AS n_inter
          |       FROM cand c
@@ -728,7 +729,10 @@ object DedupOps {
       val cand = pre.select(col("doc_id").as("doc_a"), col("tok"), col("n").as("n_a"))
         .join(pre.select(col("doc_id").as("doc_b"), col("tok"), col("n").as("n_b")),
           Seq("tok"))
-        .filter(col("doc_a") < col("doc_b"))
+        .filter(col("doc_a") < col("doc_b") &&
+          // PPJoin length filter: J >= 3/5 forces 5*min(n) >= 3*max(n)
+          lit(5) * col("n_a") >= lit(3) * col("n_b") &&
+          lit(5) * col("n_b") >= lit(3) * col("n_a"))
         .select("doc_a", "doc_b", "n_a", "n_b").distinct()
       val iv = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
