@@ -685,8 +685,9 @@ object DedupOps {
     // over the candidates' token intersections.
     Q("dedup_allpairs",
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
-         |sh AS (SELECT doc_id, unnest($shingles3Sql) AS tok
+         |ss AS (SELECT doc_id, $shingles3Sql AS st
          |       FROM t WHERE len(tokens) >= 3),
+         |sh AS (SELECT doc_id, unnest(st) AS tok FROM ss),
          |df AS (SELECT tok, count(*) AS df FROM sh GROUP BY tok),
          |rk AS (SELECT tok, row_number() OVER (ORDER BY df, tok) AS r FROM df),
          |tr AS (SELECT sh.doc_id, sh.tok, rk.r FROM sh JOIN rk ON rk.tok = sh.tok),
@@ -702,20 +703,20 @@ object DedupOps {
          |         FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
          |         WHERE 5 * a.n >= 3 * b.n AND 5 * b.n >= 3 * a.n),
          |iv AS (SELECT c.doc_a, c.doc_b, c.n_a, c.n_b,
-         |         CAST(count(*) AS BIGINT) AS n_inter
+         |         CAST(len(list_intersect(x.st, y.st)) AS BIGINT) AS n_inter
          |       FROM cand c
-         |       JOIN sh x ON x.doc_id = c.doc_a
-         |       JOIN sh y ON y.doc_id = c.doc_b AND y.tok = x.tok
-         |       GROUP BY c.doc_a, c.doc_b, c.n_a, c.n_b)
+         |       JOIN ss x ON x.doc_id = c.doc_a
+         |       JOIN ss y ON y.doc_id = c.doc_b)
          |SELECT doc_a, doc_b, n_a, n_b, n_inter,
          |  CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
          |FROM iv
          |WHERE 5 * n_inter >= 3 * (n_a + n_b - n_inter)""".stripMargin) { (s, dir) =>
       val toks = split(col("text"), " ")
-      val sh = Tables.load(s, dir, "documents")
+      val ss = Tables.load(s, dir, "documents")
         .filter(size(toks) >= 3)
-        .select(col("doc_id"), explode(shingles3(toks)).as("tok"))
+        .select(col("doc_id"), shingles3(toks).as("st"))
         .persist()
+      val sh = ss.select(col("doc_id"), explode(col("st")).as("tok"))
       val dfRel = sh.groupBy("tok").agg(count(lit(1)).as("df"))
       val (rk, _) = Ranks.withGlobalRowNumber(dfRel, "r", col("df").asc, col("tok").asc)
       val tr = sh.join(rk.select("tok", "r"), "tok")
@@ -734,11 +735,14 @@ object DedupOps {
           lit(5) * col("n_a") >= lit(3) * col("n_b") &&
           lit(5) * col("n_b") >= lit(3) * col("n_a"))
         .select("doc_a", "doc_b", "n_a", "n_b").distinct()
+      // verification against the compact per-doc set arrays: two hash
+      // joins on the doc key + one codegen array_intersect per pair —
+      // no exploded pair-token relation to shuffle and re-aggregate
       val iv = cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(count(lit(1)).as("n_inter"))
+        .join(ss.select(col("doc_id").as("doc_a"), col("st").as("st_a")), Seq("doc_a"))
+        .join(ss.select(col("doc_id").as("doc_b"), col("st").as("st_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+          size(array_intersect(col("st_a"), col("st_b"))).cast(LongType).as("n_inter"))
       iv.filter(lit(5) * col("n_inter") >= lit(3) *
           (col("n_a") + col("n_b") - col("n_inter")))
         .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_inter"),
