@@ -720,13 +720,17 @@ object DedupOps {
       val dfRel = sh.groupBy("tok").agg(count(lit(1)).as("df"))
       val (rk, _) = Ranks.withGlobalRowNumber(dfRel, "r", col("df").asc, col("tok").asc)
       val tr = sh.join(rk.select("tok", "r"), "tok")
-      val n = tr.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val wD = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("r")
-      val pre = tr.withColumn("pos", row_number().over(wD))
-        .join(n, "doc_id")
-        .filter(col("pos") <= col("n") - expr("(3 * n + 4) div 5") + 1)
-        .select(col("doc_id"), col("tok"), col("n"))
+      // one shuffle on doc_id: collect each doc's (rank, token) pairs,
+      // sort the bounded per-doc array, slice the All-Pairs prefix —
+      // replaces the earlier n-aggregate + per-doc sort window + join
+      // (three doc_id-keyed shuffles) with a single hash aggregation
+      val ranked = tr.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("r"), col("tok")))).as("rt"))
+        .withColumn("n", size(col("rt")).cast(LongType))
+      val pre = ranked
+        .select(col("doc_id"), col("n"),
+          explode(expr("slice(rt, 1, cast(n - (3 * n + 4) div 5 + 1 as int))")).as("p"))
+        .select(col("doc_id"), col("p.tok").as("tok"), col("n"))
       val cand = pre.select(col("doc_id").as("doc_a"), col("tok"), col("n").as("n_a"))
         .join(pre.select(col("doc_id").as("doc_b"), col("tok"), col("n").as("n_b")),
           Seq("tok"))
