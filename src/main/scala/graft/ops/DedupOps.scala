@@ -545,6 +545,90 @@ object DedupOps {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** Exact All-Pairs/PPJoin similarity self-join (Bayardo et al. WWW
+    * 2007) at Jaccard >= p/q over any (doc_id, text) corpus SQL —
+    * DuckDB side. All threshold math is integer (ceil(p·n/q) =
+    * (p·n + q - 1) div q; J >= p/q <=> q·inter >= p·union) so nothing
+    * drifts cross-engine. Shared by `dedup_allpairs` (documents, 3/5)
+    * and `dedup_lsh_recall` (augmented corpus, 1/2 — the minhash
+    * family's threshold).
+    */
+  private[graft] def allPairsSqlOver(corpusSql: String, p: Int, q: Int): String =
+    s"""WITH corpus AS ($corpusSql),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+       |ss AS (SELECT doc_id, $shingles3Sql AS st
+       |       FROM t WHERE len(tokens) >= 3),
+       |sh AS (SELECT doc_id, unnest(st) AS tok FROM ss),
+       |df AS (SELECT tok, count(*) AS df FROM sh GROUP BY tok),
+       |rk AS (SELECT tok, row_number() OVER (ORDER BY df, tok) AS r FROM df),
+       |tr AS (SELECT sh.doc_id, sh.tok, rk.r FROM sh JOIN rk ON rk.tok = sh.tok),
+       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tr GROUP BY doc_id),
+       |ord AS (SELECT doc_id, tok, r,
+       |          row_number() OVER (PARTITION BY doc_id ORDER BY r) AS pos
+       |        FROM tr),
+       |pre AS (SELECT o.doc_id, o.tok, nn.n
+       |        FROM ord o JOIN n nn ON nn.doc_id = o.doc_id
+       |        WHERE o.pos <= nn.n - (($p * nn.n + ${q - 1}) // $q) + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                a.n AS n_a, b.n AS n_b
+       |         FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |         WHERE $q * a.n >= $p * b.n AND $q * b.n >= $p * a.n),
+       |iv AS (SELECT c.doc_a, c.doc_b, c.n_a, c.n_b,
+       |         CAST(len(list_intersect(x.st, y.st)) AS BIGINT) AS n_inter
+       |       FROM cand c
+       |       JOIN ss x ON x.doc_id = c.doc_a
+       |       JOIN ss y ON y.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, n_a, n_b, n_inter,
+       |  CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+       |FROM iv
+       |WHERE $q * n_inter >= $p * (n_a + n_b - n_inter)""".stripMargin
+
+  /** Spark twin of [[allPairsSqlOver]]. Scale shape: the global
+    * df-rank uses the two-phase Ranks machinery (no single-partition
+    * window over the vocabulary); the per-doc prefix comes out of ONE
+    * doc_id-keyed hash aggregation (collect + sort the bounded
+    * per-doc (rank, token) array, slice the head); the candidate join
+    * keys on the prefix token with the PPJoin length filter applied
+    * pre-distinct; verification is two hash joins against the compact
+    * per-doc set arrays and a codegen array_intersect per pair.
+    */
+  private[graft] def allPairsOver(corpus: DataFrame, p: Int, q: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val ss = corpus
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), shingles3(toks).as("st"))
+      .persist()
+    val sh = ss.select(col("doc_id"), explode(col("st")).as("tok"))
+    val dfRel = sh.groupBy("tok").agg(count(lit(1)).as("df"))
+    val (rk, _) = Ranks.withGlobalRowNumber(dfRel, "r", col("df").asc, col("tok").asc)
+    val tr = sh.join(rk.select("tok", "r"), "tok")
+    val ranked = tr.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("r"), col("tok")))).as("rt"))
+      .withColumn("n", size(col("rt")).cast(LongType))
+    val pre = ranked
+      .select(col("doc_id"), col("n"),
+        explode(expr(s"slice(rt, 1, cast(n - ($p * n + ${q - 1}) div $q + 1 as int))")).as("p"))
+      .select(col("doc_id"), col("p.tok").as("tok"), col("n"))
+    val cand = pre.select(col("doc_id").as("doc_a"), col("tok"), col("n").as("n_a"))
+      .join(pre.select(col("doc_id").as("doc_b"), col("tok"), col("n").as("n_b")),
+        Seq("tok"))
+      .filter(col("doc_a") < col("doc_b") &&
+        // PPJoin length filter: J >= p/q forces q*min(n) >= p*max(n)
+        lit(q) * col("n_a") >= lit(p) * col("n_b") &&
+        lit(q) * col("n_b") >= lit(p) * col("n_a"))
+      .select("doc_a", "doc_b", "n_a", "n_b").distinct()
+    val iv = cand
+      .join(ss.select(col("doc_id").as("doc_a"), col("st").as("st_a")), Seq("doc_a"))
+      .join(ss.select(col("doc_id").as("doc_b"), col("st").as("st_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        size(array_intersect(col("st_a"), col("st_b"))).cast(LongType).as("n_inter"))
+    iv.filter(lit(q) * col("n_inter") >= lit(p) *
+        (col("n_a") + col("n_b") - col("n_inter")))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_inter"),
+        (col("n_inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
+
   /** DuckDB twin of [[simhashPairs]] at the fixed 15-bit band maximum
     * (band width is output-invariant — SimBandSpec). Shared by
     * `dedup_simhash` and `dedup_triangles` (which analyzes this pair
@@ -684,74 +768,50 @@ object DedupOps {
     // join keys on the prefix token, and verification is one hash agg
     // over the candidates' token intersections.
     Q("dedup_allpairs",
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
-         |ss AS (SELECT doc_id, $shingles3Sql AS st
-         |       FROM t WHERE len(tokens) >= 3),
-         |sh AS (SELECT doc_id, unnest(st) AS tok FROM ss),
-         |df AS (SELECT tok, count(*) AS df FROM sh GROUP BY tok),
-         |rk AS (SELECT tok, row_number() OVER (ORDER BY df, tok) AS r FROM df),
-         |tr AS (SELECT sh.doc_id, sh.tok, rk.r FROM sh JOIN rk ON rk.tok = sh.tok),
-         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tr GROUP BY doc_id),
-         |ord AS (SELECT doc_id, tok, r,
-         |          row_number() OVER (PARTITION BY doc_id ORDER BY r) AS pos
-         |        FROM tr),
-         |pre AS (SELECT o.doc_id, o.tok, nn.n
-         |        FROM ord o JOIN n nn ON nn.doc_id = o.doc_id
-         |        WHERE o.pos <= nn.n - ((3 * nn.n + 4) // 5) + 1),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |                a.n AS n_a, b.n AS n_b
-         |         FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
-         |         WHERE 5 * a.n >= 3 * b.n AND 5 * b.n >= 3 * a.n),
-         |iv AS (SELECT c.doc_a, c.doc_b, c.n_a, c.n_b,
-         |         CAST(len(list_intersect(x.st, y.st)) AS BIGINT) AS n_inter
-         |       FROM cand c
-         |       JOIN ss x ON x.doc_id = c.doc_a
-         |       JOIN ss y ON y.doc_id = c.doc_b)
-         |SELECT doc_a, doc_b, n_a, n_b, n_inter,
-         |  CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
-         |FROM iv
-         |WHERE 5 * n_inter >= 3 * (n_a + n_b - n_inter)""".stripMargin) { (s, dir) =>
-      val toks = split(col("text"), " ")
-      val ss = Tables.load(s, dir, "documents")
-        .filter(size(toks) >= 3)
-        .select(col("doc_id"), shingles3(toks).as("st"))
-        .persist()
-      val sh = ss.select(col("doc_id"), explode(col("st")).as("tok"))
-      val dfRel = sh.groupBy("tok").agg(count(lit(1)).as("df"))
-      val (rk, _) = Ranks.withGlobalRowNumber(dfRel, "r", col("df").asc, col("tok").asc)
-      val tr = sh.join(rk.select("tok", "r"), "tok")
-      // one shuffle on doc_id: collect each doc's (rank, token) pairs,
-      // sort the bounded per-doc array, slice the All-Pairs prefix —
-      // replaces the earlier n-aggregate + per-doc sort window + join
-      // (three doc_id-keyed shuffles) with a single hash aggregation
-      val ranked = tr.groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("r"), col("tok")))).as("rt"))
-        .withColumn("n", size(col("rt")).cast(LongType))
-      val pre = ranked
-        .select(col("doc_id"), col("n"),
-          explode(expr("slice(rt, 1, cast(n - (3 * n + 4) div 5 + 1 as int))")).as("p"))
-        .select(col("doc_id"), col("p.tok").as("tok"), col("n"))
-      val cand = pre.select(col("doc_id").as("doc_a"), col("tok"), col("n").as("n_a"))
-        .join(pre.select(col("doc_id").as("doc_b"), col("tok"), col("n").as("n_b")),
-          Seq("tok"))
-        .filter(col("doc_a") < col("doc_b") &&
-          // PPJoin length filter: J >= 3/5 forces 5*min(n) >= 3*max(n)
-          lit(5) * col("n_a") >= lit(3) * col("n_b") &&
-          lit(5) * col("n_b") >= lit(3) * col("n_a"))
-        .select("doc_a", "doc_b", "n_a", "n_b").distinct()
-      // verification against the compact per-doc set arrays: two hash
-      // joins on the doc key + one codegen array_intersect per pair —
-      // no exploded pair-token relation to shuffle and re-aggregate
-      val iv = cand
-        .join(ss.select(col("doc_id").as("doc_a"), col("st").as("st_a")), Seq("doc_a"))
-        .join(ss.select(col("doc_id").as("doc_b"), col("st").as("st_b")), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
-          size(array_intersect(col("st_a"), col("st_b"))).cast(LongType).as("n_inter"))
-      iv.filter(lit(5) * col("n_inter") >= lit(3) *
-          (col("n_a") + col("n_b") - col("n_inter")))
-        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_inter"),
-          (col("n_inter").cast(DoubleType) /
-            (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      allPairsSqlOver("SELECT doc_id, text FROM documents", 3, 5)) { (s, dir) =>
+      allPairsOver(Tables.load(s, dir, "documents"), 3, 5)
+    },
+
+    // ── measured recall of the approximate dedup pipeline ───────────
+    // The evidence query the recall matrix was missing on the TEXT
+    // side: sim_ann_recall* measures the vector indexes against brute
+    // force; this measures the production MinHash-band candidate
+    // generator against the exact All-Pairs/PPJoin join at the SAME
+    // threshold (J >= 1/2, the minhash family's verify cut) over the
+    // SAME augmented corpus. Both relations exist in the registry —
+    // here they meet in one full-outer join on the pair key and a
+    // single-row summary aggregate: truth size, verified-LSH size, hit
+    // count, recall. Banding theory promises high recall at J >= 0.5
+    // for 6 bands x 2 rows (P[miss] = (1 - J^2)^6 <= 0.18% at J = 0.5
+    // exactly); this query turns that promise into a measured number.
+    // Scale shape: both sides are the already-bucketed pipelines; the
+    // meet join keys on (doc_a, doc_b) and the summary is one hash agg
+    // — no new all-pairs surface anywhere.
+    Q("dedup_lsh_recall",
+      s"""WITH lsh AS ($minhashPairsSql),
+         |truth AS (${allPairsSqlOver(docsAugSql, 1, 2)}),
+         |m AS (
+         |  SELECT CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_t,
+         |         CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_l
+         |  FROM truth t FULL OUTER JOIN lsh l
+         |    ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b)
+         |SELECT CAST(sum(in_t) AS BIGINT) AS n_truth,
+         |  CAST(sum(in_l) AS BIGINT) AS n_lsh,
+         |  CAST(sum(in_t * in_l) AS BIGINT) AS n_hit,
+         |  CAST(sum(in_t * in_l) AS DOUBLE) / sum(in_t) AS recall
+         |FROM m""".stripMargin) {
+      (s, dir) =>
+      val lsh = minhashPairsDf(s, dir).select(col("doc_a"), col("doc_b"), lit(1).as("in_l"))
+      val truth = allPairsOver(docsAug(s, dir), 1, 2)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("in_t"))
+      truth.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+        .select(coalesce(col("in_t"), lit(0)).as("in_t"),
+          coalesce(col("in_l"), lit(0)).as("in_l"))
+        .agg(sum(col("in_t")).cast(LongType).as("n_truth"),
+          sum(col("in_l")).cast(LongType).as("n_lsh"),
+          sum(col("in_t") * col("in_l")).cast(LongType).as("n_hit"),
+          (sum(col("in_t") * col("in_l")).cast(DoubleType) /
+            sum(col("in_t"))).as("recall"))
     },
 
     // ── cross-document boilerplate detection ────────────────────────
