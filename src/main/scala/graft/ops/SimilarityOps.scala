@@ -489,6 +489,64 @@ object SimilarityOps {
             .cast(LongType).as("kept"))
     },
 
+    // ── cluster labeling: distinctive terms per semantic cluster ────
+    // The step a curation pipeline runs right after clustering: "what
+    // IS each cluster about" — the top-5 most distinctive tokens per
+    // k-means cell, joining the embedding-space structure back to the
+    // text it indexes (doc_id == vec_id, the curate_semantic
+    // convention). Distinctiveness is the chi-square-flavored keyness
+    // ratio c_df²/g_df (cluster doc-frequency squared over corpus
+    // doc-frequency) — monotone in "frequent HERE, rare elsewhere" and
+    // a ratio of exact integers, so it is bit-identical cross-engine
+    // where a log-based PMI/TF-IDF score would drift. Scale shape: one
+    // hash equi-join docs↔assignments on the doc key, a (c_id, tok)
+    // hash agg, a tok-partitioned window sum for g_df (each doc is in
+    // exactly one cluster, so g_df = Σ_c c_df — no second pass over
+    // the exploded tokens), and a c_id-partitioned rank that
+    // WindowGroupLimit
+    // rewrites to per-partition top-5 heads — no global ordering, no
+    // unpartitioned window.
+    Q("sim_cluster_terms",
+      s"""WITH v AS ($vectorsSql),
+         |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
+         |cents AS ($centsSql),
+         |cl AS (${assignSql("n", "vec_id")}),
+         |j AS (
+         |  SELECT cl.c_id, d.doc_id,
+         |    unnest(list_distinct(string_split(d.text, ' '))) AS tok
+         |  FROM cl JOIN documents d ON d.doc_id = cl.vec_id),
+         |cdf AS (SELECT c_id, tok, count(*) AS c_df FROM j GROUP BY c_id, tok),
+         |sc AS (
+         |  SELECT c_id, tok, CAST(c_df AS BIGINT) AS c_df,
+         |    CAST(sum(c_df) OVER (PARTITION BY tok) AS BIGINT) AS g_df,
+         |    CAST(c_df * c_df AS DOUBLE) / sum(c_df) OVER (PARTITION BY tok) AS score
+         |  FROM cdf)
+         |SELECT c_id, tok, c_df, g_df, score, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY c_id ORDER BY score DESC, tok) AS rk
+         |  FROM sc) t
+         |WHERE rk <= 5""".stripMargin) { (s, dir) =>
+      val cl = clusteredVectors(s, dir).select(col("vec_id"), col("c_id"))
+      val j = Tables.load(s, dir, "documents")
+        .join(cl, col("doc_id") === col("vec_id"))
+        .select(col("c_id"), col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      // each doc sits in exactly ONE cluster, so the corpus df is the
+      // sum of the cluster dfs — a tok-partitioned window sum over the
+      // (c_id, tok) aggregate, no second pass over the exploded tokens
+      // and no join back
+      val cdf = j.groupBy("c_id", "tok").agg(count(lit(1)).as("c_df"))
+      val wT = Window.partitionBy("tok")
+      val sc = cdf
+        .withColumn("g_df", sum(col("c_df")).over(wT))
+        .select(col("c_id"), col("tok"), col("c_df"), col("g_df"),
+          ((col("c_df") * col("c_df")).cast(org.apache.spark.sql.types.DoubleType) /
+            col("g_df")).as("score"))
+      val w = Window.partitionBy("c_id").orderBy(col("score").desc, col("tok").asc)
+      sc.withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 5)
+        .select("c_id", "tok", "c_df", "g_df", "score", "rk")
+    },
+
     // ── product-quantization encode ─────────────────────────────────
     // The PQ compression pass an ANN serving layer materializes: each
     // vector becomes M small codes (here 4×2 bits standing in for the

@@ -65,6 +65,7 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // relation (exact + sketch membership, two union branches each)
     "q_sketch_kmv_ops" -> 4,
     "q_kmeans_step" -> 1,    // corpus x broadcast(8 centroids)
+    "sim_cluster_terms" -> 1, // same centroid-assignment cross join
     "q_kmeans3" -> 3,        // one centroid broadcast per Lloyd iteration
     "text_vocab" -> 1,       // 1-row corpus-total attach
     "text_ngram_pmi" -> 1,
