@@ -635,6 +635,50 @@ object TextOps {
           splitCol(col("doc_id")).as("split"))
     },
 
+    // ── leakage-free train/val/test split across near-dup families ──
+    // The split-integrity guard an eval-honest pipeline needs: keying
+    // the 80/10/10 split on doc_id puts near-duplicate copies of the
+    // same text on BOTH sides of the train/test boundary (memorized
+    // training text graded as held-out). Keying the SAME unit-hash
+    // split on the near-dup FAMILY id sends every copy to the same
+    // side by construction. Rows carry both assignments plus the
+    // family-spread of the naive split (distinct naive splits within
+    // the family, a partitioned window) — > 1 is exactly a leak the
+    // naive split would have shipped, so the fix and the evidence for
+    // it land in one relation. Scale shape: minhash pairs + star
+    // components (both bucketed), one left join to attach families,
+    // and family-partitioned windows — no global ordering anywhere.
+    Q("curate_split_leakfree",
+      s"""WITH pairs AS (${DedupOps.minhashPairsSql}),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+         |comp AS (WITH ${DedupOps.componentsSql("edges")}),
+         |corpus AS (${DedupOps.docsAugSql}),
+         |fam AS (
+         |  SELECT c.doc_id AS doc_id, COALESCE(k.component, c.doc_id) AS family
+         |  FROM corpus c LEFT JOIN comp k ON c.doc_id = k.doc_id)
+         |SELECT doc_id, family,
+         |  CAST(count(*) OVER (PARTITION BY family) AS BIGINT) AS fam_size,
+         |  ${splitSql("family")} AS split,
+         |  ${splitSql("doc_id")} AS naive_split,
+         |  CAST(count(DISTINCT ${splitSql("doc_id")})
+         |    OVER (PARTITION BY family) AS BIGINT) AS naive_spread
+         |FROM fam""".stripMargin) { (s, dir) =>
+      val comp = DedupOps.connectedComponentsStar(
+        DedupOps.minhashPairsDf(s, dir)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .withColumnRenamed("doc_id", "cid")
+      val wF = org.apache.spark.sql.expressions.Window.partitionBy("family")
+      DedupOps.docsAug(s, dir)
+        .join(comp, col("doc_id") === col("cid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("family"))
+        .withColumn("fam_size", count(lit(1)).over(wF).cast(LongType))
+        .withColumn("split", splitCol(col("family")))
+        .withColumn("naive_split", splitCol(col("doc_id")))
+        .withColumn("naive_spread",
+          size(collect_set(col("naive_split")).over(wF)).cast(LongType))
+    },
+
     // ── deterministic global shuffle into training shards ───────────
     // The "shuffle the corpus and write N shards" step before
     // training: shard = hash(id) mod NumShards, within-shard order =
