@@ -566,13 +566,15 @@ object DedupOps {
        |ord AS (SELECT doc_id, tok, r,
        |          row_number() OVER (PARTITION BY doc_id ORDER BY r) AS pos
        |        FROM tr),
-       |pre AS (SELECT o.doc_id, o.tok, nn.n
+       |pre AS (SELECT o.doc_id, o.tok, o.pos, nn.n
        |        FROM ord o JOIN n nn ON nn.doc_id = o.doc_id
        |        WHERE o.pos <= nn.n - (($p * nn.n + ${q - 1}) // $q) + 1),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |                a.n AS n_a, b.n AS n_b
        |         FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
-       |         WHERE $q * a.n >= $p * b.n AND $q * b.n >= $p * a.n),
+       |         WHERE $q * a.n >= $p * b.n AND $q * b.n >= $p * a.n
+       |           AND 1 + least(a.n - a.pos, b.n - b.pos) >=
+       |               ($p * (a.n + b.n) + ${p + q - 1}) // ${p + q}),
        |iv AS (SELECT c.doc_a, c.doc_b, c.n_a, c.n_b,
        |         CAST(len(list_intersect(x.st, y.st)) AS BIGINT) AS n_inter
        |       FROM cand c
@@ -588,8 +590,8 @@ object DedupOps {
     * window over the vocabulary); the per-doc prefix comes out of ONE
     * doc_id-keyed hash aggregation (collect + sort the bounded
     * per-doc (rank, token) array, slice the head); the candidate join
-    * keys on the prefix token with the PPJoin length filter applied
-    * pre-distinct; verification is two hash joins against the compact
+    * keys on the prefix token with the PPJoin length AND positional
+    * filters applied pre-distinct; verification is two hash joins against the compact
     * per-doc set arrays and a codegen array_intersect per pair.
     */
   private[graft] def allPairsOver(corpus: DataFrame, p: Int, q: Int): DataFrame = {
@@ -607,15 +609,25 @@ object DedupOps {
       .withColumn("n", size(col("rt")).cast(LongType))
     val pre = ranked
       .select(col("doc_id"), col("n"),
-        explode(expr(s"slice(rt, 1, cast(n - ($p * n + ${q - 1}) div $q + 1 as int))")).as("p"))
-      .select(col("doc_id"), col("p.tok").as("tok"), col("n"))
-    val cand = pre.select(col("doc_id").as("doc_a"), col("tok"), col("n").as("n_a"))
-      .join(pre.select(col("doc_id").as("doc_b"), col("tok"), col("n").as("n_b")),
-        Seq("tok"))
+        posexplode(expr(s"slice(rt, 1, cast(n - ($p * n + ${q - 1}) div $q + 1 as int))"))
+          .as(Seq("pi", "p")))
+      .select(col("doc_id"), col("p.tok").as("tok"),
+        (col("pi") + 1).cast(LongType).as("pos"), col("n"))
+    val cand = pre.select(col("doc_id").as("doc_a"), col("tok"),
+        col("pos").as("pos_a"), col("n").as("n_a"))
+      .join(pre.select(col("doc_id").as("doc_b"), col("tok"),
+        col("pos").as("pos_b"), col("n").as("n_b")), Seq("tok"))
       .filter(col("doc_a") < col("doc_b") &&
         // PPJoin length filter: J >= p/q forces q*min(n) >= p*max(n)
         lit(q) * col("n_a") >= lit(p) * col("n_b") &&
-        lit(q) * col("n_b") >= lit(p) * col("n_a"))
+        lit(q) * col("n_b") >= lit(p) * col("n_a") &&
+        // PPJoin positional filter: a qualifying pair needs overlap
+        // >= ceil(p*(n_a+n_b)/(p+q)), and its FIRST shared prefix
+        // token bounds the remaining overlap by 1 + min(n - pos) —
+        // keeping pairs where ANY generating token passes is a safe
+        // prune (the first shared token always passes for true pairs)
+        lit(1) + least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")) >=
+          expr(s"($p * (n_a + n_b) + ${p + q - 1}) div ${p + q}"))
       .select("doc_a", "doc_b", "n_a", "n_b").distinct()
     val iv = cand
       .join(ss.select(col("doc_id").as("doc_a"), col("st").as("st_a")), Seq("doc_a"))
