@@ -819,6 +819,70 @@ object EventOps {
               / lit(1000000L)).cast(LongType)).as("secs_to_convert"))
     },
 
+    // ── position-based multi-touch attribution ──────────────────────
+    // The credit-assignment twin of q_events_conversion: every
+    // pre-first-purchase touch gets a share of the conversion under the
+    // standard U-shaped model — 40% to the first touch, 40% to the
+    // last, the middle 20% split evenly (degenerating to 100% for a
+    // single touch and 50/50 for two) — rolled up per channel
+    // (event_type). Credits are INTEGER parts-per-million, not
+    // doubles: middle shares use integer division, so per-channel sums
+    // are exact and order-independent — a double-credit sum would be
+    // bit-sensitive to Spark's partition reduction order where the
+    // oracle sums serially. Scale shape: the first-purchase anchor is
+    // a user-partitioned top-1 window, touches attach via one hash
+    // equi-join on user_id, position/count are user-partitioned
+    // windows, and the rollup is a hash agg to a |channels|-sized
+    // relation. Nothing global, nothing floating-point.
+    Q("q_events_attribution",
+      """WITH fp AS (
+        |  SELECT user_id, ts AS first_purchase_ts FROM (
+        |    SELECT user_id, ts,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events WHERE event_type = 'purchase') t
+        |  WHERE rn = 1),
+        |touch AS (
+        |  SELECT e.user_id, e.event_id, e.event_type, e.ts
+        |  FROM events e JOIN fp ON fp.user_id = e.user_id
+        |  WHERE e.ts < fp.first_purchase_ts AND e.event_type <> 'purchase'),
+        |pos AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM touch),
+        |cr AS (
+        |  SELECT event_type,
+        |    CASE WHEN n = 1 THEN 1000000
+        |         WHEN n = 2 THEN 500000
+        |         WHEN pos = 1 OR pos = n THEN 400000
+        |         ELSE 200000 // (n - 2) END AS credit_ppm
+        |  FROM pos)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_total
+        |FROM cr GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val wU = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(wU))
+        .filter(col("rn") === 1)
+        .select(col("user_id").as("p_user"), col("ts").as("first_purchase_ts"))
+      val touch = ev.filter(col("event_type") =!= "purchase")
+        .join(fp, col("user_id") === col("p_user") &&
+          col("ts") < col("first_purchase_ts"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      val pos = touch
+        .withColumn("pos", row_number().over(wU).cast(LongType))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+      pos.select(col("event_type"),
+          when(col("n") === 1, 1000000L)
+            .when(col("n") === 2, 500000L)
+            .when(col("pos") === 1 || col("pos") === col("n"), 400000L)
+            .otherwise(expr("200000L div (n - 2)")).as("credit_ppm"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_ppm")).cast(LongType).as("credit_ppm_total"))
+    },
+
     // ── common event paths (second-order sequence mining) ───────────
     // The top-10 most frequent 3-step event-type paths across user
     // streams — q_events_markov's chain extended one step, the "what
