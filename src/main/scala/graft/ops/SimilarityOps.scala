@@ -903,6 +903,56 @@ object SimilarityOps {
         (col("ssq") / (col("n") * lit(1.0e18)) - mean * mean).as("var_pop"))
     },
 
+    // ── embedding drift between ingestion cohorts ───────────────────
+    // The distribution-drift monitor an embedding index needs before
+    // deciding to re-train centroids / rebuild codebooks: per
+    // dimension, the mean under an "old" vs "new" ingestion cohort
+    // (vec_id parity stands in for the snapshot key) and the shift
+    // between them. Same int64 quantization as sim_dim_stats (floor
+    // x·1e9) so the per-cohort sums are exact integers — the means and
+    // the shift are then order-independent where raw double sums would
+    // differ between Spark's parallel reduction and a serial engine.
+    // Scale shape: one posexplode (per-row generator, no shuffle) and
+    // ONE hash agg on the dimension key with conditional per-cohort
+    // partials — a single pass however many snapshots the real key has.
+    Q("sim_dim_drift",
+      s"""WITH v AS ($vectorsSql),
+         |d AS (
+         |  SELECT CAST(u.s.dim AS BIGINT) AS dim, vec_id % 2 AS cohort,
+         |         CAST(floor(u.s.x * 1000000000.0) AS BIGINT) AS qx
+         |  FROM v, unnest(list_transform(emb,
+         |         (x, i) -> struct_pack(dim := i, x := x))) u(s)),
+         |m AS (
+         |  SELECT dim,
+         |    CAST(count(CASE WHEN cohort = 0 THEN 1 END) AS BIGINT) AS n_a,
+         |    CAST(count(CASE WHEN cohort = 1 THEN 1 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN cohort = 0 THEN qx ELSE 0 END) AS DOUBLE) AS sqa,
+         |    CAST(sum(CASE WHEN cohort = 1 THEN qx ELSE 0 END) AS DOUBLE) AS sqb
+         |  FROM d GROUP BY dim)
+         |SELECT dim, n_a, n_b,
+         |  sqa / (n_a * 1000000000.0) AS mean_a,
+         |  sqb / (n_b * 1000000000.0) AS mean_b,
+         |  sqb / (n_b * 1000000000.0) - sqa / (n_a * 1000000000.0) AS shift
+         |FROM m""".stripMargin) { (s, dir) =>
+      val m = vectors(s, dir)
+        .select(col("vec_id"), posexplode(col("emb")).as(Seq("pos", "x")))
+        .select((col("pos") + 1).cast(LongType).as("dim"),
+          (col("vec_id") % 2).as("cohort"),
+          floor(col("x") * lit(1000000000.0)).cast(LongType).as("qx"))
+        .groupBy("dim")
+        .agg(
+          count(when(col("cohort") === 0, 1)).as("n_a"),
+          count(when(col("cohort") === 1, 1)).as("n_b"),
+          sum(when(col("cohort") === 0, col("qx")).otherwise(0L))
+            .cast(org.apache.spark.sql.types.DoubleType).as("sqa"),
+          sum(when(col("cohort") === 1, col("qx")).otherwise(0L))
+            .cast(org.apache.spark.sql.types.DoubleType).as("sqb"))
+      val meanA = col("sqa") / (col("n_a") * lit(1000000000.0))
+      val meanB = col("sqb") / (col("n_b") * lit(1000000000.0))
+      m.select(col("dim"), col("n_a"), col("n_b"),
+        meanA.as("mean_a"), meanB.as("mean_b"), (meanB - meanA).as("shift"))
+    },
+
     // ── cosine histogram over LSH candidate pairs ───────────────────
     // The threshold-tuning diagnostic for every near-dup / ANN dial:
     // the distribution of cosine similarity across same-bucket
