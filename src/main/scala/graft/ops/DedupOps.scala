@@ -512,17 +512,30 @@ object DedupOps {
   private[graft] def minhashPairsDf(s: SparkSession, dir: String): DataFrame =
     minhashPairsOver(docsAug(s, dir))
 
+  /** (doc_id, shingles) — the distinct word-3-gram set relation for
+    * docs with >= 3 tokens, the shared scan under BOTH similarity-join
+    * families. Callers persist: one corpus scan can then feed the
+    * minhash band machinery and the exact All-Pairs join
+    * (dedup_lsh_recall runs both over the same sets).
+    */
+  private[graft] def shingleSets(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .filter(size(col("tokens")) >= 3)
+      .select(col("doc_id"), shingles3(col("tokens")).as("shingles"))
+
   /** [[minhashPairsDf]] generalized over any (doc_id, text) corpus —
     * the twin of [[minhashPairsSqlOver]].
     */
-  private[graft] def minhashPairsOver(corpus: DataFrame): DataFrame = {
-    val tok = corpus.select(col("doc_id"), split(col("text"), " ").as("tokens"))
+  private[graft] def minhashPairsOver(corpus: DataFrame): DataFrame =
     // persist: shingle sets feed both the band join and (twice) the
     // exact-Jaccard verification join; signatures cost 12 md5 evals
     // per shingle and must not be recomputed per consumer
-    val sh = tok.filter(size(col("tokens")) >= 3)
-      .select(col("doc_id"), shingles3(col("tokens")).as("shingles"))
-      .persist()
+    minhashPairsOverSets(shingleSets(corpus).persist())
+
+  /** [[minhashPairsOver]] over a prebuilt (doc_id, shingles) relation
+    * (callers persist it — it is referenced three times here).
+    */
+  private[graft] def minhashPairsOverSets(sh: DataFrame): DataFrame = {
     val hs = sh.select(col("doc_id"),
       transform(col("shingles"), sgl => Cols.hex60(sgl) % lit(MinhashP)).as("hh"))
     val sig = array((0 until MinhashK).map(j =>
@@ -594,13 +607,15 @@ object DedupOps {
     * filters applied pre-distinct; verification is two hash joins against the compact
     * per-doc set arrays and a codegen array_intersect per pair.
     */
-  private[graft] def allPairsOver(corpus: DataFrame, p: Int, q: Int): DataFrame = {
-    val toks = split(col("text"), " ")
-    val ss = corpus
-      .filter(size(toks) >= 3)
-      .select(col("doc_id"), shingles3(toks).as("st"))
-      .persist()
-    val sh = ss.select(col("doc_id"), explode(col("st")).as("tok"))
+  private[graft] def allPairsOver(corpus: DataFrame, p: Int, q: Int): DataFrame =
+    allPairsOverSets(shingleSets(corpus).persist(), p, q)
+
+  /** [[allPairsOver]] over a prebuilt (doc_id, shingles) relation
+    * (callers persist it — the exploded token side and the two
+    * verification joins all read it).
+    */
+  private[graft] def allPairsOverSets(ss: DataFrame, p: Int, q: Int): DataFrame = {
+    val sh = ss.select(col("doc_id"), explode(col("shingles")).as("tok"))
     val dfRel = sh.groupBy("tok").agg(count(lit(1)).as("df"))
     val (rk, _) = Ranks.withGlobalRowNumber(dfRel, "r", col("df").asc, col("tok").asc)
     val tr = sh.join(rk.select("tok", "r"), "tok")
@@ -630,8 +645,8 @@ object DedupOps {
           expr(s"($p * (n_a + n_b) + ${p + q - 1}) div ${p + q}"))
       .select("doc_a", "doc_b", "n_a", "n_b").distinct()
     val iv = cand
-      .join(ss.select(col("doc_id").as("doc_a"), col("st").as("st_a")), Seq("doc_a"))
-      .join(ss.select(col("doc_id").as("doc_b"), col("st").as("st_b")), Seq("doc_b"))
+      .join(ss.select(col("doc_id").as("doc_a"), col("shingles").as("st_a")), Seq("doc_a"))
+      .join(ss.select(col("doc_id").as("doc_b"), col("shingles").as("st_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
         size(array_intersect(col("st_a"), col("st_b"))).cast(LongType).as("n_inter"))
     iv.filter(lit(q) * col("n_inter") >= lit(p) *
@@ -813,8 +828,13 @@ object DedupOps {
          |  CAST(sum(in_t * in_l) AS DOUBLE) / sum(in_t) AS recall
          |FROM m""".stripMargin) {
       (s, dir) =>
-      val lsh = minhashPairsDf(s, dir).select(col("doc_a"), col("doc_b"), lit(1).as("in_l"))
-      val truth = allPairsOver(docsAug(s, dir), 1, 2)
+      // ONE persisted shingle-set scan feeds both sides: the banded
+      // generator under test and the exact ground truth read the same
+      // sets, so the corpus is tokenized/shingled once, not twice
+      val sets = shingleSets(docsAug(s, dir)).persist()
+      val lsh = minhashPairsOverSets(sets)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("in_l"))
+      val truth = allPairsOverSets(sets, 1, 2)
         .select(col("doc_a"), col("doc_b"), lit(1).as("in_t"))
       truth.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
         .select(coalesce(col("in_t"), lit(0)).as("in_t"),
