@@ -361,6 +361,58 @@ object StatefulOps extends Serializable {
       }
   }
 
+  /** One embedding arrival for the drift monitor. */
+  final case class VecArrival(vec_id: Long, emb: Seq[Double])
+
+  /** Per-dimension drift snapshot: cohort counts, means, and the
+    * mean shift (new minus old).
+    */
+  final case class DimDrift(
+      dim: Long, n_a: Long, n_b: Long,
+      mean_a: Double, mean_b: Double, shift: Double)
+
+  /** Streaming twin of the batch `sim_dim_drift` monitor: per
+    * embedding dimension, the running mean under the old (vec_id
+    * even) vs new (odd) ingestion cohort and the shift between them,
+    * re-emitted as arrivals land. State per dimension is four longs —
+    * the cohort counts and the cohort sums of the SAME floor(x·1e9)
+    * int64 quantization the batch query aggregates — so the fold is
+    * integer addition: exactly commutative and associative, which is
+    * what makes the final snapshot equal the batch answer
+    * double-for-double regardless of arrival order or trigger
+    * splitting (StreamingDriftSpec pins both). A dimension stays
+    * silent until BOTH cohorts have arrivals — a drift number against
+    * an empty cohort is noise, not signal. Snapshots collapse
+    * deterministically: n_a + n_b is monotone non-decreasing, so the
+    * final state is the max-total emission per dimension.
+    */
+  def dimDriftMonitor(vecs: Dataset[VecArrival]): Dataset[DimDrift] = {
+    import vecs.sparkSession.implicits._
+    vecs
+      .flatMap { v =>
+        val cohort = v.vec_id % 2
+        v.emb.iterator.zipWithIndex.map { case (x, i) =>
+          (i + 1L, cohort, math.floor(x * 1000000000.0).toLong)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (dim: Long, it: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          var (na, sa, nb, sb) = state.getOption.getOrElse((0L, 0L, 0L, 0L))
+          it.foreach { case (_, cohort, qx) =>
+            if (cohort == 0L) { na += 1; sa += qx } else { nb += 1; sb += qx }
+          }
+          state.update((na, sa, nb, sb))
+          if (na == 0 || nb == 0) Iterator.empty
+          else {
+            val meanA = sa.toDouble / (na * 1000000000.0)
+            val meanB = sb.toDouble / (nb * 1000000000.0)
+            Iterator(DimDrift(dim, na, nb, meanA, meanB, meanB - meanA))
+          }
+      }
+  }
+
   /** One LSH-bucketed vector arrival: the bucket key and the vector id. */
   final case class BucketedVec(bucket: Long, vec_id: Long)
 
