@@ -46,6 +46,64 @@ object Ranks {
     */
   def withGlobalRowNumber(
       df: DataFrame, rnName: String, order: Column*): (DataFrame, Long) = {
+    val (out, total, _) = rankStep(df, rnName, order)
+    (out, total)
+  }
+
+  /** Chains several exact global ranks over the SAME relation (the RFM
+    * pattern: one rank per metric) while keeping at most ONE generation
+    * cached. Each step's offset collect materializes that step's
+    * persist, at which point generation k-1's cache is dead weight —
+    * every block it holds is now also embedded in generation k's
+    * buffers — so it is unpersisted immediately. Chaining the
+    * single-rank form instead would pin every generation until
+    * `clearCache` (at production scale: N extra cached copies of the
+    * relation for an N-metric scoring job). Returns the last
+    * generation (which carries ALL the rank columns) and the row count
+    * (identical across steps — ranking is row-preserving).
+    */
+  def withGlobalRowNumbers(
+      df: DataFrame, ranks: Seq[(String, Seq[Column])]): (DataFrame, Long) = {
+    require(ranks.nonEmpty, "rank chain needs at least one (name, order) step")
+    var cur = df
+    var prevHandle: Option[DataFrame] = None
+    var total = 0L
+    ranks.foreach { case (rnName, order) =>
+      val (out, t, handle) = rankStep(cur, rnName, order)
+      // rankStep's offset collect has materialized `handle`'s cache in
+      // full (the counts agg scans every partition), so the previous
+      // generation can be released NOW, not at end-of-query
+      prevHandle.foreach(_.unpersist(blocking = false))
+      prevHandle = Some(handle)
+      cur = out
+      total = t
+    }
+    (cur, total)
+  }
+
+  /** Core of the two-phase rank. Also returns the PERSISTED relation
+    * itself: the public tuple form's first element is a projection over
+    * it, and `Dataset.unpersist` only drops cache entries whose plan
+    * `sameResult`s the call target — unpersisting the projection is a
+    * silent no-op, so any caller that wants to release the cache needs
+    * this handle (as [[withGlobalRowNumbers]] does between generations).
+    *
+    * Correctness leans on two Spark layout facts, both pinned by
+    * RanksSpec against the window forms:
+    *  - `monotonically_increasing_id` keeps the within-partition record
+    *    number in the LOW 33 BITS of the id (the documented layout) —
+    *    the bitmask below extracts it;
+    *  - `spark_partition_id` ascending matches the range-partition
+    *    order, INCLUDING under AQE: AQE's partition coalescing only
+    *    merges ADJACENT shuffle partitions, which preserves the range
+    *    ordering (and AQE never splits a user repartitionByRange's
+    *    ordering); skew-split is disabled for non-join range shuffles.
+    * A Spark upgrade that changes either fact breaks the RanksSpec
+    * equality pins first — the regression is traceable, not silent.
+    */
+  private def rankStep(
+      df: DataFrame, rnName: String,
+      order: Seq[Column]): (DataFrame, Long, DataFrame) = {
     require(order.nonEmpty, "global rank needs at least one ordering column")
     val ranged = df
       .repartitionByRange(order: _*)
@@ -72,7 +130,7 @@ object Ranks {
         (localIdx + element_at(typedlit(offsets), col("__pid")) + lit(1L))
           .cast(LongType))
       .drop("__pid", "__mid")
-    (out, total)
+    (out, total, ranged)
   }
 
   /** SQL-standard `ntile(k)` derived arithmetically from an exact

@@ -1211,12 +1211,13 @@ object RelationalOps {
       val anchor = o.agg(max("o_orderdate")).collect()(0).get(0)
       val base = cust
         .withColumn("rec_days", datediff(lit(anchor), col("last_o")))
-      val (r1, n) =
-        Ranks.withGlobalRowNumber(base, "rn_r", col("rec_days"), col("o_custkey"))
-      val (r2, _) =
-        Ranks.withGlobalRowNumber(r1, "rn_f", col("freq").desc, col("o_custkey"))
-      val (r3, _) =
-        Ranks.withGlobalRowNumber(r2, "rn_m", col("monetary").desc, col("o_custkey"))
+      // chained form: generation k-1's cache is released as soon as
+      // generation k's offset collect materializes — the three-metric
+      // chain keeps ONE cached relation, not three (RanksSpec pins it)
+      val (r3, n) = Ranks.withGlobalRowNumbers(base, Seq(
+        "rn_r" -> Seq(col("rec_days"), col("o_custkey")),
+        "rn_f" -> Seq(col("freq").desc, col("o_custkey")),
+        "rn_m" -> Seq(col("monetary").desc, col("o_custkey"))))
       r3.select(col("o_custkey"), col("monetary"),
           (Ranks.ntileFromRank("rn_r", n, 5) * 100 +
             Ranks.ntileFromRank("rn_f", n, 5) * 10 +
