@@ -25,6 +25,18 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     s
   }
 
+  /** Like planOf, but an unanalyzable query (e.g. fixture drift breaking
+    * resolution) is reported by NAME in the gate's failure list instead of
+    * aborting the whole registry-wide sweep on the first broken query.
+    */
+  private def planOrError(name: String): Either[String, String] =
+    try Right(planOf(name))
+    catch {
+      case e: Exception =>
+        Left(s"$name failed to analyze/plan: " +
+          e.getMessage.linesIterator.take(2).mkString(" "))
+    }
+
   // pipeline_e2e runs side effects (fixture gen + CSV write) at plan
   // build; it is exercised end-to-end by the correctness gate instead.
   // Two queries are exempt from the no-nested-loop rule because their
@@ -81,28 +93,34 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     SparkEntry.queries.keySet - "pipeline_e2e" -- nljBudget.keySet
 
   test("no query plans a cartesian product or nested-loop join") {
-    planOnly.foreach { name =>
-      val plan = planOf(name)
-      withClue(s"$name:") {
-        assert(!plan.contains("CartesianProduct"),
-          s"$name plans a cartesian product")
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"$name plans a nested-loop join")
+    val problems = planOnly.toSeq.sorted.flatMap { name =>
+      planOrError(name) match {
+        case Left(err) => Seq(err)
+        case Right(plan) =>
+          Seq(
+            Option.when(plan.contains("CartesianProduct"))(
+              s"$name plans a cartesian product"),
+            Option.when(plan.contains("BroadcastNestedLoopJoin"))(
+              s"$name plans a nested-loop join")).flatten
       }
     }
+    assert(problems.isEmpty, problems.mkString("\n"))
   }
 
   test("exempted queries stay within their documented nested-loop budget") {
-    nljBudget.foreach { case (name, budget) =>
-      val plan = planOf(name)
-      withClue(s"$name:") {
-        assert(!plan.contains("CartesianProduct"),
-          s"$name plans a cartesian product")
-        val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-        assert(nlj <= budget,
-          s"$name plans $nlj nested-loop joins, budget is $budget")
+    val problems = nljBudget.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
+      planOrError(name) match {
+        case Left(err) => Seq(err)
+        case Right(plan) =>
+          val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+          Seq(
+            Option.when(plan.contains("CartesianProduct"))(
+              s"$name plans a cartesian product"),
+            Option.when(nlj > budget)(
+              s"$name plans $nlj nested-loop joins, budget is $budget")).flatten
       }
     }
+    assert(problems.isEmpty, problems.mkString("\n"))
   }
 
   test("q1_agg pushes its date filter into the parquet scan") {
@@ -130,8 +148,12 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // (the nanos->timestamp conversion in Tables.load must not block
     // pruning); documents: embedding-free text queries must not drag
     // other columns
+    // the ts encoding drifts across fixture regenerations (int64 nanos /
+    // timestamp_ntz / timestamp) — assert on the pruned column SET, not the
+    // exact ts type string
     val ev = planOf("q_events_tumbling")
-    assert(ev.contains("ReadSchema: struct<ts:bigint,event_type:string,value:double>"),
+    val evSchema = "ReadSchema: struct<ts:[a-z_0-9]+,event_type:string,value:double>".r
+    assert(evSchema.findFirstIn(ev).isDefined,
       s"events scan reads more than the query needs:\n$ev")
     val tx = planOf("text_stats")
     assert(tx.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
