@@ -61,24 +61,52 @@ object Ranks {
     * relation for an N-metric scoring job). Returns the last
     * generation (which carries ALL the rank columns) and the row count
     * (identical across steps — ranking is row-preserving).
+    *
+    * The 2-tuple form cannot release the LAST generation's cache
+    * (unpersisting the returned projection is a `sameResult` no-op —
+    * see [[rankStep]]); callers that finish consuming the result and
+    * want the memory back use [[withGlobalRowNumbersHandle]].
     */
   def withGlobalRowNumbers(
       df: DataFrame, ranks: Seq[(String, Seq[Column])]): (DataFrame, Long) = {
+    val (out, total, _) = withGlobalRowNumbersHandle(df, ranks)
+    (out, total)
+  }
+
+  /** As [[withGlobalRowNumbers]], plus the final generation's PERSISTED
+    * handle — `handle.unpersist()` is the only call that actually
+    * releases the chain's one surviving cache entry. All steps'
+    * orderings are validated up front, and a failure mid-chain
+    * unpersists the in-flight generation before propagating — an
+    * aborted chain leaks no cache.
+    */
+  def withGlobalRowNumbersHandle(
+      df: DataFrame,
+      ranks: Seq[(String, Seq[Column])]): (DataFrame, Long, DataFrame) = {
     require(ranks.nonEmpty, "rank chain needs at least one (name, order) step")
+    ranks.foreach { case (rnName, order) =>
+      require(order.nonEmpty, s"rank step '$rnName' needs at least one ordering column")
+    }
     var cur = df
     var prevHandle: Option[DataFrame] = None
     var total = 0L
-    ranks.foreach { case (rnName, order) =>
-      val (out, t, handle) = rankStep(cur, rnName, order)
-      // rankStep's offset collect has materialized `handle`'s cache in
-      // full (the counts agg scans every partition), so the previous
-      // generation can be released NOW, not at end-of-query
-      prevHandle.foreach(_.unpersist(blocking = false))
-      prevHandle = Some(handle)
-      cur = out
-      total = t
+    try {
+      ranks.foreach { case (rnName, order) =>
+        val (out, t, handle) = rankStep(cur, rnName, order)
+        // rankStep's offset collect has materialized `handle`'s cache in
+        // full (the counts agg scans every partition), so the previous
+        // generation can be released NOW, not at end-of-query
+        prevHandle.foreach(_.unpersist(blocking = false))
+        prevHandle = Some(handle)
+        cur = out
+        total = t
+      }
+    } catch {
+      case e: Throwable =>
+        prevHandle.foreach(_.unpersist(blocking = false))
+        throw e
     }
-    (cur, total)
+    (cur, total, prevHandle.get)
   }
 
   /** Core of the two-phase rank. Also returns the PERSISTED relation

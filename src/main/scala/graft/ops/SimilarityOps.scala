@@ -122,20 +122,38 @@ object SimilarityOps {
     * coarse-quantizer/IVF/k-means pipeline.
     */
   private def assignSql(rel: String, idCol: String, centsRel: String = "cents"): String =
+    assignKSql(rel, idCol, 1, centsRel)
+
+  /** Top-k nearest-centroid assignment (SQL mirror of [[assignK]]).
+    * k=1 is the corpus-side inverted-file assignment; k>1 is the
+    * query-side multi-probe dial (probe the k nearest cells).
+    */
+  private def assignKSql(rel: String, idCol: String, k: Int,
+                         centsRel: String = "cents"): String =
     s"""SELECT $idCol, emb, nsq, c_id FROM (
        |  SELECT t.*, c.c_id,
        |         row_number() OVER (PARTITION BY t.$idCol
        |           ORDER BY ${sqlCosine(sqlDot("t.emb", "c.c_emb"), "t.nsq", "c.c_nsq")} DESC, c.c_id) AS crn
        |  FROM $rel t CROSS JOIN $centsRel c) z
-       |WHERE crn = 1""".stripMargin
+       |WHERE crn <= $k""".stripMargin
 
-  private def assign(rel: DataFrame, idCol: String, cents: DataFrame): DataFrame = {
+  private def assign(rel: DataFrame, idCol: String, cents: DataFrame): DataFrame =
+    assignK(rel, idCol, cents, 1)
+
+  /** Assign each row to its k nearest centroids. The centroid table is
+    * an O(NumCentroids) broadcast, so this is a map-side replicate per
+    * row regardless of corpus size; each corpus vector still lives in
+    * exactly ONE cell (k=1), so k>1 on the QUERY side probes disjoint
+    * cells and never duplicates a candidate.
+    */
+  private def assignK(rel: DataFrame, idCol: String, cents: DataFrame,
+                      k: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(
       cosine(dot(col("emb"), col("c_emb")), col("nsq"), col("c_nsq")).desc,
       col("c_id").asc)
     rel.crossJoin(broadcast(cents))
       .withColumn("__crn", row_number().over(w))
-      .filter(col("__crn") === 1)
+      .filter(col("__crn") <= k)
       .select(col(idCol), col("emb"), col("nsq"), col("c_id"))
   }
 
@@ -277,6 +295,64 @@ object SimilarityOps {
         (coalesce(col("n_hit"), lit(0L)) / lit(3.0)).as("recall"))
   }
 
+  /** IVF recall@3 harness, parameterized on the query-side probe width
+    * (nprobe nearest cells). Corpus-side assignment is always k=1.
+    */
+  private def recallIvfSql(nprobe: Int): String =
+    s"""WITH v AS ($vectorsSql),
+       |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
+       |cents AS ($centsSql),
+       |cl AS (${assignSql("n", "vec_id")}),
+       |pq AS ($perturbedQueriesSql),
+       |qcl AS (${assignKSql("pq", "q_id", nprobe)}),
+       |truth AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT p.q_id, c.vec_id,
+       |      row_number() OVER (PARTITION BY p.q_id
+       |        ORDER BY ${sqlCosine(sqlDot("p.emb", "c.emb"), "p.nsq", "c.nsq")} DESC, c.vec_id) AS rk
+       |    FROM pq p CROSS JOIN n c) t
+       |  WHERE rk <= 3),
+       |approx AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, c.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")} DESC, c.vec_id) AS rk
+       |    FROM qcl q JOIN cl c ON c.c_id = q.c_id) t
+       |  WHERE rk <= 3),
+       |hits AS (
+       |  SELECT t.q_id, count(*) AS n_hit
+       |  FROM truth t JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+       |  GROUP BY t.q_id)
+       |SELECT q.q_id, COALESCE(h.n_hit, 0) AS n_hit,
+       |       COALESCE(h.n_hit, 0) / 3.0 AS recall
+       |FROM (SELECT q_id FROM pq) q LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin
+
+  private def recallIvfDf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val n = vectors(s, dir).withColumn("nsq", normSq(col("emb"))).persist()
+    val cs = cents(n)
+    val clustered = assign(n, "vec_id", cs).persist()
+    val qBase = perturbedQueries(s, dir)
+      .select(col("q_id"), col("emb").as("q_emb"), col("nsq").as("q_nsq"))
+    val qcl = assignK(perturbedQueries(s, dir), "q_id", cs, nprobe)
+      .select(col("q_id"), col("emb").as("q_emb"),
+        col("nsq").as("q_nsq"), col("c_id").as("q_cid"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    def top3(scored: DataFrame): DataFrame =
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3).select("q_id", "vec_id")
+    val truth = top3(n.crossJoin(broadcast(qBase))
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score")))
+    val approx = top3(clustered.join(broadcast(qcl), col("c_id") === col("q_cid"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score")))
+    val hits = truth.join(approx, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    qBase.select("q_id").join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) / lit(3.0)).as("recall"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("sim_topk_brute",
@@ -402,59 +478,17 @@ object SimilarityOps {
     // economics: truth is one broadcast pass (Q=10 queries), the IVF
     // side reuses the cell-keyed hash join, and the centroid
     // assignments are O(1)-bounded broadcast replicates.
-    Q("sim_ann_recall_ivf",
-      s"""WITH v AS ($vectorsSql),
-         |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
-         |cents AS ($centsSql),
-         |cl AS (${assignSql("n", "vec_id")}),
-         |pq AS ($perturbedQueriesSql),
-         |qcl AS (${assignSql("pq", "q_id")}),
-         |truth AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT p.q_id, c.vec_id,
-         |      row_number() OVER (PARTITION BY p.q_id
-         |        ORDER BY ${sqlCosine(sqlDot("p.emb", "c.emb"), "p.nsq", "c.nsq")} DESC, c.vec_id) AS rk
-         |    FROM pq p CROSS JOIN n c) t
-         |  WHERE rk <= 3),
-         |approx AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT q.q_id, c.vec_id,
-         |      row_number() OVER (PARTITION BY q.q_id
-         |        ORDER BY ${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")} DESC, c.vec_id) AS rk
-         |    FROM qcl q JOIN cl c ON c.c_id = q.c_id) t
-         |  WHERE rk <= 3),
-         |hits AS (
-         |  SELECT t.q_id, count(*) AS n_hit
-         |  FROM truth t JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
-         |  GROUP BY t.q_id)
-         |SELECT q.q_id, COALESCE(h.n_hit, 0) AS n_hit,
-         |       COALESCE(h.n_hit, 0) / 3.0 AS recall
-         |FROM (SELECT q_id FROM pq) q LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin) {
-      (s, dir) =>
-      val n = vectors(s, dir).withColumn("nsq", normSq(col("emb"))).persist()
-      val cs = cents(n)
-      val clustered = assign(n, "vec_id", cs).persist()
-      val qBase = perturbedQueries(s, dir)
-        .select(col("q_id"), col("emb").as("q_emb"), col("nsq").as("q_nsq"))
-      val qcl = assign(perturbedQueries(s, dir), "q_id", cs)
-        .select(col("q_id"), col("emb").as("q_emb"),
-          col("nsq").as("q_nsq"), col("c_id").as("q_cid"))
-      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
-      def top3(scored: DataFrame): DataFrame =
-        scored.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3).select("q_id", "vec_id")
-      val truth = top3(n.crossJoin(broadcast(qBase))
-        .select(col("q_id"), col("vec_id"),
-          cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score")))
-      val approx = top3(clustered.join(broadcast(qcl), col("c_id") === col("q_cid"))
-        .select(col("q_id"), col("vec_id"),
-          cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score")))
-      val hits = truth.join(approx, Seq("q_id", "vec_id"))
-        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
-      qBase.select("q_id").join(hits, Seq("q_id"), "left")
-        .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          (coalesce(col("n_hit"), lit(0L)) / lit(3.0)).as("recall"))
-    },
+    Q("sim_ann_recall_ivf", recallIvfSql(nprobe = 1))(
+      recallIvfDf(_, _, nprobe = 1)),
+
+    // The nprobe dial: each query probes its 2 nearest cells (the
+    // standard IVF recall/latency trade). Candidate work doubles to
+    // ~2N/NumCentroids per query; recall can only be >= the nprobe=1
+    // row (the probed cell set is a superset), and the probe is STILL
+    // one cell-keyed hash join — the query side just carries two cell
+    // rows per query into the same join.
+    Q("sim_ann_recall_ivf_np2", recallIvfSql(nprobe = 2))(
+      recallIvfDf(_, _, nprobe = 2)),
 
     // ── semantic dedup (SemDeDup-style) ─────────────────────────────
     // Cluster the corpus with the coarse quantizer, then drop any

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the IVF nprobe dial: widening the query-side probe from 1 cell
+  * to 2 can only grow each query's candidate set (the probed cells are
+  * a superset), so per-query recall@3 must be monotonically >= the
+  * single-probe row — the property that makes nprobe a safe latency/
+  * recall trade at production scale.
+  */
+class IvfProbeSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def recallByQuery(name: String): Map[Long, Double] =
+    SparkEntry.queries(name)(spark, dir)
+      .select(col("q_id"), col("recall"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("nprobe=2 recall@3 dominates nprobe=1 per query") {
+    val np1 = recallByQuery("sim_ann_recall_ivf")
+    val np2 = recallByQuery("sim_ann_recall_ivf_np2")
+    spark.catalog.clearCache()
+    assert(np1.keySet === np2.keySet, "query sets must match")
+    assert(np1.nonEmpty, "vacuous: no queries")
+    np1.keySet.toSeq.sorted.foreach { q =>
+      assert(np2(q) >= np1(q) - 1e-12,
+        s"q_id=$q: nprobe=2 recall ${np2(q)} < nprobe=1 recall ${np1(q)}")
+    }
+  }
+}

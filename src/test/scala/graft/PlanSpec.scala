@@ -66,6 +66,7 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "sim_ann_recall" -> 1,   // brute-force ground-truth side
     "sim_ann_recall_mp" -> 1,
     "sim_ann_recall_ivf" -> 3, // ground truth + 2 centroid assignments
+    "sim_ann_recall_ivf_np2" -> 3, // same shape, wider query-side probe
     "sim_ann_recall_pq" -> 1,  // brute-force ground-truth side
     "sim_ann_recall_ivfpq" -> 3, // ground truth + 2 centroid assignments
     // ONE centroid-assignment cross join, stringified once per

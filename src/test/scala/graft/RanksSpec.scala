@@ -75,6 +75,61 @@ class RanksSpec extends AnyFunSuite with SparkSessionTestWrapper {
     ranked.unpersist()
   }
 
+  test("withGlobalRowNumbers == three window row_number columns, one cache entry") {
+    val cust = Tables.load(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("freq"), Cols.dsum(col("o_totalprice")).as("spend"))
+      .withColumn("neg", -col("spend"))
+    spark.catalog.clearCache()
+    val (ranked, total, handle) = Ranks.withGlobalRowNumbersHandle(cust, Seq(
+      "rn_s" -> Seq(col("spend").desc, col("o_custkey")),
+      "rn_f" -> Seq(col("freq").desc, col("o_custkey")),
+      "rn_n" -> Seq(col("neg").asc, col("o_custkey"))))
+    val want = cust
+      .withColumn("rn_s", row_number().over(
+        Window.orderBy(col("spend").desc, col("o_custkey"))).cast("long"))
+      .withColumn("rn_f", row_number().over(
+        Window.orderBy(col("freq").desc, col("o_custkey"))).cast("long"))
+      .withColumn("rn_n", row_number().over(
+        Window.orderBy(col("neg").asc, col("o_custkey"))).cast("long"))
+      .select("o_custkey", "rn_s", "rn_f", "rn_n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val got = ranked.select("o_custkey", "rn_s", "rn_f", "rn_n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(total === want.size.toLong)
+    assert(got === want)
+    // the chain keeps exactly ONE generation cached: the two earlier
+    // generations were unpersisted as soon as their successor's offset
+    // collect materialized (the persisted RDD count proves it — each
+    // live cached relation holds one RDD, materialized by the collects)
+    assert(spark.sparkContext.getPersistentRDDs.size === 1,
+      s"expected 1 cached generation, got ${spark.sparkContext.getPersistentRDDs.size}")
+    // and the returned handle is the one that actually releases it
+    handle.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "handle.unpersist must release the final generation's cache")
+  }
+
+  test("withGlobalRowNumbers validates every step and leaks no cache on failure") {
+    val cust = Tables.load(spark, dir, "orders")
+      .groupBy("o_custkey").agg(Cols.dsum(col("o_totalprice")).as("spend"))
+    intercept[IllegalArgumentException] {
+      Ranks.withGlobalRowNumbers(cust, Seq(
+        "rn_s" -> Seq(col("spend").desc, col("o_custkey")),
+        "rn_bad" -> Seq())) // caught up front, before any persist
+    }
+    spark.catalog.clearCache()
+    // failure mid-chain (unresolvable column in step 2) must unpersist
+    // the in-flight generation before propagating
+    intercept[Exception] {
+      Ranks.withGlobalRowNumbers(cust, Seq(
+        "rn_s" -> Seq(col("spend").desc, col("o_custkey")),
+        "rn_bad" -> Seq(col("no_such_column").asc, col("o_custkey"))))
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "aborted chain leaked a cached generation")
+  }
+
   test("the two-phase plan contains no unpartitioned window") {
     val cust = Tables.load(spark, dir, "orders")
       .groupBy("o_custkey").agg(Cols.dsum(col("o_totalprice")).as("spend"))

@@ -64,6 +64,21 @@ class SourcesSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.collect().map(_.toString).sorted === sample.collect().map(_.toString).sorted)
   }
 
+  test("a failed CSV write leaves no staging directory behind") {
+    val destDir = s"$root/csvfail"
+    val poisoned = sample.withColumn("boom",
+      org.apache.spark.sql.functions.raise_error(
+        org.apache.spark.sql.functions.lit("injected write failure")))
+    intercept[Exception] {
+      CsvSink.writeSingleCsv(poisoned, destDir, "never.csv")
+    }
+    val leftovers = Files.list(Paths.get(destDir)).iterator.asScala
+      .map(_.getFileName.toString).toSeq
+    assert(!leftovers.exists(_.startsWith(".spark-staging-")),
+      s"staging dir survived a failed write: $leftovers")
+    assert(!leftovers.contains("never.csv"), "failed write must not produce the target")
+  }
+
   test("ORC source round-trips Spark's orc writer output") {
     sample.write.mode("overwrite").orc(s"$root/orc")
     val got = OrcSource(s"$root/orc").load(spark)

@@ -198,6 +198,46 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got === want)
   }
 
+  test("lshCandidates admits an identical set across two runs at a saturating cap") {
+    // The determinism contract from the admission sort: with a cap SMALL
+    // enough that buckets saturate mid-stream and the input split across
+    // multiple triggers, the admitted member set (hence the emitted pair
+    // set) must be a pure function of the staged input — identical across
+    // independent runs, not dependent on group-iterator order.
+    import graft.functions.VectorFns
+    val staged = Files.createTempDirectory("graft-lsh-cap-staged").toString
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(VectorFns.lshBucket(VectorFns.toDouble(col("embedding"))).as("bucket"),
+        col("vec_id"))
+      .repartition(4) // several files => several AvailableNow slices below
+      .write.mode("overwrite").parquet(staged)
+
+    def runOnce(tag: String): Seq[String] = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(staged).schema)
+        .option("maxFilesPerTrigger", 1) // force multi-trigger admission
+        .parquet(staged)
+        .as[StatefulOps.BucketedVec]
+      val q = StatefulOps.lshCandidates(stream, capPerBucket = 3)
+        .writeStream.format("memory").queryName(s"lsh_cap_$tag")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "streaming query timed out")
+      spark.table(s"lsh_cap_$tag").select("bucket", "a", "b")
+        .collect().map(_.toString).sorted.toSeq
+    }
+
+    val first = runOnce("r1")
+    val second = runOnce("r2")
+    assert(first.nonEmpty, "cap never exercised — vacuous fixture")
+    assert(first === second,
+      "admitted candidate set differs across runs of the same staged input")
+    // cap actually bit: emitted pairs per bucket never exceed C(3,2)=3
+    val perBucket = first.groupBy(_.split(",")(0)).view.mapValues(_.size)
+    assert(perBucket.values.max <= 3, s"cap violated: $perBucket")
+  }
+
   test("streamed candidates + batch scoring == the oracle-gated dedup_embedding") {
     // The full-circle pin: run the REGISTERED query's own augmented
     // corpus through the streaming candidate generator, score the
