@@ -23,6 +23,12 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // let AQE re-coalesce the output partitioning of CACHED plans:
+      // the iterative graph queries persist a shrinking edge/label
+      // relation each round, and without this flag every cached round
+      // keeps the full static shuffle width no matter how small the
+      // relation has contracted
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

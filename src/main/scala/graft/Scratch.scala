@@ -14,6 +14,8 @@ object Scratch {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE may re-coalesce cached-plan output partitioning (see Bench)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
