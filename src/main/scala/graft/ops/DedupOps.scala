@@ -308,8 +308,17 @@ object DedupOps {
   private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
     val und = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b"))).persist()
+    // localCheckpoint, not persist: each round's plan references the
+    // previous labels TWICE (join + union), so carrying logical lineage
+    // across rounds doubles the plan tree per round — by the 20-round
+    // cap that is a ~2^20-node plan, and Spark stringifies the plan on
+    // every action (OOMs the driver long before any data-plane cost;
+    // GraphPropertiesSpec caught exactly this on a diameter-17 path).
+    // localCheckpoint materializes the round and cuts the plan to a
+    // leaf, same as the star variant. (On a real cluster prefer
+    // reliable checkpoint(): localCheckpoint pins blocks to executors.)
     var labels = und.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).persist()
+      .withColumn("label", col("node")).localCheckpoint(true)
     // Convergence probe: min-propagation only ever DECREASES labels, so
     // the label total is strictly monotone until the fixpoint — equal
     // totals <=> no label changed. One aggregate over the freshly
@@ -329,9 +338,8 @@ object DedupOps {
       val next = labels.select(col("node"), col("label"))
         .union(viaNeighbors)
         .groupBy("node").agg(min("label").as("label"))
-        .persist()
+        .localCheckpoint(true)
       val nextTotal = labelTotal(next)
-      labels.unpersist()
       labels = next
       converged = nextTotal.compareTo(total) == 0
       total = nextTotal
