@@ -353,6 +353,102 @@ object SimilarityOps {
         (coalesce(col("n_hit"), lit(0L)) / lit(3.0)).as("recall"))
   }
 
+  /** IVF+PQ recall@3 harness, parameterized on the query-side probe
+    * width exactly like [[recallIvfSql]] — the composed index's two
+    * dials (cells probed, codes per vector) stay independent.
+    */
+  private def recallIvfPqSql(nprobe: Int): String =
+    s"""WITH v AS ($vectorsSql),
+       |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
+       |cents AS ($centsSql),
+       |cl AS (${assignSql("n", "vec_id")}),
+       |$pqCodesSql,
+       |pq AS ($perturbedQueriesSql),
+       |qcl AS (${assignKSql("pq", "q_id", nprobe)}),
+       |qsubs AS (${pqSubsSql("pq", "q_id")}),
+       |lut AS (
+       |  SELECT qs.q_id, qs.m, c.k,
+       |    CAST(floor(${sqlDotN("qs.sub", "c.c_sub", PqSub)} * 1000000000.0) AS BIGINT) AS ipq
+       |  FROM qsubs qs JOIN cb c ON c.m = qs.m),
+       |ivf_cand AS (
+       |  SELECT q.q_id, c.vec_id, q.nsq AS q_nsq
+       |  FROM qcl q JOIN cl c ON c.c_id = q.c_id),
+       |adc AS (
+       |  SELECT ca.q_id, ca.vec_id,
+       |    CAST(sum(l.ipq) AS DOUBLE) AS sip,
+       |    CAST(sum(cd.ccq) AS DOUBLE) AS srec,
+       |    max(ca.q_nsq) AS q_nsq
+       |  FROM ivf_cand ca
+       |  JOIN codes cd ON cd.vec_id = ca.vec_id
+       |  JOIN lut l ON l.q_id = ca.q_id AND l.m = cd.m AND l.k = cd.code
+       |  GROUP BY ca.q_id, ca.vec_id),
+       |approx AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY (sip / 1000000000.0) /
+       |          (sqrt(q_nsq) * sqrt(srec / 1000000000.0)) DESC, vec_id) AS rk
+       |    FROM adc) t
+       |  WHERE rk <= 3),
+       |truth AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT p.q_id, c.vec_id,
+       |      row_number() OVER (PARTITION BY p.q_id
+       |        ORDER BY ${sqlCosine(sqlDot("p.emb", "c.emb"), "p.nsq", "c.nsq")} DESC, c.vec_id) AS rk
+       |    FROM pq p CROSS JOIN n c) t
+       |  WHERE rk <= 3),
+       |hits AS (
+       |  SELECT t.q_id, count(*) AS n_hit
+       |  FROM truth t JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+       |  GROUP BY t.q_id)
+       |SELECT q.q_id, COALESCE(h.n_hit, 0) AS n_hit,
+       |       COALESCE(h.n_hit, 0) / 3.0 AS recall
+       |FROM (SELECT q_id FROM pq) q LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin
+
+  private def recallIvfPqDf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val n = vectors(s, dir).withColumn("nsq", normSq(col("emb"))).persist()
+    val cs = cents(n)
+    val cl = assign(n, "vec_id", cs)
+    val subs = pqSubs(n, "vec_id")
+    val cb = pqCodebook(subs)
+    val codes = pqCodes(subs, cb)
+    val pqq = perturbedQueries(s, dir)
+    val qcl = assignK(pqq, "q_id", cs, nprobe)
+      .select(col("q_id"), col("nsq").as("q_nsq"), col("c_id").as("q_cid"))
+    val lut = pqSubs(pqq, "q_id").join(broadcast(cb), Seq("m"))
+      .select(col("q_id").as("l_qid"), col("m").as("lm"), col("k"),
+        floor(dotN(col("sub"), col("c_sub"), PqSub) * lit(1000000000.0))
+          .cast(LongType).as("ipq"))
+    val cand = cl.join(broadcast(qcl), col("c_id") === col("q_cid"))
+      .select(col("q_id"), col("vec_id"), col("q_nsq"))
+    val adc = cand
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lut),
+        col("l_qid") === col("q_id") && col("lm") === col("m") &&
+          col("k") === col("code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("ipq").cast(org.apache.spark.sql.types.DoubleType).as("sip"),
+        sum("ccq").cast(org.apache.spark.sql.types.DoubleType).as("srec"),
+        max("q_nsq").as("q_nsq"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    val approx = adc
+      .withColumn("score", (col("sip") / lit(1000000000.0)) /
+        (sqrt(col("q_nsq")) * sqrt(col("srec") / lit(1000000000.0))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).select("q_id", "vec_id")
+    val qBase = pqq.select(col("q_id"), col("emb").as("q_emb"), col("nsq").as("q_nsq"))
+    val truth = n.crossJoin(broadcast(qBase))
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).select("q_id", "vec_id")
+    val hits = truth.join(approx, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    qBase.select("q_id").join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) / lit(3.0)).as("recall"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("sim_topk_brute",
@@ -697,96 +793,19 @@ object SimilarityOps {
     // cell key, code join + broadcast lut, one (q_id, vec_id) agg of
     // int64-quantized partials. Recall vs brute truth quantifies both
     // losses (pruning + quantization) together.
-    Q("sim_ann_recall_ivfpq",
-      s"""WITH v AS ($vectorsSql),
-         |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
-         |cents AS ($centsSql),
-         |cl AS (${assignSql("n", "vec_id")}),
-         |$pqCodesSql,
-         |pq AS ($perturbedQueriesSql),
-         |qcl AS (${assignSql("pq", "q_id")}),
-         |qsubs AS (${pqSubsSql("pq", "q_id")}),
-         |lut AS (
-         |  SELECT qs.q_id, qs.m, c.k,
-         |    CAST(floor(${sqlDotN("qs.sub", "c.c_sub", PqSub)} * 1000000000.0) AS BIGINT) AS ipq
-         |  FROM qsubs qs JOIN cb c ON c.m = qs.m),
-         |ivf_cand AS (
-         |  SELECT q.q_id, c.vec_id, q.nsq AS q_nsq
-         |  FROM qcl q JOIN cl c ON c.c_id = q.c_id),
-         |adc AS (
-         |  SELECT ca.q_id, ca.vec_id,
-         |    CAST(sum(l.ipq) AS DOUBLE) AS sip,
-         |    CAST(sum(cd.ccq) AS DOUBLE) AS srec,
-         |    max(ca.q_nsq) AS q_nsq
-         |  FROM ivf_cand ca
-         |  JOIN codes cd ON cd.vec_id = ca.vec_id
-         |  JOIN lut l ON l.q_id = ca.q_id AND l.m = cd.m AND l.k = cd.code
-         |  GROUP BY ca.q_id, ca.vec_id),
-         |approx AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT q_id, vec_id,
-         |      row_number() OVER (PARTITION BY q_id
-         |        ORDER BY (sip / 1000000000.0) /
-         |          (sqrt(q_nsq) * sqrt(srec / 1000000000.0)) DESC, vec_id) AS rk
-         |    FROM adc) t
-         |  WHERE rk <= 3),
-         |truth AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT p.q_id, c.vec_id,
-         |      row_number() OVER (PARTITION BY p.q_id
-         |        ORDER BY ${sqlCosine(sqlDot("p.emb", "c.emb"), "p.nsq", "c.nsq")} DESC, c.vec_id) AS rk
-         |    FROM pq p CROSS JOIN n c) t
-         |  WHERE rk <= 3),
-         |hits AS (
-         |  SELECT t.q_id, count(*) AS n_hit
-         |  FROM truth t JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
-         |  GROUP BY t.q_id)
-         |SELECT q.q_id, COALESCE(h.n_hit, 0) AS n_hit,
-         |       COALESCE(h.n_hit, 0) / 3.0 AS recall
-         |FROM (SELECT q_id FROM pq) q LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin) {
-      (s, dir) =>
-      val n = vectors(s, dir).withColumn("nsq", normSq(col("emb"))).persist()
-      val cs = cents(n)
-      val cl = assign(n, "vec_id", cs)
-      val subs = pqSubs(n, "vec_id")
-      val cb = pqCodebook(subs)
-      val codes = pqCodes(subs, cb)
-      val pqq = perturbedQueries(s, dir)
-      val qcl = assign(pqq, "q_id", cs)
-        .select(col("q_id"), col("nsq").as("q_nsq"), col("c_id").as("q_cid"))
-      val lut = pqSubs(pqq, "q_id").join(broadcast(cb), Seq("m"))
-        .select(col("q_id").as("l_qid"), col("m").as("lm"), col("k"),
-          floor(dotN(col("sub"), col("c_sub"), PqSub) * lit(1000000000.0))
-            .cast(LongType).as("ipq"))
-      val cand = cl.join(broadcast(qcl), col("c_id") === col("q_cid"))
-        .select(col("q_id"), col("vec_id"), col("q_nsq"))
-      val adc = cand
-        .join(codes, Seq("vec_id"))
-        .join(broadcast(lut),
-          col("l_qid") === col("q_id") && col("lm") === col("m") &&
-            col("k") === col("code"))
-        .groupBy("q_id", "vec_id")
-        .agg(sum("ipq").cast(org.apache.spark.sql.types.DoubleType).as("sip"),
-          sum("ccq").cast(org.apache.spark.sql.types.DoubleType).as("srec"),
-          max("q_nsq").as("q_nsq"))
-      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
-      val approx = adc
-        .withColumn("score", (col("sip") / lit(1000000000.0)) /
-          (sqrt(col("q_nsq")) * sqrt(col("srec") / lit(1000000000.0))))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3).select("q_id", "vec_id")
-      val qBase = pqq.select(col("q_id"), col("emb").as("q_emb"), col("nsq").as("q_nsq"))
-      val truth = n.crossJoin(broadcast(qBase))
-        .select(col("q_id"), col("vec_id"),
-          cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3).select("q_id", "vec_id")
-      val hits = truth.join(approx, Seq("q_id", "vec_id"))
-        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
-      qBase.select("q_id").join(hits, Seq("q_id"), "left")
-        .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          (coalesce(col("n_hit"), lit(0L)) / lit(3.0)).as("recall"))
-    },
+    Q("sim_ann_recall_ivfpq", recallIvfPqSql(nprobe = 1))(
+      recallIvfPqDf(_, _, nprobe = 1)),
+
+    // The nprobe dial on the composed index: the query probes its 2
+    // nearest cells and ADC scores the union of both cells' codes.
+    // Same plan economics as nprobe=1 (cell-keyed hash join, broadcast
+    // LUT). Unlike exact-scored IVF (where a superset candidate set
+    // provably never loses a true hit), ADC scores are quantized, so a
+    // widened candidate CAN in principle displace a true hit —
+    // dominance over the single-probe row is pinned empirically on the
+    // fixture (IvfProbeSpec), not claimed as a theorem.
+    Q("sim_ann_recall_ivfpq_np2", recallIvfPqSql(nprobe = 2))(
+      recallIvfPqDf(_, _, nprobe = 2)),
 
     // One Lloyd iteration of (spherical) k-means over the corpus:
     // cosine-argmax assignment against the current centroids (the

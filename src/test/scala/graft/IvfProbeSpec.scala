@@ -18,15 +18,23 @@ class IvfProbeSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .select(col("q_id"), col("recall"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
-  test("nprobe=2 recall@3 dominates nprobe=1 per query") {
-    val np1 = recallByQuery("sim_ann_recall_ivf")
-    val np2 = recallByQuery("sim_ann_recall_ivf_np2")
+  private def assertDominates(np1Name: String, np2Name: String): Unit = {
+    val np1 = recallByQuery(np1Name)
+    val np2 = recallByQuery(np2Name)
     spark.catalog.clearCache()
     assert(np1.keySet === np2.keySet, "query sets must match")
     assert(np1.nonEmpty, "vacuous: no queries")
     np1.keySet.toSeq.sorted.foreach { q =>
       assert(np2(q) >= np1(q) - 1e-12,
-        s"q_id=$q: nprobe=2 recall ${np2(q)} < nprobe=1 recall ${np1(q)}")
+        s"q_id=$q: $np2Name recall ${np2(q)} < $np1Name recall ${np1(q)}")
     }
+  }
+
+  test("IVF nprobe=2 recall@3 dominates nprobe=1 per query") {
+    assertDominates("sim_ann_recall_ivf", "sim_ann_recall_ivf_np2")
+  }
+
+  test("IVF+PQ nprobe=2 recall@3 dominates nprobe=1 per query") {
+    assertDominates("sim_ann_recall_ivfpq", "sim_ann_recall_ivfpq_np2")
   }
 }

@@ -69,6 +69,7 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "sim_ann_recall_ivf_np2" -> 3, // same shape, wider query-side probe
     "sim_ann_recall_pq" -> 1,  // brute-force ground-truth side
     "sim_ann_recall_ivfpq" -> 3, // ground truth + 2 centroid assignments
+    "sim_ann_recall_ivfpq_np2" -> 3, // same shape, wider query-side probe
     // ONE centroid-assignment cross join, stringified once per
     // reference to the persisted clustered relation (cl, a, b)
     "dedup_semantic" -> 3,
