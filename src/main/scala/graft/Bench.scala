@@ -95,8 +95,21 @@ object Bench {
       }
       val firstTwo = (1 to 2).flatMap(once)
       val wantThird = firstTwo.size == 2 && firstTwo.min > 1.0
-      val runs = if (wantThird) firstTwo ++ once(3) else firstTwo
-      val expected = if (wantThird) 3 else 2
+      val three = if (wantThird) firstTwo ++ once(3) else firstTwo
+      // contention rescue: round 6's review marked three queries `weak`
+      // on 8-11x regressions that a quiet re-time showed were session
+      // contention, not plans. When even the best-of-3 sits far above
+      // the band the other runs define (max/min > 2 means SOME run was
+      // contention-shaped), one more sample cheaply tells a noisy
+      // session apart from a genuinely slow plan in the artifact itself
+      val wantFourth = three.size == 3 && three.min > 1.0 &&
+        three.max / three.min > 2.0
+      val runs = if (wantFourth) three ++ once(4) else three
+      val expected = (wantThird, wantFourth) match {
+        case (true, true) => 4
+        case (true, false) => 3
+        case _ => 2
+      }
       // a failed query is marked -1 in the JSON — a crash must not
       // masquerade as a fast run and shrink the total. EVERY attempted
       // run must succeed: taking the min of the survivors would hide
