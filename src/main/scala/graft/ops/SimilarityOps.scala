@@ -1038,5 +1038,139 @@ object SimilarityOps {
         .groupBy(floor(col("cos") * 10.0).cast(LongType).as("bin"))
         .agg(count(lit(1)).as("n_pairs"))
     },
+
+    // ── hybrid retrieval: BM25 x dense cosine, RRF-fused ────────────
+    // The standard modern retrieval stack (and the retrieval half of
+    // RAG data pipelines): for each query document, a SPARSE ranking
+    // (BM25 over the query doc's tokens — "more-like-this") and a
+    // DENSE ranking (embedding cosine, doc_id == vec_id by fixture
+    // contract) are fused by reciprocal-rank fusion
+    // rrf = Σ 1/(60 + rank). Design notes for scale + exactness:
+    //  - per query doc, only its 10 RAREST tokens (df asc) participate
+    //    — Lucene more-like-this term selection: bounds the token-keyed
+    //    candidate join against stopword blowup on ANY corpus df shape
+    //    (an absolute df cut is vacuous when the whole vocabulary is
+    //    common, as this fixture's is) — the sparse side stays a hash
+    //    join on token;
+    //  - each (query, doc, token) BM25 contribution is quantized to
+    //    int64 (floor(x * 1e6)) BEFORE summation, so the per-pair
+    //    score is an exact integer sum — double addition order can
+    //    never drift between engines (same trick as the PQ ADC path);
+    //  - both rankers keep their top-20 per query; RRF reads the rank
+    //    INTEGERS, so the fused score is one fixed double expression;
+    //  - the dense side is corpus x broadcast(5 query rows) and the
+    //    corpus-stats attach is a 1-row broadcast — the two documented
+    //    O(1)-bounded nested-loop replicates (PlanSpec budget).
+    Q("q_hybrid_rrf", {
+      val idf = "(CAST(f.n_docs - f.df + 0.5 AS DOUBLE) / (f.df + 0.5))"
+      val sat = "((CAST(t.tf AS DOUBLE) * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * (CAST(s.dl AS DOUBLE) / f.avgdl))))"
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         |st AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM d),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(len(tokens)) AS DOUBLE) / count(*) AS avgdl FROM d),
+         |tok AS (SELECT doc_id, unnest(tokens) AS token FROM d),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY doc_id, token),
+         |dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+         |qt AS (SELECT doc_id AS q_id, token FROM tf WHERE doc_id < 5),
+         |qsel AS (
+         |  SELECT q_id, token, df, n_docs, avgdl FROM (
+         |    SELECT q.q_id, q.token, f.df, g.n_docs, g.avgdl,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY f.df ASC, q.token) AS tr
+         |    FROM qt q JOIN dfr f ON f.token = q.token, g) z
+         |  WHERE tr <= 10),
+         |sp AS (
+         |  SELECT f.q_id, t.doc_id,
+         |    sum(CAST(floor(($idf * $sat) * 1000000.0) AS BIGINT)) AS qscore
+         |  FROM qsel f
+         |  JOIN tf t ON t.token = f.token AND t.doc_id <> f.q_id
+         |  JOIN st s ON s.doc_id = t.doc_id
+         |  GROUP BY f.q_id, t.doc_id),
+         |s20 AS (
+         |  SELECT q_id, doc_id, rs FROM (
+         |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY qscore DESC, doc_id) AS rs FROM sp) z
+         |  WHERE rs <= 20),
+         |v AS ($vectorsSql),
+         |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
+         |qv AS (SELECT vec_id AS q_id, emb, nsq FROM n WHERE vec_id < 5),
+         |de AS (
+         |  SELECT q.q_id, c.vec_id AS doc_id,
+         |    ${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")} AS cos
+         |  FROM qv q JOIN n c ON c.vec_id <> q.q_id),
+         |d20 AS (
+         |  SELECT q_id, doc_id, rd FROM (
+         |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, doc_id) AS rd FROM de) z
+         |  WHERE rd <= 20),
+         |fused AS (
+         |  SELECT COALESCE(s.q_id, dd.q_id) AS q_id,
+         |         COALESCE(s.doc_id, dd.doc_id) AS doc_id,
+         |         s.rs AS rs, dd.rd AS rd,
+         |         COALESCE(CAST(1 AS DOUBLE) / (60 + s.rs), 0.0) +
+         |         COALESCE(CAST(1 AS DOUBLE) / (60 + dd.rd), 0.0) AS rrf
+         |  FROM s20 s FULL OUTER JOIN d20 dd
+         |    ON s.q_id = dd.q_id AND s.doc_id = dd.doc_id)
+         |SELECT q_id, doc_id, rs, rd, rrf, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY rrf DESC, doc_id) AS rk FROM fused) t
+         |WHERE rk <= 10""".stripMargin
+    }) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tokens")).persist()
+      val st = d.select(col("doc_id"), size(col("tokens")).cast(LongType).as("dl"))
+      val g = d.agg(count(lit(1)).cast(LongType).as("n_docs"),
+        (sum(size(col("tokens"))).cast(org.apache.spark.sql.types.DoubleType) /
+          count(lit(1))).as("avgdl"))
+      val tf = d.select(col("doc_id"), explode(col("tokens")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")).persist()
+      val dfr = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val qt = tf.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("q_id"), col("token"))
+      val idf = (col("n_docs") - col("df") + 0.5)
+        .cast(org.apache.spark.sql.types.DoubleType) / (col("df") + 0.5)
+      val sat = (col("tf").cast(org.apache.spark.sql.types.DoubleType) * 2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl").cast(org.apache.spark.sql.types.DoubleType) / col("avgdl"))))
+      // query-term selection BEFORE candidate generation: each query
+      // doc contributes only its 10 rarest tokens, so the token-keyed
+      // candidate join is bounded per query on any corpus df shape
+      // (the per-query rank is a window over ~doc-length rows)
+      val wT = Window.partitionBy("q_id").orderBy(col("df").asc, col("token"))
+      val qsel = qt.join(dfr, "token").crossJoin(broadcast(g))
+        .withColumn("tr", row_number().over(wT))
+        .filter(col("tr") <= 10)
+        .select("q_id", "token", "df", "n_docs", "avgdl")
+      val sp = qsel
+        .join(tf.select(col("token"), col("doc_id"), col("tf")), "token")
+        .filter(col("doc_id") =!= col("q_id"))
+        .join(st, "doc_id")
+        .groupBy("q_id", "doc_id")
+        .agg(sum(floor((idf * sat) * lit(1000000.0)).cast(LongType)).as("qscore"))
+      val wS = Window.partitionBy("q_id").orderBy(col("qscore").desc, col("doc_id"))
+      val s20 = sp.withColumn("rs", row_number().over(wS).cast(LongType))
+        .filter(col("rs") <= 20).select("q_id", "doc_id", "rs")
+      val n = vectors(s, dir).withColumn("nsq", normSq(col("emb"))).persist()
+      val qv = n.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+          col("nsq").as("q_nsq"))
+      val de = n.join(broadcast(qv), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("doc_id"),
+          cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("cos"))
+      val wD = Window.partitionBy("q_id").orderBy(col("cos").desc, col("doc_id"))
+      val d20 = de.withColumn("rd", row_number().over(wD).cast(LongType))
+        .filter(col("rd") <= 20).select("q_id", "doc_id", "rd")
+      val fused = s20.join(d20, Seq("q_id", "doc_id"), "full_outer")
+        .select(col("q_id"), col("doc_id"), col("rs"), col("rd"),
+          (coalesce(lit(1).cast(org.apache.spark.sql.types.DoubleType) /
+            (lit(60) + col("rs")), lit(0.0)) +
+            coalesce(lit(1).cast(org.apache.spark.sql.types.DoubleType) /
+              (lit(60) + col("rd")), lit(0.0))).as("rrf"))
+      val wF = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("doc_id"))
+      fused.withColumn("rk", row_number().over(wF).cast(LongType))
+        .filter(col("rk") <= 10)
+        .select("q_id", "doc_id", "rs", "rd", "rrf", "rk")
+    },
   )
 }

@@ -85,6 +85,8 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "text_ngram_pmi" -> 1,
     "q_mix_weights" -> 1,
     "q_bm25" -> 1,
+    // 5-query dense broadcast + 1-row corpus-stats attach on the df prune
+    "q_hybrid_rrf" -> 2,
     "q_dq_audit" -> 1,       // 1-row referential-rule x 1-row table-total attach
     "dedup_triangles" -> 2,  // two 1-row graph-stat attaches
     "q_events_decay" -> 1,   // 1-row anchor-timestamp attach
