@@ -496,12 +496,12 @@ object DedupOps {
     s"""WITH docs_aug AS ($corpusSql),
        |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM docs_aug),
        |sh AS (
-       |  SELECT doc_id, $shingles3Sql AS shingles
+       |  SELECT doc_id, list_distinct(list_transform($shingles3Sql,
+       |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS shingles
        |  FROM tok WHERE len(tokens) >= 3),
        |hs AS (
        |  SELECT doc_id,
-       |    list_transform(shingles,
-       |      s -> (('0x' || substr(md5(s), 1, 15))::BIGINT) % $MinhashP) AS hh
+       |    list_transform(shingles, h -> h % $MinhashP) AS hh
        |  FROM sh),
        |mh AS (SELECT doc_id, $sig AS sig FROM hs),
        |bands AS (SELECT doc_id, unnest($bandKeys) AS band_key FROM mh),
@@ -522,14 +522,25 @@ object DedupOps {
 
   /** (doc_id, shingles) — the distinct word-3-gram set relation for
     * docs with >= 3 tokens, the shared scan under BOTH similarity-join
-    * families. Callers persist: one corpus scan can then feed the
-    * minhash band machinery and the exact All-Pairs join
+    * families, with each shingle 60-bit md5-HASHED to int64 at the
+    * scan: every downstream consumer (minhash permutations, All-Pairs
+    * prefixes, the exact-Jaccard verification joins) operates on
+    * fixed-width ints, so the self-join shuffles carry ~8 bytes per
+    * shingle instead of a ~20-char string and `array_intersect` runs
+    * integer comparisons. Jaccard over hashes equals Jaccard over
+    * strings absent 60-bit collisions, and BOTH engines hash
+    * identically, so even a collision cannot desync the oracle (the
+    * post-hash distinct keeps the element sets properly distinct in
+    * both engines either way). Callers persist: one corpus scan can
+    * then feed the minhash band machinery and the exact All-Pairs join
     * (dedup_lsh_recall runs both over the same sets).
     */
   private[graft] def shingleSets(corpus: DataFrame): DataFrame =
     corpus.select(col("doc_id"), split(col("text"), " ").as("tokens"))
       .filter(size(col("tokens")) >= 3)
-      .select(col("doc_id"), shingles3(col("tokens")).as("shingles"))
+      .select(col("doc_id"),
+        array_distinct(transform(shingles3(col("tokens")),
+          s => Cols.hex60(s))).as("shingles"))
 
   /** [[minhashPairsDf]] generalized over any (doc_id, text) corpus —
     * the twin of [[minhashPairsSqlOver]].
@@ -545,7 +556,7 @@ object DedupOps {
     */
   private[graft] def minhashPairsOverSets(sh: DataFrame): DataFrame = {
     val hs = sh.select(col("doc_id"),
-      transform(col("shingles"), sgl => Cols.hex60(sgl) % lit(MinhashP)).as("hh"))
+      transform(col("shingles"), h => h % lit(MinhashP)).as("hh"))
     val sig = array((0 until MinhashK).map(j =>
       array_min(transform(col("hh"),
         h => (lit(MinhashA(j)) * h + lit(MinhashB(j))) % lit(MinhashP)))): _*)
@@ -577,7 +588,8 @@ object DedupOps {
   private[graft] def allPairsSqlOver(corpusSql: String, p: Int, q: Int): String =
     s"""WITH corpus AS ($corpusSql),
        |t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
-       |ss AS (SELECT doc_id, $shingles3Sql AS st
+       |ss AS (SELECT doc_id, list_distinct(list_transform($shingles3Sql,
+       |         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS st
        |       FROM t WHERE len(tokens) >= 3),
        |sh AS (SELECT doc_id, unnest(st) AS tok FROM ss),
        |df AS (SELECT tok, count(*) AS df FROM sh GROUP BY tok),
