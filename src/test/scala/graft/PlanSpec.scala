@@ -127,6 +127,13 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(problems.isEmpty, problems.mkString("\n"))
   }
 
+  // (Deliberately NO blanket "no Exchange SinglePartition" gate: global
+  // scalar aggregates — the 1-row corpus-stat attaches — legitimately
+  // route one partial-agg ROW per partition through a SinglePartition
+  // exchange, which is bounded at any scale; the plan string cannot
+  // distinguish that from a full-relation funnel. The unpartitioned-
+  // window and sort gates below cover the actual funnel shapes.)
+
   test("q1_agg pushes its date filter into the parquet scan") {
     val plan = planOf("q1_agg")
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
