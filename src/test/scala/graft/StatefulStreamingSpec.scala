@@ -198,6 +198,44 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got === want)
   }
 
+  test("transitionStream state survives a checkpointed query RESTART") {
+    // The cross-trigger test above proves the chain tail carries across
+    // trigger boundaries within ONE query; this proves it carries across
+    // PROCESS restarts — GroupState must round-trip through the
+    // checkpoint (a state-encoder regression breaks recovery silently,
+    // not at compile time). File source + parquet sink: the memory sink
+    // cannot recover from a checkpoint.
+    import java.sql.Timestamp
+    val root = Files.createTempDirectory("graft-transition-restart").toString
+    val (src, ckpt, out) = (s"$root/src", s"$root/ckpt", s"$root/out")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    def ev(id: Long, min: Int, t: String) =
+      StatefulOps.TypedEv(7L, Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), id, t)
+    def writeBatch(evs: StatefulOps.TypedEv*): Unit =
+      spark.createDataset(evs)(org.apache.spark.sql.Encoders.product)
+        .write.mode("append").parquet(src)
+    def run(): Unit = {
+      val q = StatefulOps.transitionStream(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+          .as[StatefulOps.TypedEv])
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "streaming query timed out")
+    }
+    // run 1 ends user 7's chain on "view"
+    writeBatch(ev(1, 1, "click"), ev(2, 2, "view"))
+    run()
+    // run 2 (fresh query instance, same checkpoint) must chain FROM it
+    writeBatch(ev(3, 3, "purchase"))
+    run()
+    val got = spark.read.parquet(out)
+      .select("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got === Seq(("click", "view"), ("view", "purchase")),
+      "restart lost the cross-run chain tail")
+  }
+
   test("lshCandidates admits an identical set across two runs at a saturating cap") {
     // The determinism contract from the admission sort: with a cap SMALL
     // enough that buckets saturate mid-stream and the input split across
