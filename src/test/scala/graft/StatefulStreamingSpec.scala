@@ -236,6 +236,36 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "restart lost the cross-run chain tail")
   }
 
+  test("lshCandidates bucket state survives a checkpointed query RESTART") {
+    // Same recovery contract as the transition pin, for the OTHER state
+    // shape: the bucket member list is List[Long] (collection encoder,
+    // not a product), and a vector arriving after the restart must pair
+    // with members admitted before it.
+    val root = Files.createTempDirectory("graft-lsh-restart").toString
+    val (src, ckpt, out) = (s"$root/src", s"$root/ckpt", s"$root/out")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    def writeBatch(vs: StatefulOps.BucketedVec*): Unit =
+      spark.createDataset(vs)(org.apache.spark.sql.Encoders.product)
+        .write.mode("append").parquet(src)
+    def run(): Unit = {
+      val q = StatefulOps.lshCandidates(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+          .as[StatefulOps.BucketedVec])
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "streaming query timed out")
+    }
+    writeBatch(StatefulOps.BucketedVec(5L, 10L), StatefulOps.BucketedVec(5L, 11L))
+    run()
+    writeBatch(StatefulOps.BucketedVec(5L, 12L))
+    run()
+    val got = spark.read.parquet(out).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === Seq((10L, 11L), (10L, 12L), (11L, 12L)),
+      "restart lost the bucket member list")
+  }
+
   test("lshCandidates admits an identical set across two runs at a saturating cap") {
     // The determinism contract from the admission sort: with a cap SMALL
     // enough that buckets saturate mid-stream and the input split across
