@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output passes through UNPREFIXED (no sbt [info]/[error]
+// tag per line) and keeps the process's stdout/stderr split: Bench's
+// final summary JSON line reaches the driver's capture as clean,
+// machine-parseable stdout instead of being wrapped in sbt log noise.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

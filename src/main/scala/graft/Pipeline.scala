@@ -174,6 +174,9 @@ object Pipeline {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      // UTC like Bench/Verify: a timestamp-bearing fixture read through
+      // this main must decode identically to the oracle on any host
+      .config("spark.sql.session.timeZone", "UTC")
       // AQE may re-coalesce cached-plan output partitioning (see Bench)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")

@@ -1,11 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Plan-inspection development tool (documented in
-  * .claude/skills/verify/SKILL.md): warms the session, optionally dumps
-  * `explain("formatted")` (set SCRATCH_EXPLAIN=1), and prints the warm
-  * execution time of one registered query. Not part of the library
-  * surface.
+/** Plan-inspection development tool: warms the session, optionally
+  * dumps `explain("formatted")` (set SCRATCH_EXPLAIN=1), and prints the
+  * warm execution time of one registered query. Not part of the
+  * library surface.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -14,6 +13,9 @@ object Scratch {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Bench/Verify: a timestamp-bearing fixture read through
+      // this main must decode identically to the oracle on any host
+      .config("spark.sql.session.timeZone", "UTC")
       // AQE may re-coalesce cached-plan output partitioning (see Bench)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")

@@ -297,6 +297,21 @@ object DedupOps {
     .map(b => s"(CASE WHEN list_sum(list_transform($c, h -> ((h >> $b) & 1)*2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)")
     .mkString("CAST((", "\n      + ", ") AS BIGINT)")
 
+  /** Release the materialized blocks behind a `localCheckpoint(true)`d
+    * relation. `Dataset.unpersist` is a silent no-op here — checkpoint
+    * blocks live on the underlying RDD, not in the cache manager — so
+    * without this, every superseded generation of an iterative loop
+    * lingers until the ContextCleaner GCs the RDD. Only call once the
+    * relation is definitively dead: local checkpointing truncated its
+    * lineage, so a post-drop read cannot recompute and fails.
+    */
+  private def dropLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Connected components over an undirectable edge list (cols a, b)
     * via iterative min-label propagation — the scalable formulation
     * (each iteration is one hash join + one aggregation; iterations =
@@ -340,6 +355,11 @@ object DedupOps {
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(true)
       val nextTotal = labelTotal(next)
+      // the eager checkpoint above materialized `next` from the prior
+      // generation's blocks — that generation is dead now; drop its
+      // blocks instead of waiting for RDD GC (one bounded generation,
+      // the returned one, survives the loop)
+      dropLocalCheckpoint(labels)
       labels = next
       converged = nextTotal.compareTo(total) == 0
       total = nextTotal
@@ -347,6 +367,7 @@ object DedupOps {
     }
     require(converged,
       s"component propagation did not converge within $iter iterations")
+    und.unpersist(blocking = false)
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
@@ -443,8 +464,13 @@ object DedupOps {
         .groupBy("u", "v").count()
         .filter(col("count") === 1)
         .limit(1).count()
-      e.unpersist()
-      afterLarge.unpersist()
+      // Dataset.unpersist would be a no-op on these checkpointed
+      // relations (see dropLocalCheckpoint) — drop the superseded
+      // round's blocks explicitly. `next` (checkpointed from
+      // afterLarge's blocks) and the diff count are both materialized
+      // at this point, so neither relation can be read again.
+      dropLocalCheckpoint(e)
+      dropLocalCheckpoint(afterLarge)
       e = next
       converged = diff == 0
       iter += 1

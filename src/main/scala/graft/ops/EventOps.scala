@@ -889,7 +889,12 @@ object EventOps {
     // do users actually do" path report. Same deterministic
     // (ts, event_id) ordering; one user-partitioned window computes
     // both leads, then a hash agg to a |types|³-bounded relation and a
-    // top-k over it.
+    // top-k over it. The top-k is distributed orderBy+limit
+    // (TakeOrderedAndProject: per-partition top-10, 10-row driver
+    // merge), then rank re-attaches over the 10-row head — never a
+    // single-partition window over the triple counts, which at a
+    // high-cardinality event-type schema would funnel |types|³ rows
+    // through one task (the q_basket_lift pattern).
     Q("q_events_paths",
       """WITH nx AS (
         |  SELECT event_type AS e1,
@@ -912,9 +917,10 @@ object EventOps {
           lead(col("event_type"), 2).over(wu).as("e3"))
         .filter(col("e2").isNotNull && col("e3").isNotNull)
         .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+      val top = c.orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(10)
       val wr = Window.orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
-      c.withColumn("rk", row_number().over(wr).cast(LongType))
-        .filter(col("rk") <= 10)
+      top.withColumn("rk", row_number().over(wr).cast(LongType))
     },
 
     // ── seasonal-naive forecast error (time-series eval baseline) ───

@@ -142,8 +142,19 @@ object Ranks {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
       .persist()
-    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // runtime failure here (a task failure during the offset collect)
+    // must release the generation just persisted, or an aborted chain
+    // leaks its in-flight cache entry — the analysis-time failures
+    // RanksSpec pins throw before the persist, so this is the only
+    // post-persist failure window
+    val counts =
+      try ranged.groupBy("__pid").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      catch {
+        case e: Throwable =>
+          ranged.unpersist(blocking = false)
+          throw e
+      }
     val total = counts.map(_._2).sum
     var acc = 0L
     val offsets: Map[Int, Long] =

@@ -34,7 +34,23 @@ class IvfProbeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assertDominates("sim_ann_recall_ivf", "sim_ann_recall_ivf_np2")
   }
 
-  test("IVF+PQ nprobe=2 recall@3 dominates nprobe=1 per query") {
-    assertDominates("sim_ann_recall_ivfpq", "sim_ann_recall_ivfpq_np2")
+  test("IVF+PQ nprobe=2 mean recall@3 is not below nprobe=1") {
+    // Weaker than the exact-scored IVF pin above, by design: ADC
+    // scores are QUANTIZED, so a widened candidate set can in
+    // principle displace a true hit on individual queries
+    // (SimilarityOps documents this at the ivfpq_np2 registry entry) —
+    // per-query dominance is an empirical property of one fixture, and
+    // the driver regenerates testdata between rounds. The robust
+    // claim worth pinning is aggregate: probing more cells does not
+    // degrade MEAN recall across the query set.
+    val np1 = recallByQuery("sim_ann_recall_ivfpq")
+    val np2 = recallByQuery("sim_ann_recall_ivfpq_np2")
+    spark.catalog.clearCache()
+    assert(np1.keySet === np2.keySet, "query sets must match")
+    assert(np1.nonEmpty, "vacuous: no queries")
+    val mean1 = np1.values.sum / np1.size
+    val mean2 = np2.values.sum / np2.size
+    assert(mean2 >= mean1 - 1e-12,
+      s"mean recall degraded with nprobe=2: $mean2 < $mean1")
   }
 }

@@ -203,10 +203,8 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
   // needs a documented allowlist entry:
   //   - q_pareto: cumulative/total spend over the 10-row decile
   //     aggregate (decile = (rn-1)*10 div n has 10 values by
-  //     construction);
-  //   - q_events_paths: rank over the per-triple aggregate, at most
-  //     |event_types|^3 rows.
-  private val boundedWindowAllow = Set("q_pareto", "q_events_paths")
+  //     construction).
+  private val boundedWindowAllow = Set("q_pareto")
 
   test("no unpartitioned window runs over an unbounded relation") {
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
