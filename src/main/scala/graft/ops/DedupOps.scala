@@ -581,12 +581,18 @@ object DedupOps {
     * (callers persist it — it is referenced three times here).
     */
   private[graft] def minhashPairsOverSets(sh: DataFrame): DataFrame = {
-    val hs = sh.select(col("doc_id"),
-      transform(col("shingles"), h => h % lit(MinhashP)).as("hh"))
-    val sig = array((0 until MinhashK).map(j =>
-      array_min(transform(col("hh"),
-        h => (lit(MinhashA(j)) * h + lit(MinhashB(j))) % lit(MinhashP)))): _*)
-    val mh = hs.select(col("doc_id"), sig.as("sig"))
+    // signature = ONE generated loop over the shingle array
+    // (MinHashSigExpr) rather than MinhashK interpreted
+    // transform+array_min passes — the oracle keeps the per-permutation
+    // list_min formulation (semantics proven identical, see the
+    // expression's doc + MinHashSigSpec's equivalence pin)
+    val sig = org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.MinHashSigExpr(
+        org.apache.spark.sql.GraftColumnShim.expression(col("shingles")),
+        MinhashP,
+        (0 until MinhashK).map(MinhashA),
+        (0 until MinhashK).map(MinhashB)))
+    val mh = sh.select(col("doc_id"), sig.as("sig"))
     val bandKeys = array((0 until Bands).map(b =>
       md5(concat(lit(s"$b~"), element_at(col("sig"), 2 * b + 1).cast("string"),
         lit("|"), element_at(col("sig"), 2 * b + 2).cast("string")))): _*)
