@@ -78,6 +78,37 @@ object PipelineQueries {
       .csv(result.csvPath.toString)
   }
 
+  /** ORC round-trip certified by the oracle: the parquet `documents`
+    * fixture is mirrored to ORC (staging under target/, like the e2e
+    * fixtures), read back through [[graft.io.OrcSource]], and reduced
+    * to a per-lang content digest — row counts, char totals, and a
+    * sum of per-row md5-derived text hashes. DuckDB computes the same
+    * digest over the parquet ORIGINAL, so a hash match proves the ORC
+    * writer+reader preserved every row's text bit-exactly, not merely
+    * the row count. (DuckDB reads no ORC — mirroring on the Spark side
+    * and digest-comparing against the source format is what makes the
+    * format gap oracle-checkable at all.)
+    */
+  def runOrcMirror(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val root = stagingDir(dir)
+    graft.Tables.load(s, dir, "documents")
+      .write.mode("overwrite").orc(s"$root/documents.orc")
+    graft.io.OrcSource(s"$root/documents.orc").load(s)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("chars_total"),
+        sum(graft.Cols.hex60(col("text")) % lit(1000003L)).cast(LongType)
+          .as("text_digest"))
+  }
+
+  private val orcMirrorOracle: String =
+    s"""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       |  CAST(sum(${graft.OracleSql.hex60("text")} % 1000003) AS BIGINT) AS text_digest
+       |FROM documents GROUP BY lang""".stripMargin
+
   val queries: Seq[Q] = Seq(
-    Q("pipeline_e2e", MergeQueries.coalesceOracle)(runE2e))
+    Q("pipeline_e2e", MergeQueries.coalesceOracle)(runE2e),
+    Q("q_orc_mirror", orcMirrorOracle)(runOrcMirror))
 }

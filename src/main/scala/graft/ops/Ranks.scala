@@ -172,6 +172,43 @@ object Ranks {
     (out, total, ranged)
   }
 
+  /** Releases `handle`'s cache as soon as the first action whose plan
+    * CONTAINS the handle's relation completes (success or failure) —
+    * the missing half of [[withGlobalRowNumbersHandle]]'s contract for
+    * callers that hand their result to someone else to execute: a
+    * registered query builder returns a lazy DataFrame, so it cannot
+    * unpersist "after consumption" itself. A one-shot, self-
+    * unregistering QueryExecutionListener can: when the consuming
+    * action (Verify's parquet write, Bench's noop write, a user
+    * collect) finishes, the final generation's cache is dropped
+    * instead of pinning a full copy of the relation until someone
+    * calls `clearCache`. Unrelated actions do not match (subtree
+    * `sameResult` check), and an early release is only ever a
+    * recompute, never a wrong answer — the rank offsets are already
+    * embedded as literals and the ordering is total, the same
+    * determinism that makes cache EVICTION safe.
+    */
+  def releaseOnConsumption(
+      spark: org.apache.spark.sql.SparkSession, handle: DataFrame): Unit = {
+    val lm = spark.listenerManager
+    val handlePlan = handle.queryExecution.analyzed
+    lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def fire(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        if (qe.analyzed.exists(_.sameResult(handlePlan)) &&
+            done.compareAndSet(false, true)) {
+          handle.unpersist(blocking = false)
+          lm.unregister(this)
+        }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = fire(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = fire(qe)
+    })
+  }
+
   /** SQL-standard `ntile(k)` derived arithmetically from an exact
     * global rank column and the total row count: with n = q·k + r,
     * the first r tiles take q+1 rows. Pure integer `div` on literals —

@@ -1214,10 +1214,14 @@ object RelationalOps {
       // chained form: generation k-1's cache is released as soon as
       // generation k's offset collect materializes — the three-metric
       // chain keeps ONE cached relation, not three (RanksSpec pins it)
-      val (r3, n) = Ranks.withGlobalRowNumbers(base, Seq(
+      // — and THAT one is dropped when the consuming action completes
+      // (releaseOnConsumption), so a long-lived session retains
+      // nothing from this query without anyone calling clearCache
+      val (r3, n, handle) = Ranks.withGlobalRowNumbersHandle(base, Seq(
         "rn_r" -> Seq(col("rec_days"), col("o_custkey")),
         "rn_f" -> Seq(col("freq").desc, col("o_custkey")),
         "rn_m" -> Seq(col("monetary").desc, col("o_custkey"))))
+      Ranks.releaseOnConsumption(s, handle)
       r3.select(col("o_custkey"), col("monetary"),
           (Ranks.ntileFromRank("rn_r", n, 5) * 100 +
             Ranks.ntileFromRank("rn_f", n, 5) * 10 +

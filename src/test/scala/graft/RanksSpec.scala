@@ -110,6 +110,30 @@ class RanksSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "handle.unpersist must release the final generation's cache")
   }
 
+  test("q_rfm retains no cache once its consuming action completes (no clearCache)") {
+    spark.catalog.clearCache()
+    // build + execute exactly as Verify/Bench would — and deliberately
+    // do NOT clearCache afterwards: releaseOnConsumption must drop the
+    // final rank generation when the consuming write finishes
+    val df = SparkEntry.queries("q_rfm")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    // listener dispatch is asynchronous — poll briefly
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "q_rfm's final rank generation must be released after consumption")
+    // the released cache must not have poisoned the result: a re-run
+    // (recompute path, offsets embedded as literals) matches a fresh run
+    val again = SparkEntry.queries("q_rfm")(spark, dir)
+      .orderBy("rfm").collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    val fresh = SparkEntry.queries("q_rfm")(spark, dir)
+      .orderBy("rfm").collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    assert(again === fresh)
+  }
+
   test("withGlobalRowNumbers validates every step and leaks no cache on failure") {
     val cust = Tables.load(spark, dir, "orders")
       .groupBy("o_custkey").agg(Cols.dsum(col("o_totalprice")).as("spend"))

@@ -19,6 +19,7 @@ import org.scalatest.funsuite.AnyFunSuite
   *   - TIMESTAMP_NTZ micros (the round-6 fixture shape)
   *   - TIMESTAMP micros, isAdjustedToUTC=true
   *   - TIMESTAMP millis, isAdjustedToUTC=true
+  *   - INT96 (legacy physical timestamp — decodes as TimestampType)
   * (Spark cannot write TIMESTAMP(NANOS) itself; the int64 variant is
   * byte-identical to what the nanosAsLong read path yields for it.)
   */
@@ -65,10 +66,15 @@ class TablesDriftSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // TIMESTAMP micros / millis, isAdjustedToUTC=true
     writeVariant(s"$base/utc_us", timestamp_micros($"tsMicros"), Some("TIMESTAMP_MICROS"))
     writeVariant(s"$base/utc_ms", timestamp_micros($"tsMicros"), Some("TIMESTAMP_MILLIS"))
+    // INT96 (legacy Impala/Hive physical type; pandas/arrow writers can
+    // still emit it) — decodes as TimestampType, exercising the loader's
+    // pass-through branch with a fixture the micros variant doesn't
+    writeVariant(s"$base/int96", timestamp_micros($"tsMicros"), Some("INT96"))
 
     assert(loadedMicros(s"$base/nanos") === expected)
     assert(loadedMicros(s"$base/ntz") === expected)
     assert(loadedMicros(s"$base/utc_us") === expected)
+    assert(loadedMicros(s"$base/int96") === expected)
     // millis writer truncates sub-milli micros by design; compare at ms grain
     val ms = loadedMicros(s"$base/utc_ms").map { case (id, us) => (id, us / 1000) }
     assert(ms === expected.map { case (id, us) => (id, us / 1000) })
