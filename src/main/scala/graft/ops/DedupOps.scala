@@ -411,6 +411,56 @@ object DedupOps {
       edges: DataFrame): (DataFrame, Int) = {
     val allNodes = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node"))).distinct()
+    val (e, iter) = starFixpointEdges(edges)
+    // fixpoint edges are disjoint stars (node, min); roots + isolated
+    // nodes label themselves
+    val labeled = allNodes
+      .join(e.select(col("u").as("node"), col("v").as("label")), Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("label"), col("node")).as("component"))
+    (labeled, iter)
+  }
+
+  /** Star-contraction member→root map WITHOUT the self-rows for roots
+    * and isolated nodes: exactly the checkpointed fixpoint edge set,
+    * renamed to the (doc_id, component) contract. Consumers that
+    * attach families via LEFT JOIN + COALESCE(component, doc_id) — the
+    * whole curate_* family — get identical answers from this map (a
+    * root's self-row is redundant there: its id IS its component), and
+    * the plan they execute is a pure read of the checkpointed
+    * fixpoint. [[connectedComponentsStar]]'s full contract needs the
+    * self-rows, and building them re-derives the node universe from
+    * the RAW edge plan — for the curate chain that meant re-executing
+    * the entire minhash band join + verification at result time for
+    * rows the join was about to coalesce away.
+    */
+  private[graft] def starMemberMap(edges: DataFrame): DataFrame =
+    starFixpointEdges(edges)._1
+      .select(col("u").as("doc_id"), col("v").as("component"))
+
+  /** Full (doc_id, component) labeling derived PURELY from the
+    * checkpointed fixpoint: member rows straight from the star edges,
+    * each distinct root labeling itself. Identical to
+    * [[connectedComponentsStar]] whenever the input edge relation is
+    * self-loop-free (every dedup pair graph is — doc_a < doc_b
+    * strictly), because then every edge-node appears in some fixpoint
+    * star. The generic labeling instead left-joins a node universe
+    * derived from the RAW edge plan, which re-executes that plan
+    * (band join + verification, for the LSH graphs) at result time;
+    * this variant's result plan reads only checkpointed blocks.
+    */
+  private[graft] def starLabels(edges: DataFrame): DataFrame = {
+    val e = starFixpointEdges(edges)._1
+    e.select(col("u").as("doc_id"), col("v").as("component"))
+      .union(e.select(col("v").as("doc_id"), col("v").as("component")).distinct())
+  }
+
+  /** The alternating large/small-star contraction loop itself: returns
+    * the CHECKPOINTED fixpoint edge set (disjoint stars, big→small
+    * orientation) and the round count. Shared by the full-contract
+    * labeling and [[starMemberMap]].
+    */
+  private[graft] def starFixpointEdges(edges: DataFrame): (DataFrame, Int) = {
     // Lineage truncation per round: each round's plan references the
     // previous round's edge relation ~6 times (two neighbor unions, two
     // min-aggregations, two joins), so carrying logical lineage across
@@ -437,12 +487,17 @@ object DedupOps {
       val mins = nbrs.groupBy("u")
         .agg(least(min(col("v")), col("u")).as("m"))
       val withM = nbrs.join(mins, "u")
-      // large-star: (v, m) for v ∈ N(u), v > u
-      val large = withM.filter(col("v") > col("u"))
+      // large-star: (v, m) for v ∈ N(u), v > u. NOT checkpointed:
+      // the small-star phase references this relation several times
+      // (self-union + aggregation + join), but every reference shares
+      // the same distinct-aggregate exchange and ReuseExchange computes
+      // it once — so the whole round materializes in ONE job (next's
+      // eager checkpoint) instead of two, and lineage growth across
+      // rounds is still cut by that checkpoint.
+      val afterLarge = withM.filter(col("v") > col("u"))
         .select(col("v").as("lu"), col("m").as("lv"))
-      val afterLarge = large.filter(col("lu") =!= col("lv"))
+        .filter(col("lu") =!= col("lv"))
         .select(col("lu").as("u"), col("lv").as("v")).distinct()
-        .localCheckpoint(true)
       val nbrs2 = afterLarge.select(col("u"), col("v"))
         .union(afterLarge.select(col("v").as("u"), col("u").as("v")))
       val mins2 = nbrs2.groupBy("u")
@@ -464,26 +519,18 @@ object DedupOps {
         .groupBy("u", "v").count()
         .filter(col("count") === 1)
         .limit(1).count()
-      // Dataset.unpersist would be a no-op on these checkpointed
-      // relations (see dropLocalCheckpoint) — drop the superseded
-      // round's blocks explicitly. `next` (checkpointed from
-      // afterLarge's blocks) and the diff count are both materialized
-      // at this point, so neither relation can be read again.
+      // Dataset.unpersist would be a no-op on this checkpointed
+      // relation (see dropLocalCheckpoint) — drop the superseded
+      // round's blocks explicitly. `next` and the diff count are both
+      // materialized at this point, so `e` cannot be read again.
       dropLocalCheckpoint(e)
-      dropLocalCheckpoint(afterLarge)
       e = next
       converged = diff == 0
       iter += 1
     }
     require(converged,
       s"star contraction did not converge within $iter iterations")
-    // fixpoint edges are disjoint stars (node, min); roots + isolated
-    // nodes label themselves
-    val labeled = allNodes
-      .join(e.select(col("u").as("node"), col("v").as("label")), Seq("node"), "left")
-      .select(col("node").as("doc_id"),
-        coalesce(col("label"), col("node")).as("component"))
-    (labeled, iter)
+    (e, iter)
   }
 
   /** Recursive-CTE transitive closure — the oracle twin of
@@ -597,11 +644,19 @@ object DedupOps {
       md5(concat(lit(s"$b~"), element_at(col("sig"), 2 * b + 1).cast("string"),
         lit("|"), element_at(col("sig"), 2 * b + 2).cast("string")))): _*)
     val bands = mh.select(col("doc_id"), explode(bandKeys).as("band_key")).persist()
+    // Candidate dedup partitioned on doc_a ALONE: hash(doc_a)
+    // co-locates every copy of a (doc_a, doc_b) pair, so it satisfies
+    // the distinct aggregate's clustered distribution — and it is
+    // exactly the partitioning the first verification join needs, so
+    // the pair set flows into that join with NO additional exchange
+    // (a bare .distinct() would hash on (doc_a, doc_b) and force a
+    // second full shuffle of the candidate set for the join).
     val pairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .repartition(col("doc_a"))
+      .dropDuplicates("doc_a", "doc_b")
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -695,7 +750,12 @@ object DedupOps {
         // prune (the first shared token always passes for true pairs)
         lit(1) + least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")) >=
           expr(s"($p * (n_a + n_b) + ${p + q - 1}) div ${p + q}"))
-      .select("doc_a", "doc_b", "n_a", "n_b").distinct()
+      .select("doc_a", "doc_b", "n_a", "n_b")
+      // same exchange-elision as the band join: dedup partitioned on
+      // doc_a alone (n_a/n_b are functions of the pair), pre-located
+      // for the doc_a verification join
+      .repartition(col("doc_a"))
+      .dropDuplicates("doc_a", "doc_b", "n_a", "n_b")
     val iv = cand
       .join(ss.select(col("doc_id").as("doc_a"), col("shingles").as("st_a")), Seq("doc_a"))
       .join(ss.select(col("doc_id").as("doc_b"), col("shingles").as("st_b")), Seq("doc_b"))
@@ -785,7 +845,10 @@ object DedupOps {
       s"""WITH pairs AS ($minhashPairsSql),
          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
          |${componentsSql("edges")}""".stripMargin) { (s, dir) =>
-      connectedComponentsStar(minhashPairsDf(s, dir)
+      // fixpoint-derived labeling (LSH edges are self-loop-free): the
+      // result plan reads only the checkpointed star edges instead of
+      // re-executing the band join for the node universe
+      starLabels(minhashPairsDf(s, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b")))
     },
 
@@ -956,10 +1019,13 @@ object DedupOps {
          |SELECT comp_size, count(*) AS n_components
          |FROM sz GROUP BY comp_size""".stripMargin) { (s, dir) =>
       // star contraction (O(log n) rounds), same contract/oracle as the
-      // propagation variant — the faster formulation, as in curate_neardup
-      connectedComponentsStar(minhashPairsDf(s, dir)
+      // propagation variant — the faster formulation, as in curate_neardup.
+      // Sized from the member map alone: every family contributes its
+      // root exactly once, so comp_size = member count + 1, and the
+      // histogram plan reads only the checkpointed fixpoint edges.
+      starMemberMap(minhashPairsDf(s, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b")))
-        .groupBy("component").agg(count(lit(1)).as("comp_size"))
+        .groupBy("component").agg((count(lit(1)) + 1).as("comp_size"))
         .groupBy("comp_size").agg(count(lit(1)).as("n_components"))
     },
 

@@ -573,7 +573,7 @@ object TextOps {
       // component) contract and oracle, O(log n) rounds instead of
       // O(diameter) — measurably faster on this pair graph and the
       // formulation the composed pipeline would ship at 100 TB
-      val comp = DedupOps.connectedComponentsStar(
+      val comp = DedupOps.starMemberMap(
         DedupOps.minhashPairsDf(s, dir)
           .select(col("doc_a").as("a"), col("doc_b").as("b")))
         .withColumnRenamed("doc_id", "cid")
@@ -617,7 +617,7 @@ object TextOps {
          |SELECT doc_id, family, n_tokens, quality,
          |  ${splitSql("doc_id")} AS split
          |FROM r WHERE rn = 1 AND quality >= $QualityMin""".stripMargin) { (s, dir) =>
-      val comp = DedupOps.connectedComponentsStar(
+      val comp = DedupOps.starMemberMap(
         DedupOps.minhashPairsDf(s, dir)
           .select(col("doc_a").as("a"), col("doc_b").as("b")))
         .withColumnRenamed("doc_id", "cid")
@@ -663,7 +663,7 @@ object TextOps {
          |  CAST(count(DISTINCT ${splitSql("doc_id")})
          |    OVER (PARTITION BY family) AS BIGINT) AS naive_spread
          |FROM fam""".stripMargin) { (s, dir) =>
-      val comp = DedupOps.connectedComponentsStar(
+      val comp = DedupOps.starMemberMap(
         DedupOps.minhashPairsDf(s, dir)
           .select(col("doc_a").as("a"), col("doc_b").as("b")))
         .withColumnRenamed("doc_id", "cid")
