@@ -644,19 +644,20 @@ object DedupOps {
       md5(concat(lit(s"$b~"), element_at(col("sig"), 2 * b + 1).cast("string"),
         lit("|"), element_at(col("sig"), 2 * b + 2).cast("string")))): _*)
     val bands = mh.select(col("doc_id"), explode(bandKeys).as("band_key")).persist()
-    // Candidate dedup partitioned on doc_a ALONE: hash(doc_a)
-    // co-locates every copy of a (doc_a, doc_b) pair, so it satisfies
-    // the distinct aggregate's clustered distribution — and it is
-    // exactly the partitioning the first verification join needs, so
-    // the pair set flows into that join with NO additional exchange
-    // (a bare .distinct() would hash on (doc_a, doc_b) and force a
-    // second full shuffle of the candidate set for the join).
+    // Candidate dedup via plain distinct(), NOT repartition(doc_a) +
+    // dropDuplicates: partitioning on doc_a alone would let the pair
+    // set flow into the doc_a verification join with no further
+    // exchange, but an explicit repartition suppresses the MAP-SIDE
+    // partial dedup, so the exchange would carry every band-duplicated
+    // candidate (up to Bands copies of a true near-dup pair) — more
+    // shuffled bytes than the exchange it saves, and it forces that
+    // exchange even when AQE broadcasts the verification join (A/B
+    // measured slower at sf0.1).
     val pairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .repartition(col("doc_a"))
-      .dropDuplicates("doc_a", "doc_b")
+      .distinct()
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -751,11 +752,9 @@ object DedupOps {
         lit(1) + least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")) >=
           expr(s"($p * (n_a + n_b) + ${p + q - 1}) div ${p + q}"))
       .select("doc_a", "doc_b", "n_a", "n_b")
-      // same exchange-elision as the band join: dedup partitioned on
-      // doc_a alone (n_a/n_b are functions of the pair), pre-located
-      // for the doc_a verification join
-      .repartition(col("doc_a"))
-      .dropDuplicates("doc_a", "doc_b", "n_a", "n_b")
+      // plain distinct, for the same map-side-partial-dedup reason as
+      // the band join's candidate set
+      .distinct()
     val iv = cand
       .join(ss.select(col("doc_id").as("doc_a"), col("shingles").as("st_a")), Seq("doc_a"))
       .join(ss.select(col("doc_id").as("doc_b"), col("shingles").as("st_b")), Seq("doc_b"))
