@@ -559,14 +559,28 @@ object DedupOps {
     * verify machinery over base ∪ incoming instead of the augmented
     * fixture corpus.
     */
-  private[graft] def minhashPairsSqlOver(corpusSql: String): String = {
+  private[graft] def minhashPairsSqlOver(corpusSql: String): String =
+    s"""WITH ${minhashCoreCtes(corpusSql)}
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT p.doc_a, p.doc_b, ${jaccardSql("x.shingles", "y.shingles")} AS jaccard
+       |  FROM pairs p JOIN sh x ON p.doc_a = x.doc_id JOIN sh y ON p.doc_b = y.doc_id) t
+       |WHERE jaccard >= 0.5""".stripMargin
+
+  /** The shared WITH-body of the minhash oracle chain — docs_aug →
+    * tokens → shingle sets (`sh`) → signatures (`mh`) → band keys →
+    * candidate `pairs` — factored out so queries that need the
+    * INTERMEDIATE relations (dedup_minhash_est reads both `mh` and
+    * `sh`) splice the identical CTEs instead of restating the
+    * machinery (which could then drift from the production pair SQL).
+    */
+  private[graft] def minhashCoreCtes(corpusSql: String): String = {
     val sig = (0 until MinhashK)
       .map(j => s"list_min(list_transform(hh, h -> (${MinhashA(j)} * h + ${MinhashB(j)}) % $MinhashP))")
       .mkString("[", ",\n      ", "]")
     val bandKeys = (0 until Bands)
       .map(b => s"md5('$b~' || sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])")
       .mkString("[", ",\n      ", "]")
-    s"""WITH docs_aug AS ($corpusSql),
+    s"""docs_aug AS ($corpusSql),
        |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM docs_aug),
        |sh AS (
        |  SELECT doc_id, list_distinct(list_transform($shingles3Sql,
@@ -580,11 +594,7 @@ object DedupOps {
        |bands AS (SELECT doc_id, unnest($bandKeys) AS band_key FROM mh),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, jaccard FROM (
-       |  SELECT p.doc_a, p.doc_b, ${jaccardSql("x.shingles", "y.shingles")} AS jaccard
-       |  FROM pairs p JOIN sh x ON p.doc_a = x.doc_id JOIN sh y ON p.doc_b = y.doc_id) t
-       |WHERE jaccard >= 0.5""".stripMargin
+       |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
   }
 
   /** MinHash+LSH near-dup pairs, Spark side (the twin of
@@ -627,19 +637,25 @@ object DedupOps {
   /** [[minhashPairsOver]] over a prebuilt (doc_id, shingles) relation
     * (callers persist it — it is referenced three times here).
     */
-  private[graft] def minhashPairsOverSets(sh: DataFrame): DataFrame = {
-    // signature = ONE generated loop over the shingle array
-    // (MinHashSigExpr) rather than MinhashK interpreted
-    // transform+array_min passes — the oracle keeps the per-permutation
-    // list_min formulation (semantics proven identical, see the
-    // expression's doc + MinHashSigSpec's equivalence pin)
+  /** (doc_id, sig) over a (doc_id, shingles) relation. The signature is
+    * ONE generated loop over the shingle array (MinHashSigExpr) rather
+    * than MinhashK interpreted transform+array_min passes — the oracle
+    * keeps the per-permutation list_min formulation (semantics proven
+    * identical, see the expression's doc + MinHashSigSpec's
+    * equivalence pin).
+    */
+  private[graft] def minhashSigs(sh: DataFrame): DataFrame = {
     val sig = org.apache.spark.sql.GraftColumnShim.column(
       graft.functions.MinHashSigExpr(
         org.apache.spark.sql.GraftColumnShim.expression(col("shingles")),
         MinhashP,
         (0 until MinhashK).map(MinhashA),
         (0 until MinhashK).map(MinhashB)))
-    val mh = sh.select(col("doc_id"), sig.as("sig"))
+    sh.select(col("doc_id"), sig.as("sig"))
+  }
+
+  private[graft] def minhashPairsOverSets(sh: DataFrame): DataFrame = {
+    val mh = minhashSigs(sh)
     val bandKeys = array((0 until Bands).map(b =>
       md5(concat(lit(s"$b~"), element_at(col("sig"), 2 * b + 1).cast("string"),
         lit("|"), element_at(col("sig"), 2 * b + 2).cast("string")))): _*)
@@ -820,6 +836,46 @@ object DedupOps {
     // Candidates share a band key over signature pairs; verified with
     // exact Jaccard.
     Q("dedup_minhash_lsh", minhashPairsSql)(minhashPairsDf),
+
+    // MinHash ACCURACY evidence: for every verified near-dup pair, the
+    // signature-agreement estimate of Jaccard (matching permutations
+    // / K — the estimator banding theory is built on, E[est] = J) next
+    // to the exact shingle-set Jaccard, plus the absolute error. The
+    // vector indexes have their recall matrix (sim_ann_recall*) and
+    // the band generator has dedup_lsh_recall; this measures the
+    // remaining approximation in the family — how good the SIGNATURES
+    // themselves are. Scale shape: the verified pair list is the
+    // already-bucketed pipeline; signatures attach by two doc_id hash
+    // joins; est is a K-length array comparison per pair. est and
+    // abs_err are single IEEE divides/subtractions on integer-exact
+    // operands — bit-identical cross-engine.
+    Q("dedup_minhash_est",
+      s"""WITH ${minhashCoreCtes(docsAugSql)},
+         |verified AS (
+         |  SELECT doc_a, doc_b, jaccard FROM (
+         |    SELECT p.doc_a, p.doc_b,
+         |      ${jaccardSql("x.shingles", "y.shingles")} AS jaccard
+         |    FROM pairs p JOIN sh x ON p.doc_a = x.doc_id
+         |                 JOIN sh y ON p.doc_b = y.doc_id) t
+         |  WHERE jaccard >= 0.5)
+         |SELECT doc_a, doc_b, jaccard, est, abs(est - jaccard) AS abs_err
+         |FROM (
+         |  SELECT v.doc_a, v.doc_b, v.jaccard,
+         |    CAST(len(list_filter(range(1, ${MinhashK + 1}),
+         |      i -> a.sig[i] = b.sig[i])) AS DOUBLE) / $MinhashK AS est
+         |  FROM verified v JOIN mh a ON v.doc_a = a.doc_id
+         |                  JOIN mh b ON v.doc_b = b.doc_id) z""".stripMargin) {
+      (s, dir) =>
+      val sets = shingleSets(docsAug(s, dir)).persist()
+      val mh = minhashSigs(sets)
+      val est = (size(filter(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => x === y), b => b)).cast(DoubleType) / MinhashK).as("est")
+      minhashPairsOverSets(sets)
+        .join(mh.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(mh.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"), est)
+        .withColumn("abs_err", abs(col("est") - col("jaccard")))
+    },
 
     // Near-dup CLUSTERING: the MinHash pair list reduced to what
     // production dedup actually consumes — one canonical doc per group

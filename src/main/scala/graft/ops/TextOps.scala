@@ -1093,6 +1093,66 @@ object TextOps {
           (lit(1.0) - col("n_uniq").cast(DoubleType) / col("n_tokens")).as("dup_ratio"))
     },
 
+    // ── Gopher-style composite document filter ──────────────────────
+    // The MassiveText quality rules (Rae et al. 2021, A1.1) restated
+    // over this corpus's signals: token-count bounds, mean word
+    // length band, alphabetic-word fraction, a stopword floor, and
+    // the duplicate-3-gram fraction — each rule a column, plus the
+    // conjunction as the keep/drop verdict, so a pipeline can both
+    // filter on the verdict and AUDIT which rule fired per document.
+    // Thresholds are tuned to this corpus's measured distributions
+    // (the published 50-token floor would pass/fail nothing here —
+    // a filter that never fires is untested code). Scale shape: ONE
+    // scan, every signal an array expression over the token list (no
+    // explode, no join, no shuffle) — at 100 TB this runs entirely
+    // inside the scan stage's codegen. Double divisions are single
+    // IEEE ops on integer-exact operands — bit-identical cross-engine.
+    Q("text_gopher_quality", {
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(tokens) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_transform(tokens, t -> len(t))) AS DOUBLE)
+         |      / len(tokens) AS mean_word_len,
+         |    CAST(len(list_filter(tokens, t -> regexp_matches(t, '[a-z]')))
+         |      AS DOUBLE) / len(tokens) AS alpha_frac,
+         |    ${sqlCountIn("tokens", stopwords)} AS n_stop,
+         |    CASE WHEN len(tokens) >= 3 THEN
+         |      1.0 - CAST(len(${DedupOps.shingles3Sql}) AS DOUBLE)
+         |        / (len(tokens) - 2)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS dup3_frac
+         |  FROM t)
+         |SELECT doc_id, n_tokens, mean_word_len, alpha_frac, n_stop, dup3_frac,
+         |  CASE WHEN n_tokens BETWEEN 20 AND 1000
+         |        AND mean_word_len BETWEEN 3.8 AND 10.0
+         |        AND alpha_frac >= 0.8
+         |        AND n_stop >= 1
+         |        AND dup3_frac <= 0.05
+         |       THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM m""".stripMargin
+    }) { (s, dir) =>
+      val toks = tokens(col("text"))
+      val n = size(toks).cast(LongType)
+      val meanLen = aggregate(transform(toks, t => length(t).cast(LongType)),
+        lit(0L), (a, x) => a + x).cast(DoubleType) / n
+      val alphaFrac =
+        size(filter(toks, t => t.rlike("[a-z]"))).cast(DoubleType) / n
+      val dup3 = when(n >= 3,
+        lit(1.0) - size(DedupOps.shingles3(toks)).cast(DoubleType) / (n - 2))
+        .otherwise(lit(0.0))
+      docs(s, dir)
+        .select(col("doc_id"), n.as("n_tokens"), meanLen.as("mean_word_len"),
+          alphaFrac.as("alpha_frac"),
+          countIn(toks, stopwords).as("n_stop"), dup3.as("dup3_frac"))
+        .withColumn("verdict",
+          when(col("n_tokens").between(20, 1000) &&
+            col("mean_word_len").between(3.8, 10.0) &&
+            col("alpha_frac") >= 0.8 &&
+            col("n_stop") >= 1 &&
+            col("dup3_frac") <= 0.05, "keep").otherwise("drop"))
+    },
+
     // ── count-min sketch (bounded-memory frequency estimation) ──────
     // The heavy-hitter sketch: token counts folded into a fixed
     // d=3 x w=1024 cell grid (three independent hash rows), probed for
