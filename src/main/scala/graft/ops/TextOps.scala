@@ -621,18 +621,30 @@ object TextOps {
         DedupOps.minhashPairsDf(s, dir)
           .select(col("doc_a").as("a"), col("doc_b").as("b")))
         .withColumnRenamed("doc_id", "cid")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("family").orderBy(col("quality").desc, col("doc_id"))
+      // Per-family argmax as a hash AGGREGATE (max over a struct whose
+      // fields are the ordering), not a row_number window: partial
+      // aggregation map-side, no per-partition sort, same one shuffle.
+      // The comparison key replays the oracle's ORDER BY quality DESC
+      // NULLS LAST, doc_id: coalesce(quality, -1) ranks every real
+      // score above a NULL one (quality is non-negative; an all-NULL
+      // family's winner fails the floor either way), and -doc_id
+      // breaks ties toward the LOWEST id. negid is unique, so the
+      // payload fields after it never decide a comparison.
       DedupOps.docsAug(s, dir)
         .join(comp, col("doc_id") === col("cid"), "left")
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("family"),
           size(tokens(col("text"))).cast(LongType).as("n_tokens"),
           qualityCol(col("text")).as("quality"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("quality") >= QualityMin)
-        .select(col("doc_id"), col("family"), col("n_tokens"), col("quality"),
-          splitCol(col("doc_id")).as("split"))
+        .groupBy("family")
+        .agg(max(struct(
+          coalesce(col("quality"), lit(-1.0)).as("qkey"),
+          (-col("doc_id")).as("negid"),
+          col("doc_id"), col("n_tokens"), col("quality"))).as("w"))
+        .filter(col("w.quality") >= QualityMin)
+        .select(col("w.doc_id").as("doc_id"), col("family"),
+          col("w.n_tokens").as("n_tokens"), col("w.quality").as("quality"),
+          splitCol(col("w.doc_id")).as("split"))
     },
 
     // ── leakage-free train/val/test split across near-dup families ──
