@@ -1144,16 +1144,29 @@ object TextOps {
          |       THEN 'keep' ELSE 'drop' END AS verdict
          |FROM m""".stripMargin
     }) { (s, dir) =>
-      val toks = tokens(col("text"))
+      // tokens MATERIALIZED in their own projection, not inlined: the
+      // 3-gram lambda references the token array four times per
+      // position, and an inline split(text) gets re-evaluated at every
+      // reference (measured: the inline form cost 3.9s of a 4.0s query
+      // at sf0.1; this shape runs in ~0.4s — same discipline as
+      // DedupOps.shingleSets)
+      val toks = col("toks")
       val n = size(toks).cast(LongType)
       val meanLen = aggregate(transform(toks, t => length(t).cast(LongType)),
         lit(0L), (a, x) => a + x).cast(DoubleType) / n
-      val alphaFrac =
-        size(filter(toks, t => t.rlike("[a-z]"))).cast(DoubleType) / n
+      // letter test via translate, not an RLike in the lambda (a regex
+      // predicate recompiles per element under interpreted HOF eval):
+      // stripping [a-z] changes a token iff it contains a letter —
+      // the same predicate the oracle's regexp_matches(t, '[a-z]')
+      // evaluates
+      val alphaFrac = size(filter(toks,
+        t => translate(t, "abcdefghijklmnopqrstuvwxyz", "") =!= t))
+        .cast(DoubleType) / n
       val dup3 = when(n >= 3,
         lit(1.0) - size(DedupOps.shingles3(toks)).cast(DoubleType) / (n - 2))
         .otherwise(lit(0.0))
       docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), n.as("n_tokens"), meanLen.as("mean_word_len"),
           alphaFrac.as("alpha_frac"),
           countIn(toks, stopwords).as("n_stop"), dup3.as("dup3_frac"))
