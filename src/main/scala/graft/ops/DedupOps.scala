@@ -1290,6 +1290,91 @@ object DedupOps {
         .filter(col("jaccard") >= 0.6)
     },
 
+    // Cross-document duplicated-SPAN fraction — the per-document signal
+    // behind exact-substring dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better", restated set-wise
+    // over word 5-grams instead of a suffix array): for each doc, the
+    // fraction of its distinct 5-gram spans that also occur in at
+    // least one OTHER document. A doc whose spans are mostly shared is
+    // boilerplate/copy even when no single whole-doc pair crosses a
+    // Jaccard threshold — this catches N-way partial overlap that
+    // pairwise dedup misses. Scale shape: grams are md5-hashed to
+    // 60-bit ints AT THE SCAN (same discipline as the minhash chain —
+    // shuffles carry 8-byte ints, never gram strings); corpus-wide
+    // doc-frequency is ONE map-side-combinable hash agg on the gram
+    // key; spans rejoin their df by the same key; the per-doc rollup
+    // is a second hash agg on doc_id. No all-pairs anywhere — cost is
+    // O(total spans), the same asymptotics as the suffix-array pass.
+    // dup_frac is one IEEE division of integer-exact operands —
+    // bit-identical cross-engine. (The oracle dedups gram STRINGS
+    // while Spark dedups their 60-bit hashes; a disagreement needs an
+    // md5 collision inside one document's span set.)
+    Q("dedup_span_frac", {
+      // single line: a multi-line fragment would be re-margined by the
+      // enclosing stripMargin and its leading '||' corrupted
+      val grams5 =
+        "list_distinct(list_transform(range(1, len(tokens) - 3), " +
+          "i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]" +
+          " || ' ' || tokens[i+3] || ' ' || tokens[i+4]))"
+      s"""WITH docs_aug AS ($docsAugSql),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM docs_aug),
+         |g AS (
+         |  SELECT doc_id, unnest($grams5) AS gram
+         |  FROM t WHERE len(tokens) >= 5),
+         |df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+         |pd AS (
+         |  SELECT g.doc_id,
+         |         count(*) AS n_grams,
+         |         CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM g JOIN df ON g.gram = df.gram
+         |  GROUP BY g.doc_id)
+         |SELECT t.doc_id,
+         |  COALESCE(pd.n_grams, 0) AS n_grams,
+         |  COALESCE(pd.n_dup, 0) AS n_dup,
+         |  CASE WHEN COALESCE(pd.n_grams, 0) > 0
+         |       THEN CAST(pd.n_dup AS DOUBLE) / pd.n_grams
+         |       ELSE CAST(0.0 AS DOUBLE) END AS dup_frac,
+         |  CASE WHEN COALESCE(pd.n_grams, 0) > 0
+         |        AND CAST(pd.n_dup AS DOUBLE) / pd.n_grams >= 0.5
+         |       THEN 'flag' ELSE 'keep' END AS verdict
+         |FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id""".stripMargin
+    }) { (s, dir) =>
+      // tokens materialized in their own projection (the 5-gram lambda
+      // references the array five times per position — same discipline
+      // as text_gopher_quality / shingleSets)
+      val toks = col("tokens")
+      val grams5 = array_distinct(transform(sequence(lit(1), size(toks) - 4), i =>
+        Cols.hex60(concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3), element_at(toks, i + 4)))))
+      val spans = docsAug(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+        .select(col("doc_id"),
+          when(size(toks) >= 5, grams5)
+            .otherwise(array().cast("array<bigint>")).as("grams"))
+        .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+        .persist()
+      val df = spans.filter(col("gram").isNotNull)
+        .groupBy("gram").agg(count(lit(1)).as("df"))
+      val out = spans.join(df, Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(col("gram")).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).cast(LongType).as("n_dup"))
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+        .withColumn("dup_frac",
+          when(col("n_grams") > 0,
+            col("n_dup").cast(DoubleType) / col("n_grams"))
+            .otherwise(lit(0.0)))
+        .withColumn("verdict",
+          when(col("n_grams") > 0 && col("dup_frac") >= 0.5, "flag")
+            .otherwise("keep"))
+      // spans stays cached while the result is consumed (it feeds both
+      // the df agg and the rejoin) — released by the caller's
+      // clearCache per the SparkEntry caching contract.
+      out
+    },
+
     // Dedup CLUSTERING: pair lists are not actionable — production
     // dedup keeps ONE canonical doc per group of transitively-linked
     // near-duplicates. Edges = the exact-dup digest groups (every doc

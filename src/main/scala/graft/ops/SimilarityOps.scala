@@ -473,6 +473,67 @@ object SimilarityOps {
       scored.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= 5)
     },
 
+    // HARD-NEGATIVE MINING — the contrastive-training companion to
+    // top-k retrieval (FaceNet / DPR style): for each anchor (the
+    // first NumQueries corpus vectors, with their labels), the 3
+    // OTHER-label vectors most cosine-similar to it — the negatives a
+    // contrastive loss learns most from — plus the anchor's hardest
+    // POSITIVE score (same-label max cosine) and the semi-hard flag
+    // (neg score strictly below the hardest positive: the FaceNet
+    // band that avoids collapsed training). Scale shape: the anchor
+    // set is bounded and broadcast; the corpus streams through ONE
+    // scan feeding both the negative ranking and the positive max
+    // (per-anchor top-k / max, never an all-pairs shuffle). At
+    // production scale the candidate stream would come from the IVF/
+    // LSH index instead of the full scan — same downstream shape.
+    // score, pos_score are the VectorFns bit-identical cosine chain;
+    // the flag is an exact comparison of those reproducible doubles.
+    Q("sim_hard_negatives",
+      s"""WITH v AS (SELECT vec_id, ${sqlToDouble("embedding")} AS emb, label FROM embeddings),
+         |n AS (SELECT vec_id, emb, label, ${sqlNormSq("emb")} AS nsq FROM v),
+         |q AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_label, nsq AS q_nsq
+         |      FROM n WHERE vec_id < $NumQueries),
+         |pos AS (
+         |  SELECT q.q_id, max(${sqlCosine(sqlDot("q.q_emb", "c.emb"), "q.q_nsq", "c.nsq")}) AS pos_score
+         |  FROM q JOIN n c ON c.label = q.q_label AND c.vec_id <> q.q_id
+         |  GROUP BY q.q_id),
+         |neg AS (
+         |  SELECT q.q_id, q.q_label, c.vec_id, c.label AS neg_label,
+         |         ${sqlCosine(sqlDot("q.q_emb", "c.emb"), "q.q_nsq", "c.nsq")} AS score
+         |  FROM q JOIN n c ON c.label <> q.q_label)
+         |SELECT t.q_id, q_label, vec_id, neg_label, score, pos_score,
+         |       CAST(CASE WHEN score < pos_score THEN 1 ELSE 0 END AS BIGINT) AS semi_hard,
+         |       CAST(rk AS BIGINT) AS rk
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
+         |  FROM neg) t
+         |JOIN pos ON pos.q_id = t.q_id
+         |WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      val n = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
+        .withColumn("nsq", normSq(col("emb")))
+      val q = n.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+          col("label").as("q_label"), col("nsq").as("q_nsq"))
+      val pos = n.join(broadcast(q),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+        .groupBy("q_id")
+        .agg(max(cosine(dot(col("q_emb"), col("emb")),
+          col("q_nsq"), col("nsq"))).as("pos_score"))
+      val neg = n.join(broadcast(q), col("label") =!= col("q_label"))
+        .select(col("q_id"), col("q_label"), col("vec_id"),
+          col("label").as("neg_label"),
+          cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score"))
+      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+      neg.withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 3)
+        .join(broadcast(pos), Seq("q_id"))
+        .select(col("q_id"), col("q_label"), col("vec_id"), col("neg_label"),
+          col("score"), col("pos_score"),
+          when(col("score") < col("pos_score"), 1L).otherwise(0L).as("semi_hard"),
+          col("rk"))
+    },
+
     // ANN: queries are PERTURBED copies of the first NumQueries corpus
     // vectors (first element +0.01) — each query therefore has a genuine
     // near-neighbor in the corpus, almost always sharing its LSH bucket,
