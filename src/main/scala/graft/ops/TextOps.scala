@@ -64,6 +64,13 @@ object TextOps {
     */
   val NumShards = 16
 
+  /** Per-language cutoff-estimation sample size for text_ccnet_buckets:
+    * the k smallest-hash docs per language stand in for CCNet's
+    * distribution-estimation subset. Bounded by construction — the
+    * cutoff relation is O(langs · k) at any corpus size.
+    */
+  val CcnetSampleK = 99
+
   /** Per-source document cap for `q_source_cap` (per-domain quota). */
   val SourceCap = 15
 
@@ -1337,6 +1344,120 @@ object TextOps {
         (col("n_tokens").cast(DoubleType) / col("tot_tokens")).as("share"),
         (col("tot_tokens").cast(DoubleType) / (col("n_langs") * col("n_tokens")))
           .as("weight"))
+    },
+
+    // ── temperature-scaled mixture (multilingual up/down-sampling) ──
+    // The α-temperature sampler multilingual LM training uses to keep
+    // low-resource languages from vanishing (Conneau & Lample 2019 /
+    // mT5): p_l ∝ share_l^α, here α = 1/2 so the exponent is sqrt —
+    // IEEE-correctly-rounded in BOTH engines, unlike pow(x, 0.3),
+    // whose cross-engine bit-identity is not guaranteed. weight =
+    // p_temp/share is the per-token resampling factor (>1 upsamples a
+    // low-resource language). The normalizer z = Σ_l sqrt(share_l) is
+    // a DOUBLE sum, which is order-sensitive — so both engines fold it
+    // sequentially over the lang-sorted list (Spark `aggregate` /
+    // DuckDB `list_reduce`), making it bit-identical by construction.
+    // Scale shape: identical to q_mix_weights — one map-side-
+    // combinable agg to a |langs|-bounded relation; everything after
+    // is arithmetic on that bounded set (1-row broadcast attaches).
+    Q("q_mix_temperature",
+      """WITH pl AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM pl),
+        |sh AS (
+        |  SELECT lang, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / tot_tokens AS share,
+        |    sqrt(CAST(n_tokens AS DOUBLE) / tot_tokens) AS sq
+        |  FROM pl, tot),
+        |z AS (
+        |  SELECT list_reduce(
+        |    list_transform(list_sort(list(struct_pack(lang := lang, sq := sq))),
+        |      x -> x.sq), (a, b) -> a + b) AS z
+        |  FROM sh)
+        |SELECT lang, n_tokens, share,
+        |  sq / z AS p_temp,
+        |  (sq / z) / share AS weight
+        |FROM sh, z""".stripMargin) { (s, dir) =>
+      val pl = docs(s, dir)
+        .groupBy("lang")
+        .agg(sum(size(tokens(col("text"))).cast(LongType)).as("n_tokens"))
+        .persist()
+      val tot = pl.agg(sum("n_tokens").as("tot_tokens"))
+      val sh = pl.crossJoin(broadcast(tot)).select(
+        col("lang"), col("n_tokens"),
+        (col("n_tokens").cast(DoubleType) / col("tot_tokens")).as("share"))
+        .withColumn("sq", sqrt(col("share")))
+      val z = sh.agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("lang"), col("sq")))),
+            x => x.getField("sq")),
+          lit(0.0), (a, x) => a + x).as("z"))
+      sh.crossJoin(broadcast(z)).select(
+        col("lang"), col("n_tokens"), col("share"),
+        (col("sq") / col("z")).as("p_temp"),
+        ((col("sq") / col("z")) / col("share")).as("weight"))
+    },
+
+    // ── CCNet-style quality terciles (head / middle / tail) ─────────
+    // CCNet (Wenzek et al. 2020) buckets each language's documents
+    // into perplexity terciles and trains on the head; restated over
+    // this corpus's quality score. The SCALE-SAFE formulation: tercile
+    // cutoffs are estimated from a BOUNDED deterministic sample — the
+    // CcnetSampleK docs with the smallest md5 hash per language, via
+    // the TopKAgg aggregator (map-side combine, the shuffle carries
+    // O(langs·k) rows) — then every doc is bucketed by ONE streaming
+    // threshold comparison. Never a per-language window over the full
+    // corpus: a window PARTITION BY lang puts an entire language's 50
+    // TB in one sort partition at production scale; sample-then-
+    // threshold is how CCNet itself applies its cutoffs. Ties at a
+    // cutoff spill into the better bucket (documented CCNet behavior —
+    // buckets are approximately, not exactly, equal). Cutoff values
+    // are exact sampled doubles; comparisons are exact — bit-identical
+    // cross-engine.
+    Q("text_ccnet_buckets", {
+      val negh = s"-(CAST(${graft.OracleSql.hex60("'ccnet|' || CAST(doc_id AS VARCHAR)")} AS DOUBLE))"
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, $qualitySql AS quality, $negh AS negh
+         |  FROM documents),
+         |s AS (
+         |  SELECT lang, quality FROM (
+         |    SELECT lang, quality,
+         |      row_number() OVER (PARTITION BY lang ORDER BY negh DESC, doc_id) AS rn
+         |    FROM q WHERE quality IS NOT NULL) t
+         |  WHERE rn <= $CcnetSampleK),
+         |cut AS (
+         |  SELECT lang,
+         |    qs[CAST(len(qs) - ceil(len(qs) / 3.0) + 1 AS INTEGER)] AS c1,
+         |    qs[CAST(len(qs) - ceil(len(qs) * 2 / 3.0) + 1 AS INTEGER)] AS c2
+         |  FROM (SELECT lang, list_sort(list(quality)) AS qs FROM s GROUP BY lang) t)
+         |SELECT q.doc_id, q.lang, q.quality,
+         |  CASE WHEN q.quality >= c.c1 THEN 'head'
+         |       WHEN q.quality >= c.c2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM q JOIN cut c ON q.lang = c.lang""".stripMargin
+    }) { (s, dir) =>
+      val negH =
+        -(graft.Cols.hex60(concat(lit("ccnet|"), col("doc_id").cast("string")))
+          .cast(DoubleType))
+      val base = docs(s, dir).select(col("doc_id"), col("lang"),
+        qualityCol(col("text")).as("quality"), negH.as("negh"))
+        .persist()
+      val topk = udaf(new graft.functions.TopKAgg(CcnetSampleK))
+      val sampleIds = base.filter(col("quality").isNotNull)
+        .groupBy("lang").agg(topk(col("negh"), col("doc_id")).as("cands"))
+        .select(col("lang"), explode(col("cands.id")).as("doc_id"))
+      val qs = base.join(broadcast(sampleIds), Seq("lang", "doc_id"))
+        .groupBy("lang").agg(sort_array(collect_list(col("quality"))).as("qs"))
+      val m = size(col("qs"))
+      val cut = qs.select(col("lang"),
+        element_at(col("qs"), (m - ceil(m / lit(3.0)) + 1).cast("int")).as("c1"),
+        element_at(col("qs"), (m - ceil(m * 2 / lit(3.0)) + 1).cast("int")).as("c2"))
+      base.join(broadcast(cut), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("quality"),
+          when(col("quality") >= col("c1"), "head")
+            .when(col("quality") >= col("c2"), "middle")
+            .otherwise("tail").as("bucket"))
     },
 
     // ── RAG-style chunking (fixed window + stride, overlap = W - S) ─

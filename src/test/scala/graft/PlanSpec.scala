@@ -84,6 +84,14 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "text_vocab" -> 1,       // 1-row corpus-total attach
     "text_ngram_pmi" -> 1,
     "q_mix_weights" -> 1,
+    // TWO 1-row attaches (corpus-total, then sqrt-sum normalizer); the
+    // total attach is stringified twice because both the normalizer agg
+    // and the final projection reference the shared share relation
+    "q_mix_temperature" -> 3,
+    // corpus x broadcast(10 anchors) for the other-label candidate
+    // stream — the deliberate bounded brute force (sim_topk_brute's
+    // budget rationale); the hardest-positive join hashes on label
+    "sim_hard_negatives" -> 1,
     "q_bm25" -> 1,
     // 5-query dense broadcast + 1-row corpus-stats attach on the df prune
     "q_hybrid_rrf" -> 2,
