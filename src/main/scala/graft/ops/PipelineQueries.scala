@@ -108,7 +108,42 @@ object PipelineQueries {
        |  CAST(sum(${graft.OracleSql.hex60("text")} % 1000003) AS BIGINT) AS text_digest
        |FROM documents GROUP BY lang""".stripMargin
 
+  /** Hive-partitioned layout + partition PRUNING certified by the
+    * oracle: `documents` is rewritten partitioned by `lang`
+    * (directory-per-value — the layout a 100 TB corpus ships in so
+    * per-language jobs never touch other languages' files), read back
+    * with a `lang = 'en'` predicate — which Spark satisfies from
+    * DIRECTORY NAMES alone (PartitionFilters in the scan; non-matching
+    * files are never opened; PartitionPruneSpec pins the plan) — and
+    * reduced to a per-source content digest. DuckDB computes the same
+    * digest over the unpartitioned original WHERE lang='en', so a hash
+    * match proves the partitioned layout preserved every row of the
+    * pruned slice bit-exactly AND that pruning selected exactly the
+    * right slice.
+    */
+  def runPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val root = stagingDir(dir)
+    graft.Tables.load(s, dir, "documents")
+      .write.mode("overwrite").partitionBy("lang")
+      .parquet(s"$root/documents_by_lang.parquet")
+    s.read.parquet(s"$root/documents_by_lang.parquet")
+      .filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("chars_total"),
+        sum(graft.Cols.hex60(col("text")) % lit(1000003L)).cast(LongType)
+          .as("text_digest"))
+  }
+
+  private val partitionPruneOracle: String =
+    s"""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       |  CAST(sum(${graft.OracleSql.hex60("text")} % 1000003) AS BIGINT) AS text_digest
+       |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("pipeline_e2e", MergeQueries.coalesceOracle)(runE2e),
-    Q("q_orc_mirror", orcMirrorOracle)(runOrcMirror))
+    Q("q_orc_mirror", orcMirrorOracle)(runOrcMirror),
+    Q("q_partition_prune", partitionPruneOracle)(runPartitionPrune))
 }
