@@ -627,6 +627,54 @@ object SimilarityOps {
       scored.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= 3)
     },
 
+    // IVF index PERSISTENCE: build-once/serve-many is how an ANN index
+    // actually deploys — the quantizer and postings are built in one
+    // batch job, written out, and a separate serving job reloads them
+    // for every query batch. This query certifies that lifecycle: the
+    // centroid table and the CELL-PARTITIONED posting lists (hive
+    // layout on c_id — at scale a probe reads exactly its cell's
+    // directory, the file-level analog of the inverted file) are
+    // written to parquet, reloaded, and served nprobe=1; the oracle is
+    // the in-memory IVF formulation, so a hash match proves the
+    // round-tripped index serves bit-identical results (nested
+    // array<double> embeddings and norms survive the format exactly).
+    Q("sim_index_roundtrip", {
+      s"""WITH v AS ($vectorsSql),
+         |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
+         |cents AS ($centsSql),
+         |cl AS (${assignSql("n", "vec_id")}),
+         |qv AS ($perturbedQueriesSql),
+         |qcl AS (${assignSql("qv", "q_id")}),
+         |s AS (
+         |  SELECT q.q_id, c.vec_id,
+         |         ${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")} AS score
+         |  FROM qcl q JOIN cl c ON c.c_id = q.c_id)
+         |SELECT q_id, vec_id, score, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
+         |  FROM s) t
+         |WHERE rk <= 3""".stripMargin
+    }) { (s, dir) =>
+      val root = s"target/sim_index/${dir.replaceAll("[^0-9A-Za-z.]", "_")}"
+      // BUILD: quantizer + cell-partitioned postings, persisted
+      val n = vectors(s, dir).withColumn("nsq", normSq(col("emb")))
+      val cs = cents(n)
+      cs.write.mode("overwrite").parquet(s"$root/centroids.parquet")
+      assign(n, "vec_id", cs)
+        .write.mode("overwrite").partitionBy("c_id")
+        .parquet(s"$root/postings.parquet")
+      // SERVE: reload the saved index and answer the query batch
+      val rcs = s.read.parquet(s"$root/centroids.parquet")
+      val postings = s.read.parquet(s"$root/postings.parquet")
+      val qcl = assign(perturbedQueries(s, dir), "q_id", rcs)
+        .select(col("q_id"), col("emb").as("q_emb"),
+          col("nsq").as("q_nsq"), col("c_id").as("q_cid"))
+      val scored = postings.join(broadcast(qcl), col("c_id") === col("q_cid"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score"))
+      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+      scored.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= 3)
+    },
+
     // IVF recall@3 against the exact brute-force ground truth — the
     // same evaluation harness as sim_ann_recall{,_mp}, pointed at the
     // IVF probe path, completing the recall matrix over both ANN

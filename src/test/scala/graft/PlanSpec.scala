@@ -64,6 +64,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "sim_topk_brute" -> 1,   // corpus x broadcast(10 queries)
     "sim_ann_ivf" -> 2,      // corpus + query-side centroid assignment
     "sim_ann_recall" -> 1,   // brute-force ground-truth side
+    // query-side centroid assignment against the RELOADED quantizer
+    // (10 queries x 8 centroids), stringified twice through the
+    // broadcast reuse; the posting probe itself is a hash join
+    "sim_index_roundtrip" -> 2,
     "sim_ann_recall_mp" -> 1,
     "sim_ann_recall_ivf" -> 3, // ground truth + 2 centroid assignments
     "sim_ann_recall_ivf_np2" -> 3, // same shape, wider query-side probe
