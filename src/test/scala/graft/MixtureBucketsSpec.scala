@@ -50,21 +50,35 @@ class MixtureBucketsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(rows.map(_._1).distinct.length === rows.length)
     assert(rows.forall(r => Set("head", "middle", "tail")(r._4)))
 
+    // the quality ORDERING across tiers is exact by construction for
+    // every language; the non-empty and balance claims only make sense
+    // once a language has enough docs to fill three tiers (the driver
+    // regenerates fixtures between rounds — a 2-doc language must not
+    // flake the suite)
     rows.groupBy(_._2).foreach { case (lang, grp) =>
       val byBucket = grp.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
-      // thresholds are estimated from a bounded sample, so tercile
-      // sizes are approximate — but every tier must be non-empty and
-      // the quality ORDERING across tiers is exact by construction
-      for (b <- Seq("head", "middle", "tail"))
-        assert(byBucket.contains(b), s"$lang: empty $b tier")
-      assert(byBucket("head").min >= byBucket("middle").max, s"$lang: head/middle overlap")
-      assert(byBucket("middle").min >= byBucket("tail").max, s"$lang: middle/tail overlap")
-      // and approximately balanced (loose band: sample-estimated cutoffs)
-      val m = grp.length.toDouble
-      byBucket.foreach { case (b, qs) =>
-        assert(qs.length >= m / 6 && qs.length <= m / 2,
-          s"$lang: $b tier ${qs.length} of ${grp.length} outside [1/6, 1/2]")
+      def min2(b: String) = byBucket.get(b).map(_.min)
+      def max2(b: String) = byBucket.get(b).map(_.max)
+      for {
+        hiMin <- min2("head"); midMax <- max2("middle")
+      } assert(hiMin >= midMax, s"$lang: head/middle overlap")
+      for {
+        midMin <- min2("middle"); loMax <- max2("tail")
+      } assert(midMin >= loMax, s"$lang: middle/tail overlap")
+      if (grp.length >= 30) {
+        // thresholds are estimated from a bounded sample, so tercile
+        // sizes are approximate — non-empty and loosely balanced
+        for (b <- Seq("head", "middle", "tail"))
+          assert(byBucket.contains(b), s"$lang: empty $b tier")
+        val m = grp.length.toDouble
+        byBucket.foreach { case (b, qs) =>
+          assert(qs.length >= m / 6 && qs.length <= m / 2,
+            s"$lang: $b tier ${qs.length} of ${grp.length} outside [1/6, 1/2]")
+        }
       }
     }
+    // the claim must not pass vacuously: the current fixture has at
+    // least one language big enough for the balance assertions
+    assert(rows.groupBy(_._2).values.exists(_.length >= 30))
   }
 }
