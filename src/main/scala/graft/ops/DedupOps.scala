@@ -723,13 +723,14 @@ object DedupOps {
        |WHERE $q * n_inter >= $p * (n_a + n_b - n_inter)""".stripMargin
 
   /** Spark twin of [[allPairsSqlOver]]. Scale shape: the global
-    * df-rank uses the two-phase Ranks machinery (no single-partition
-    * window over the vocabulary); the per-doc prefix comes out of ONE
-    * doc_id-keyed hash aggregation (collect + sort the bounded
-    * per-doc (rank, token) array, slice the head); the candidate join
-    * keys on the prefix token with the PPJoin length AND positional
-    * filters applied pre-distinct; verification is two hash joins against the compact
-    * per-doc set arrays and a codegen array_intersect per pair.
+    * rarest-first order is the (df, tok) pair itself — no global rank
+    * materialization, no single-partition window over the vocabulary;
+    * the per-doc prefix comes out of ONE doc_id-keyed hash aggregation
+    * (collect + sort the bounded per-doc (df, token) array, slice the
+    * head); the candidate join keys on the prefix token with the
+    * PPJoin length AND positional filters applied pre-distinct;
+    * verification is two hash joins against the compact per-doc set
+    * arrays and a codegen array_intersect per pair.
     */
   private[graft] def allPairsOver(corpus: DataFrame, p: Int, q: Int): DataFrame =
     allPairsOverSets(shingleSets(corpus).persist(), p, q)
@@ -741,10 +742,17 @@ object DedupOps {
   private[graft] def allPairsOverSets(ss: DataFrame, p: Int, q: Int): DataFrame = {
     val sh = ss.select(col("doc_id"), explode(col("shingles")).as("tok"))
     val dfRel = sh.groupBy("tok").agg(count(lit(1)).as("df"))
-    val (rk, _) = Ranks.withGlobalRowNumber(dfRel, "r", col("df").asc, col("tok").asc)
-    val tr = sh.join(rk.select("tok", "r"), "tok")
+    // PPJoin consumes only each doc's tokens in the global rarest-first
+    // ORDER — never the rank VALUES — and (df, tok) is unique per
+    // token, so sorting by the (df, tok) pair IS the rank order. The
+    // r7 formulation materialized dense global row numbers first (the
+    // two-phase Ranks machinery: an extra vocab-wide range shuffle plus
+    // its offsets action) and then sorted by them; sorting by the pair
+    // directly removes that whole job at identical output (AllPairsSpec
+    // re-proves exactness against brute force at every threshold).
+    val tr = sh.join(dfRel, "tok")
     val ranked = tr.groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("r"), col("tok")))).as("rt"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("rt"))
       .withColumn("n", size(col("rt")).cast(LongType))
     val pre = ranked
       .select(col("doc_id"), col("n"),
@@ -959,11 +967,12 @@ object DedupOps {
     // SimHash, sorted neighborhood) with the exact-recall variant.
     // All threshold math is integer (ceil(3n/5) = (3n+4) div 5;
     // jaccard >= 3/5 <=> 5·inter >= 3·union) — nothing to drift
-    // cross-engine. Scale shape: the global df-rank uses the two-phase
-    // Ranks machinery (no single-partition window over the vocabulary),
-    // prefixes explode from a bounded head of each set, the candidate
-    // join keys on the prefix token, and verification is one hash agg
-    // over the candidates' token intersections.
+    // cross-engine. Scale shape: the rarest-first order is the
+    // (df, tok) pair directly (no global rank materialization, no
+    // single-partition window over the vocabulary), prefixes explode
+    // from a bounded head of each set, the candidate join keys on the
+    // prefix token, and verification is one hash agg over the
+    // candidates' token intersections.
     Q("dedup_allpairs",
       allPairsSqlOver("SELECT doc_id, text FROM documents", 3, 5)) { (s, dir) =>
       allPairsOver(Tables.load(s, dir, "documents"), 3, 5)
