@@ -791,6 +791,48 @@ object DedupOps {
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
   }
 
+  /** Per-document cross-corpus duplicated-span fraction over any
+    * (doc_id, text) corpus — the Spark body of `dedup_span_frac`,
+    * factored out so SpanHardNegSpec can property-test it against a
+    * brute-force oracle on arbitrary synthetic corpora. Tokens are
+    * materialized in their own projection (the 5-gram lambda
+    * references the array five times per position — same discipline
+    * as text_gopher_quality / shingleSets); grams are md5-hashed to
+    * 60-bit ints at the scan so shuffles carry fixed-width keys.
+    */
+  private[graft] def spanFracOver(corpus: DataFrame): DataFrame = {
+    val toks = col("tokens")
+    val grams5 = array_distinct(transform(sequence(lit(1), size(toks) - 4), i =>
+      Cols.hex60(concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2),
+        element_at(toks, i + 3), element_at(toks, i + 4)))))
+    val spans = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .select(col("doc_id"),
+        when(size(toks) >= 5, grams5)
+          .otherwise(array().cast("array<bigint>")).as("grams"))
+      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+      .persist()
+    val df = spans.filter(col("gram").isNotNull)
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    // spans stays cached while the result is consumed (it feeds both
+    // the df agg and the rejoin) — released by the caller's
+    // clearCache per the SparkEntry caching contract.
+    spans.join(df, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("gram")).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).cast(LongType).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        when(col("n_grams") > 0,
+          col("n_dup").cast(DoubleType) / col("n_grams"))
+          .otherwise(lit(0.0)))
+      .withColumn("verdict",
+        when(col("n_grams") > 0 && col("dup_frac") >= 0.5, "flag")
+          .otherwise("keep"))
+  }
+
   /** DuckDB twin of [[simhashPairs]] at the fixed 15-bit band maximum
     * (band width is output-invariant — SimBandSpec). Shared by
     * `dedup_simhash` and `dedup_triangles` (which analyzes this pair
@@ -1347,42 +1389,7 @@ object DedupOps {
          |        AND CAST(pd.n_dup AS DOUBLE) / pd.n_grams >= 0.5
          |       THEN 'flag' ELSE 'keep' END AS verdict
          |FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id""".stripMargin
-    }) { (s, dir) =>
-      // tokens materialized in their own projection (the 5-gram lambda
-      // references the array five times per position — same discipline
-      // as text_gopher_quality / shingleSets)
-      val toks = col("tokens")
-      val grams5 = array_distinct(transform(sequence(lit(1), size(toks) - 4), i =>
-        Cols.hex60(concat_ws(" ",
-          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2),
-          element_at(toks, i + 3), element_at(toks, i + 4)))))
-      val spans = docsAug(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
-        .select(col("doc_id"),
-          when(size(toks) >= 5, grams5)
-            .otherwise(array().cast("array<bigint>")).as("grams"))
-        .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
-        .persist()
-      val df = spans.filter(col("gram").isNotNull)
-        .groupBy("gram").agg(count(lit(1)).as("df"))
-      val out = spans.join(df, Seq("gram"), "left")
-        .groupBy("doc_id")
-        .agg(count(col("gram")).as("n_grams"),
-          sum(when(col("df") >= 2, 1L).otherwise(0L)).cast(LongType).as("n_dup"))
-        .select(col("doc_id"), col("n_grams"),
-          coalesce(col("n_dup"), lit(0L)).as("n_dup"))
-        .withColumn("dup_frac",
-          when(col("n_grams") > 0,
-            col("n_dup").cast(DoubleType) / col("n_grams"))
-            .otherwise(lit(0.0)))
-        .withColumn("verdict",
-          when(col("n_grams") > 0 && col("dup_frac") >= 0.5, "flag")
-            .otherwise("keep"))
-      // spans stays cached while the result is consumed (it feeds both
-      // the df agg and the rejoin) — released by the caller's
-      // clearCache per the SparkEntry caching contract.
-      out
-    },
+    }) { (s, dir) => spanFracOver(docsAug(s, dir)) },
 
     // Dedup CLUSTERING: pair lists are not actionable — production
     // dedup keeps ONE canonical doc per group of transitively-linked

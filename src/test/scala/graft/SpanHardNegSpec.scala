@@ -55,6 +55,45 @@ class SpanHardNegSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("spanFracOver equals brute force on random small-vocab corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    // small vocab + short docs force heavy cross-doc 5-gram collisions
+    val vocab = Vector("a", "b", "c", "d")
+    val corpus = (1L to 60L).map { id =>
+      val n = 3 + rnd.nextInt(10) // some docs below the 5-token floor
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+
+    def brute(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+      val sets = docs.map { case (id, tx) =>
+        val t = tx.split(" ")
+        id -> (if (t.length < 5) Set.empty[String]
+               else t.sliding(5).map(_.mkString(" ")).toSet)
+      }.toMap
+      sets.map { case (id, gs) =>
+        val dup = gs.count(g => sets.exists { case (o, og) => o != id && og(g) })
+        id -> (gs.size.toLong, dup.toLong)
+      }
+    }
+
+    val got = DedupOps.spanFracOver(corpus.toDF("doc_id", "text"))
+      .select("doc_id", "n_grams", "n_dup", "dup_frac", "verdict")
+      .as[(Long, Long, Long, Double, String)].collect()
+    spark.catalog.clearCache()
+    val want = brute(corpus)
+
+    assert(got.length === corpus.length)
+    got.foreach { case (id, nGrams, nDup, frac, verdict) =>
+      val (wGrams, wDup) = want(id)
+      assert(nGrams === wGrams, s"doc $id n_grams")
+      assert(nDup === wDup, s"doc $id n_dup")
+      val wFrac = if (wGrams == 0) 0.0 else wDup.toDouble / wGrams
+      assert(frac === wFrac, s"doc $id dup_frac")
+      assert(verdict === (if (wGrams > 0 && wFrac >= 0.5) "flag" else "keep"), s"doc $id")
+    }
+  }
+
   test("sim_hard_negatives: negatives are other-label, ranked, semi-hard consistent") {
     val rows = run("sim_hard_negatives")
       .select("q_id", "q_label", "vec_id", "neg_label", "score", "pos_score",
