@@ -8,9 +8,12 @@ import org.apache.spark.sql.types.StructType
   * The reference reads its primary from an S3 JSON object
   * (`gule_test_job.py:54-72`) and its secondary from a MySQL table over
   * JDBC (`gule_test_job.py:82-94`). Both are behind one trait so the
-  * pipeline logic is source-agnostic and offline tests can substitute
-  * parquet fixtures for the JDBC side (no live DB exists in this
-  * environment — SURVEY.md §7.4(5)).
+  * pipeline logic is source-agnostic. The JDBC path is proven against a
+  * REAL database fully offline: embedded Derby (in /opt/spark/jars)
+  * backs both the `q_jdbc_mirror` oracle row
+  * ([[graft.ops.PipelineQueries.runJdbcMirror]]) and SourcesSpec's
+  * partitioned-read integration test — only url/driver differ from the
+  * reference's MariaDB deployment.
   *
   * Format coverage: parquet, JSON array, JSONL, CSV and ORC are
   * implemented below. Avro is EXCLUDED by environment, not by design:

@@ -42,10 +42,8 @@ object PipelineQueries {
     } finally w.close()
   }
 
-  private def stagingDir(sfDir: String): String = {
-    val tag = sfDir.replaceAll("[^0-9A-Za-z.]", "_")
-    s"target/pipeline_e2e/$tag"
-  }
+  private def stagingDir(sfDir: String): String =
+    s"${Staging.dir(sfDir)}/pipeline_e2e"
 
   def runE2e(s: SparkSession, dir: String): DataFrame = {
     val root = stagingDir(dir)
@@ -142,8 +140,68 @@ object PipelineQueries {
        |  CAST(sum(${graft.OracleSql.hex60("text")} % 1000003) AS BIGINT) AS text_digest
        |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin
 
+  /** JDBC round-trip certified by the oracle — the O4 operator
+    * (`gule_test_job.py:82-94` reads its enrichment table over JDBC)
+    * proven against a REAL database: the `supplier` fixture is written
+    * into an embedded Derby database through `spark.write.format
+    * ("jdbc")`, read back through [[graft.io.JdbcSource]] with the
+    * partitioned-read knobs set (partitionColumn/numPartitions — the
+    * scan issues range-bounded queries in parallel, the shape a large
+    * enrichment table needs), and reduced to a per-nation digest of
+    * every column: row counts, a sum of md5-derived name hashes, and
+    * floor-quantized account balances (floor of an identical IEEE
+    * product is exact in both engines; DOUBLE round-trips Derby
+    * bit-exactly). DuckDB computes the same digest over the parquet
+    * ORIGINAL, so a hash match proves the JDBC writer+reader preserved
+    * every row of every column — not merely that a connection opened.
+    * Derby is in-process (jdbc:derby:memory:), standing in for the
+    * reference's MariaDB server: [[graft.io.JdbcOptions]] is the same
+    * options map either way, only url/driver differ per deployment.
+    */
+  def runJdbcMirror(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    // Derby writes its boot log to derby.log in the cwd unless homed;
+    // keep the engine's droppings inside the staging convention. The
+    // property is read at Derby boot (first connection in the JVM).
+    System.setProperty("derby.system.home", "target/staging/derby")
+    val tag = dir.replaceAll("[^0-9A-Za-z.]", "_")
+    val opts = graft.io.JdbcOptions(
+      url = s"jdbc:derby:memory:graft_$tag;create=true",
+      dbtable = "supplier_mirror",
+      user = "app",
+      password = "app",
+      // Derby >= 10.15 ships the JDBC drivers in derbytools.jar
+      driver = "org.apache.derby.jdbc.EmbeddedDriver",
+      // the partitioned-read knobs: 4 range-bounded parallel queries on
+      // the integer key (rows outside the bounds still land in the
+      // first/last stripe — bounds set stride, never filter)
+      partitionColumn = Some("s_suppkey"),
+      lowerBound = Some(0L),
+      upperBound = Some(1L << 20),
+      numPartitions = Some(4))
+    graft.Tables.load(s, dir, "supplier")
+      .write.format("jdbc")
+      .options(opts.asMap)
+      .mode("overwrite")
+      .save()
+    graft.io.JdbcSource(opts).load(s)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(graft.Cols.hex60(col("s_name")) % lit(1000003L)).cast(LongType)
+          .as("name_digest"),
+        sum(floor(col("s_acctbal") * lit(10000.0)).cast(LongType)).as("bal_digest"))
+  }
+
+  private val jdbcMirrorOracle: String =
+    s"""SELECT s_nationkey, count(*) AS n_supp,
+       |  CAST(sum(${graft.OracleSql.hex60("s_name")} % 1000003) AS BIGINT) AS name_digest,
+       |  CAST(sum(CAST(floor(s_acctbal * 10000.0) AS BIGINT)) AS BIGINT) AS bal_digest
+       |FROM supplier GROUP BY s_nationkey""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("pipeline_e2e", MergeQueries.coalesceOracle)(runE2e),
     Q("q_orc_mirror", orcMirrorOracle)(runOrcMirror),
-    Q("q_partition_prune", partitionPruneOracle)(runPartitionPrune))
+    Q("q_partition_prune", partitionPruneOracle)(runPartitionPrune),
+    Q("q_jdbc_mirror", jdbcMirrorOracle)(runJdbcMirror))
 }

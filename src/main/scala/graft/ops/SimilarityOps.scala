@@ -654,7 +654,7 @@ object SimilarityOps {
          |  FROM s) t
          |WHERE rk <= 3""".stripMargin
     }) { (s, dir) =>
-      val root = s"target/sim_index/${dir.replaceAll("[^0-9A-Za-z.]", "_")}"
+      val root = s"${Staging.dir(dir)}/sim_index"
       // BUILD: quantizer + cell-partitioned postings, persisted
       val n = vectors(s, dir).withColumn("nsq", normSq(col("emb")))
       val cs = cents(n)

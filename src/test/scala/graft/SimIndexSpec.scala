@@ -20,7 +20,7 @@ class SimIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     spark.catalog.clearCache()
 
     val root = new java.io.File(
-      s"target/sim_index/${dir.replaceAll("[^0-9A-Za-z.]", "_")}/postings.parquet")
+      s"${ops.Staging.dir(dir)}/sim_index/postings.parquet")
     val cellDirs = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("c_id="))
     assert(cellDirs.nonEmpty, s"no c_id= partition directories under $root")
