@@ -488,6 +488,15 @@ object SimilarityOps {
     // LSH index instead of the full scan — same downstream shape.
     // score, pos_score are the VectorFns bit-identical cosine chain;
     // the flag is an exact comparison of those reproducible doubles.
+    // The per-anchor ranking is the TopKAgg aggregator, NOT a window:
+    // a Window.partitionBy(q_id) over the scored stream funnels ~the
+    // whole corpus into Q sort partitions, while the aggregator's
+    // map-side combine reduces every task's slice to <= k candidates
+    // per anchor, so the shuffle carries O(anchors * k) rows. The
+    // k-list's labels rejoin via one corpus equi hash join against the
+    // broadcast O(anchors * k) winner list. Ordering (score DESC,
+    // vec_id) is TopKAgg's (-score, id) contract — same ties as the
+    // oracle's window.
     Q("sim_hard_negatives",
       s"""WITH v AS (SELECT vec_id, ${sqlToDouble("embedding")} AS emb, label FROM embeddings),
          |n AS (SELECT vec_id, emb, label, ${sqlNormSq("emb")} AS nsq FROM v),
@@ -522,11 +531,16 @@ object SimilarityOps {
           col("q_nsq"), col("nsq"))).as("pos_score"))
       val neg = n.join(broadcast(q), col("label") =!= col("q_label"))
         .select(col("q_id"), col("q_label"), col("vec_id"),
-          col("label").as("neg_label"),
           cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score"))
-      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
-      neg.withColumn("rk", row_number().over(w).cast(LongType))
-        .filter(col("rk") <= 3)
+      val topk = udaf(new graft.functions.TopKAgg(3))
+      val negTop = neg.groupBy("q_id", "q_label")
+        .agg(topk(col("score"), col("vec_id")).as("top"))
+        .select(col("q_id"), col("q_label"), posexplode(col("top")).as(Seq("pos", "sc")))
+        .select(col("q_id"), col("q_label"),
+          col("sc.id").as("vec_id"), col("sc.score").as("score"),
+          (col("pos") + 1).cast(LongType).as("rk"))
+      n.select(col("vec_id"), col("label").as("neg_label"))
+        .join(broadcast(negTop), Seq("vec_id"))
         .join(broadcast(pos), Seq("q_id"))
         .select(col("q_id"), col("q_label"), col("vec_id"), col("neg_label"),
           col("score"), col("pos_score"),

@@ -239,6 +239,85 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  // Per-query-ranking gate. A Window.partitionBy(query_id) that ranks a
+  // candidate stream which was NOT key-pruned (its subtree joins with no
+  // equi predicate — a cross/broadcast-replicate join, i.e. brute force)
+  // funnels ~the whole corpus into |queries| sort partitions. That is
+  // deliberate for ground-truth computation over the bounded eval set
+  // and for O(1)-bounded centroid-assignment replicates — each such
+  // query gets a documented BUDGET below — but anything else must rank
+  // a pruned stream (bucket/cell join) or use the TopKAgg aggregator
+  // (sim_hard_negatives since r9). Limit-bounded subtrees are exempt
+  // structurally, mirroring the unpartitioned-window gate.
+  // Budgets are EXACT observed counts, not ceilings — any new window
+  // picking up a brute-force subtree fails the gate. A count can be 0
+  // even where an assignment window exists: a persist() boundary
+  // (InMemoryRelation) hides the subtree below it, which is fine — a
+  // persisted assignment was already counted where it was built.
+  private val windowOverBruteBudget = Map(
+    "sim_topk_brute" -> 1,        // THE brute-force baseline's ranking
+    "sim_ann_recall" -> 1,        // truth ranking (probe side is bucket-pruned)
+    "sim_ann_recall_mp" -> 1,
+    "sim_ann_recall_pq" -> 1,
+    "sim_ann_ivf" -> 2,           // query-side centroid assignment + cell
+    "sim_index_roundtrip" -> 2,   //   ranking above it (corpus-side cl is
+    "sim_ann_recall_ivf" -> 3,    //   behind a persist in sim_ann_ivf);
+    "sim_ann_recall_ivf_np2" -> 3,//   recall adds the truth ranking
+    "sim_ann_recall_ivfpq" -> 4,  // + the ADC re-rank above the LUT join
+    "sim_ann_recall_ivfpq_np2" -> 4,
+    "sim_hard_negatives" -> 0,    // TopKAgg, not a window — pinned at 0
+    "q_kmeans_step" -> 1,         // one Lloyd assignment window
+    "q_kmeans3" -> 3,             // one per Lloyd iteration
+    // all three windows (assignment, tok-partitioned g_df sum, c_id
+    // rank) sit above the ONE O(1) centroid replicate at the bottom
+    // of the unpersisted cl subtree — inherited, not brute force
+    "sim_cluster_terms" -> 3,
+    // dense side: ONE deliberate bounded brute-force ranking (5-query
+    // dense-retrieval baseline); the other three windows inherit the
+    // 1-row corpus-stats crossJoin attach inside the BM25 subtree
+    "q_hybrid_rrf" -> 4)             // one per Lloyd iteration
+
+  test("per-query window ranking runs only over candidate-pruned streams") {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join, Window => LWindow}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def nonEqui(j: Join): Boolean = j.condition match {
+      case None => true
+      case Some(c) => !conjuncts(c).exists {
+        case _: EqualTo | _: EqualNullSafe => true
+        case _ => false
+      }
+    }
+    val problems = (SparkEntry.queries.keySet - "pipeline_e2e").toSeq.sorted.flatMap { name =>
+      val found =
+        try {
+          val df = SparkEntry.queries(name)(spark, dir)
+          val n = df.queryExecution.optimizedPlan.collect {
+            case w: LWindow if w.partitionSpec.nonEmpty &&
+              w.child.collectFirst { case l: GlobalLimit => l }.isEmpty &&
+              w.child.collectFirst { case j: Join if nonEqui(j) => j }.isDefined => w
+          }.size
+          spark.catalog.clearCache()
+          Right(n)
+        } catch {
+          case e: Exception => Left(s"$name failed to analyze/plan: " +
+            e.getMessage.linesIterator.take(2).mkString(" "))
+        }
+      found match {
+        case Left(err) => Seq(err)
+        case Right(n) =>
+          val budget = windowOverBruteBudget.getOrElse(name, 0)
+          Option.when(n > budget)(
+            s"$name ranks $n windows over un-pruned (non-equi-joined) streams, " +
+              s"budget is $budget").toSeq
+      }
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+  }
+
   test("dedup self-joins are hash joins on bucket keys") {
     Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding")
       .foreach { name =>
