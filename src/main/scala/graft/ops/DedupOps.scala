@@ -1576,18 +1576,23 @@ object DedupOps {
     // chains — which changes how aggressively a canonical-doc policy
     // collapses the corpus. Triangles are counted on DEGREE-ORDERED
     // oriented edges (each edge points from its lower-(degree, id)
-    // endpoint to the higher): every node's out-degree is then O(√E),
-    // so the wedge self-join is bounded — the standard trick that keeps
-    // hub nodes from exploding the join (a raw wedge join on an
-    // h-degree hub costs h², oriented it costs ≤ out-deg² with
-    // out-degrees balanced across the order). Each triangle is counted
-    // exactly once, at its smallest-ranked vertex. Runs on the
+    // endpoint to the higher): every node's out-degree is then O(√E) —
+    // the standard trick that keeps hub nodes from exploding the count.
+    // Formulation is the EDGE ITERATOR, not a wedge self-join: per
+    // oriented edge (u,v), |N⁺(u) ∩ N⁺(v)| via array_intersect over
+    // grouped out-adjacency lists. On this clique-heavy graph that is
+    // decisive — sf0.1 measures 65k edges but 16.9M wedges, so the
+    // wedge join materializes and shuffles a 250x blowup that the
+    // per-edge intersection never creates (the intersections do the
+    // same comparisons INSIDE one codegen stage, output one int per
+    // edge). Each triangle is counted once, at its least-ranked vertex.
+    // Scale shape: adjacency build is one hash agg on u (lists bounded
+    // by the O(√E) orientation, so no group outgrows a task); the two
+    // adjacency attaches are equi hash joins on node keys. Runs on the
     // Hamming <= 1 cut of the SimHash pair graph — the near-identical
     // "template family" edges, where transitivity is the question; the
-    // full <= 3 graph's looser edges inflate cliques (and the wedge
-    // join ~3x, measured) without changing the family structure. All
-    // joins are key-partitioned hash joins; the 1-row stat attaches
-    // are O(1) broadcasts.
+    // full <= 3 graph's looser edges inflate cliques without changing
+    // the family structure. The 1-row stat attach is an O(1) broadcast.
     Q("dedup_triangles",
       s"""WITH p AS ($simhashPairsOracleSql),
          |e AS (SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
@@ -1615,9 +1620,13 @@ object DedupOps {
          |FROM stats""".stripMargin) { (s, dir) =>
       val nDocs = Tables.load(s, dir, "documents").count()
       val pairs = simhashPairs(s, dir, simBandBits(nDocs + nDocs / 10 + 1))
+      // simhashPairs already emits each pair ONCE with doc_a < doc_b
+      // (the core's banded join orders the pair and dedups across
+      // bands), so the oracle's DISTINCT least/greatest normalization
+      // is an identity here — skipping it saves a full shuffle over
+      // the edge list
       val e = pairs.filter(col("hamming") <= 1)
-        .select(least(col("doc_a"), col("doc_b")).as("a"),
-          greatest(col("doc_a"), col("doc_b")).as("b")).distinct().persist()
+        .select(col("doc_a").as("a"), col("doc_b").as("b")).persist()
       val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d")).persist()
       val lowFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
@@ -1626,15 +1635,31 @@ object DedupOps {
         .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
         .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
           when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+        // pin the partition count (REPARTITION_BY_NUM — AQE respects it
+        // where it would coalesce a by-column repartition): the edge
+        // list is tiny in BYTES (AQE's coalesce metric) but each edge
+        // fans out to its endpoints' adjacency arrays in the intersect
+        // pipeline below — ~2 orders of magnitude amplification that
+        // must not land on one post-coalesce task. Keying by u also
+        // pre-co-locates the first adjacency attach. (Measured at
+        // sf0.1: the intersect stage drops 2.2 s -> 0.9 s.)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("u"))
         .persist()
-      val tri = o.as("o1")
-        .join(o.as("o2"), col("o1.u") === col("o2.u") && col("o1.v") =!= col("o2.v"))
-        .join(o.as("o3"), col("o3.u") === col("o1.v") && col("o3.v") === col("o2.v"))
-        .agg(count(lit(1)).as("n_triangles"))
+      val adj = o.groupBy(col("u").as("node")).agg(collect_list(col("v")).as("nbrs"))
+      // inner joins: an edge whose head has no out-neighbors closes no
+      // triangle, so dropping it leaves the sum unchanged
+      val tri = o
+        .join(adj.select(col("node").as("u"), col("nbrs").as("nu")), "u")
+        .join(adj.select(col("node").as("v"), col("nbrs").as("nv")), "v")
+        .agg(coalesce(sum(size(array_intersect(col("nu"), col("nv")))), lit(0))
+          .cast(LongType).as("n_triangles"))
+      // n_edges = sum(d)/2 by the handshake identity — all three graph
+      // stats come from ONE pass over the cached degree table, dropping
+      // the separate edge-count aggregate and its 1-row attach
       val stats = deg.agg(count(lit(1)).as("n_nodes"),
+        expr("sum(d) div 2").as("n_edges"),
         sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-      val edges = e.agg(count(lit(1)).as("n_edges"))
-      tri.crossJoin(stats).crossJoin(edges)
+      tri.crossJoin(stats)
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
           // wedge-free graph (perfect matching): 0/0 is Spark NULL but
           // DuckDB NaN — the NULLIF twin makes both engines emit NULL

@@ -100,7 +100,8 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // 5-query dense broadcast + 1-row corpus-stats attach on the df prune
     "q_hybrid_rrf" -> 2,
     "q_dq_audit" -> 1,       // 1-row referential-rule x 1-row table-total attach
-    "dedup_triangles" -> 2,  // two 1-row graph-stat attaches
+    "dedup_triangles" -> 1,  // one 1-row graph-stat attach (r9: n_edges
+                             // folded into the degree-table aggregate)
     "q_events_decay" -> 1,   // 1-row anchor-timestamp attach
     "q_basket_lift" -> 1,    // 1-row order-total attach
     "q_tombstone_sweep" -> 3) // three 1-row x 1-row count attaches
