@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import graft.functions.VectorFns
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -449,6 +449,99 @@ object SimilarityOps {
         (coalesce(col("n_hit"), lit(0L)) / lit(3.0)).as("recall"))
   }
 
+  // ── persisted IVF index lifecycle (build / upsert / serve) ────────
+
+  /** The IVF serve-path oracle: the in-memory full-corpus IVF nprobe=1
+    * formulation. Shared by `sim_index_roundtrip` and
+    * `sim_index_upsert` — for the upsert row a hash match proves the
+    * incrementally maintained index serves results BIT-IDENTICAL to a
+    * from-scratch build over the full corpus.
+    */
+  private val ivfServeOracleSql: String =
+    s"""WITH v AS ($vectorsSql),
+       |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
+       |cents AS ($centsSql),
+       |cl AS (${assignSql("n", "vec_id")}),
+       |qv AS ($perturbedQueriesSql),
+       |qcl AS (${assignSql("qv", "q_id")}),
+       |s AS (
+       |  SELECT q.q_id, c.vec_id,
+       |         ${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")} AS score
+       |  FROM qcl q JOIN cl c ON c.c_id = q.c_id)
+       |SELECT q_id, vec_id, score, CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
+       |  FROM s) t
+       |WHERE rk <= 3""".stripMargin
+
+  /** Build the persisted IVF index at `root` over the vectors matching
+    * `pred`: the quantizer table plus CELL-PARTITIONED posting lists
+    * (hive layout on c_id — at scale a probe reads exactly its cell's
+    * directory, the file-level analog of the inverted file).
+    */
+  private[graft] def buildIvfIndex(s: SparkSession, dir: String, root: String,
+      pred: Column): Unit = {
+    val n = vectors(s, dir).withColumn("nsq", normSq(col("emb"))).filter(pred)
+    val cs = cents(n)
+    cs.write.mode("overwrite").parquet(s"$root/centroids.parquet")
+    assign(n, "vec_id", cs)
+      .write.mode("overwrite").partitionBy("c_id")
+      .parquet(s"$root/postings.parquet")
+  }
+
+  /** Absorb a delta batch (the vectors matching `pred`) into an
+    * existing index at `root` WITHOUT a rebuild: the delta is assigned
+    * with the SAVED quantizer (production indexes do not retrain per
+    * batch), and only the delta's own cells are rewritten — a dynamic
+    * partition overwrite of (existing rows of touched cells) ∪ (delta),
+    * so an N-cell index absorbs a k-cell delta in O(k cells) of write
+    * work and untouched cell directories keep their files byte-for-byte
+    * (SimIndexSpec pins this). The touched-cell read is lineage-broken
+    * with an eager localCheckpoint before the overwrite targets the
+    * same path — the read-modify-write staging step.
+    */
+  private[graft] def upsertIvfIndex(s: SparkSession, dir: String, root: String,
+      pred: Column): Unit = {
+    val delta = vectors(s, dir).withColumn("nsq", normSq(col("emb"))).filter(pred)
+    val rcs = s.read.parquet(s"$root/centroids.parquet")
+    val dAssigned = assign(delta, "vec_id", rcs)
+      .select(col("vec_id"), col("emb"), col("nsq"), col("c_id"))
+    val touched = dAssigned.select("c_id").distinct()
+    val existing = s.read.parquet(s"$root/postings.parquet")
+      .join(broadcast(touched), Seq("c_id"))
+      .select(col("vec_id"), col("emb"), col("nsq"), col("c_id"))
+      .localCheckpoint(true)
+    existing.unionByName(dAssigned)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("c_id").parquet(s"$root/postings.parquet")
+  }
+
+  /** Serve a query batch from the persisted index at `root`: reload
+    * quantizer + postings, assign queries, probe nprobe=1 — one
+    * cell-keyed hash join against the broadcast query batch.
+    */
+  private def serveIvfIndex(s: SparkSession, dir: String, root: String): DataFrame = {
+    val rcs = s.read.parquet(s"$root/centroids.parquet")
+    val postings = s.read.parquet(s"$root/postings.parquet")
+    val qcl = assign(perturbedQueries(s, dir), "q_id", rcs)
+      .select(col("q_id"), col("emb").as("q_emb"),
+        col("nsq").as("q_nsq"), col("c_id").as("q_cid"))
+    val scored = postings.join(broadcast(qcl), col("c_id") === col("q_cid"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= 3)
+  }
+
+  /** The upsert fixture's delta slice: a handful of vectors (vec_id %
+    * 101 == 0), never overlapping the deterministic quantizer sample
+    * (vec_id < NumCentroids) — so the base-built quantizer equals the
+    * full-corpus one and from-scratch parity is exact, which is what
+    * lets the full-corpus oracle grade the upserted index.
+    */
+  private[graft] val upsertDelta: Column =
+    col("vec_id") >= NumCentroids && col("vec_id") % 101 === 0
+
   val queries: Seq[Q] = Seq(
 
     Q("sim_topk_brute",
@@ -652,41 +745,28 @@ object SimilarityOps {
     // the in-memory IVF formulation, so a hash match proves the
     // round-tripped index serves bit-identical results (nested
     // array<double> embeddings and norms survive the format exactly).
-    Q("sim_index_roundtrip", {
-      s"""WITH v AS ($vectorsSql),
-         |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
-         |cents AS ($centsSql),
-         |cl AS (${assignSql("n", "vec_id")}),
-         |qv AS ($perturbedQueriesSql),
-         |qcl AS (${assignSql("qv", "q_id")}),
-         |s AS (
-         |  SELECT q.q_id, c.vec_id,
-         |         ${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")} AS score
-         |  FROM qcl q JOIN cl c ON c.c_id = q.c_id)
-         |SELECT q_id, vec_id, score, CAST(rk AS BIGINT) AS rk FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
-         |  FROM s) t
-         |WHERE rk <= 3""".stripMargin
-    }) { (s, dir) =>
+    Q("sim_index_roundtrip", ivfServeOracleSql) { (s, dir) =>
       val root = s"${Staging.dir(dir)}/sim_index"
-      // BUILD: quantizer + cell-partitioned postings, persisted
-      val n = vectors(s, dir).withColumn("nsq", normSq(col("emb")))
-      val cs = cents(n)
-      cs.write.mode("overwrite").parquet(s"$root/centroids.parquet")
-      assign(n, "vec_id", cs)
-        .write.mode("overwrite").partitionBy("c_id")
-        .parquet(s"$root/postings.parquet")
-      // SERVE: reload the saved index and answer the query batch
-      val rcs = s.read.parquet(s"$root/centroids.parquet")
-      val postings = s.read.parquet(s"$root/postings.parquet")
-      val qcl = assign(perturbedQueries(s, dir), "q_id", rcs)
-        .select(col("q_id"), col("emb").as("q_emb"),
-          col("nsq").as("q_nsq"), col("c_id").as("q_cid"))
-      val scored = postings.join(broadcast(qcl), col("c_id") === col("q_cid"))
-        .select(col("q_id"), col("vec_id"),
-          cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score"))
-      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
-      scored.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= 3)
+      buildIvfIndex(s, dir, root, lit(true))
+      serveIvfIndex(s, dir, root)
+    },
+
+    // INCREMENTAL index maintenance: a production index absorbs new
+    // vectors without a rebuild. The base index is built WITHOUT the
+    // delta slice, the delta batch is then upserted — assigned with
+    // the saved (not retrained) quantizer, and only its own cells'
+    // directories rewritten via dynamic partition overwrite — and the
+    // query batch is served from the upserted index. The oracle is the
+    // FULL-corpus in-memory IVF formulation, so a hash match proves
+    // incremental maintenance converged to exactly the from-scratch
+    // index (recall parity is implied by bit-identical serving).
+    // SimIndexSpec additionally pins the file-level contract: cells
+    // the delta does not touch keep their files byte-for-byte.
+    Q("sim_index_upsert", ivfServeOracleSql) { (s, dir) =>
+      val root = s"${Staging.dir(dir)}/sim_index_upsert"
+      buildIvfIndex(s, dir, root, !upsertDelta)
+      upsertIvfIndex(s, dir, root, upsertDelta)
+      serveIvfIndex(s, dir, root)
     },
 
     // IVF recall@3 against the exact brute-force ground truth — the

@@ -68,6 +68,7 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // (10 queries x 8 centroids), stringified twice through the
     // broadcast reuse; the posting probe itself is a hash join
     "sim_index_roundtrip" -> 2,
+    "sim_index_upsert" -> 2,   // same serve plan as sim_index_roundtrip
     "sim_ann_recall_mp" -> 1,
     "sim_ann_recall_ivf" -> 3, // ground truth + 2 centroid assignments
     "sim_ann_recall_ivf_np2" -> 3, // same shape, wider query-side probe
@@ -262,6 +263,7 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "sim_ann_recall_pq" -> 1,
     "sim_ann_ivf" -> 2,           // query-side centroid assignment + cell
     "sim_index_roundtrip" -> 2,   //   ranking above it (corpus-side cl is
+    "sim_index_upsert" -> 2,      //   (same serve plan as roundtrip)
     "sim_ann_recall_ivf" -> 3,    //   behind a persist in sim_ann_ivf);
     "sim_ann_recall_ivf_np2" -> 3,//   recall adds the truth ranking
     "sim_ann_recall_ivfpq" -> 4,  // + the ADC re-rank above the LUT join

@@ -14,6 +14,50 @@ class SimIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("upsert rewrites only the delta's cells; untouched cell files survive verbatim") {
+    val root = s"${ops.Staging.dir(dir)}/sim_index_upsert"
+    ops.SimilarityOps.buildIvfIndex(spark, dir, root, !ops.SimilarityOps.upsertDelta)
+
+    def snapshot(): Map[String, Seq[(String, Long)]] = {
+      val post = new java.io.File(s"$root/postings.parquet")
+      Option(post.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("c_id="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length())).sortBy(_._1).toSeq)
+        .toMap
+    }
+    val before = snapshot()
+    assert(before.nonEmpty)
+
+    ops.SimilarityOps.upsertIvfIndex(spark, dir, root, ops.SimilarityOps.upsertDelta)
+    val after = snapshot()
+
+    // the cells the delta actually landed in, read back from the index
+    val touched = spark.read.parquet(s"$root/postings.parquet")
+      .filter(ops.SimilarityOps.upsertDelta)
+      .select("c_id").distinct().collect().map(r => s"c_id=${r.get(0)}").toSet
+    assert(touched.nonEmpty, "delta landed in no cell — fixture drift?")
+    assert(touched.size < after.size,
+      "delta touched every cell — shrink the delta slice so the untouched-cell " +
+        "assertion is non-vacuous")
+
+    after.keys.filterNot(touched).foreach { cell =>
+      assert(after(cell) === before.getOrElse(cell, Seq.empty),
+        s"untouched $cell was rewritten by the upsert")
+    }
+    touched.foreach { cell =>
+      assert(after.get(cell) !== before.get(cell),
+        s"touched $cell kept its exact files — dynamic overwrite did not engage")
+    }
+
+    // content contract: upserted index == base + delta, each vector once
+    val postings = spark.read.parquet(s"$root/postings.parquet")
+    val nVec = Tables.load(spark, dir, "embeddings").count()
+    assert(postings.count() === nVec)
+    assert(postings.select("vec_id").distinct().count() === nVec)
+  }
+
   test("saved postings are cell-partitioned; every vector in exactly one cell") {
     val out = SparkEntry.queries("sim_index_roundtrip")(spark, dir)
     assert(out.count() > 0) // also materializes the index build
