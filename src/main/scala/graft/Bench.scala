@@ -32,6 +32,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.requireAqe(spark)
     val only = args.toSet
     val unknown = only.diff(SparkEntry.queries.keySet)
     if (unknown.nonEmpty) {
@@ -123,11 +124,16 @@ object Bench {
     // contention rescue: when even the best-of-3 sits far above the
     // band the other runs define (max/min > 2 means SOME run was
     // contention-shaped), one more decorrelated sample cheaply tells a
-    // noisy session apart from a genuinely slow plan in the artifact
+    // noisy session apart from a genuinely slow plan in the artifact.
+    // Also reversed: pass 2 ran back-to-front and ended at the suite's
+    // FIRST slow query, so a forward pass 3 would drop its very first
+    // rescue sample right inside the slow window pass 2 just opened
+    // there; starting from the BACK puts maximal distance between a
+    // query's pass-2 and pass-3 samples.
     val noisy = slow.filter { case (n, _) =>
       val rs = runsAcc(n)
       rs.size == 3 && rs.min > 1.0 && rs.max / rs.min > 2.0 }
-    passOver(noisy, 3)
+    passOver(noisy.reverse, 3)
     // a failed query is marked -1 in the JSON — a crash must not
     // masquerade as a fast run and shrink the total. EVERY attempted
     // run must succeed: taking the min of the survivors would hide

@@ -1357,9 +1357,12 @@ object DedupOps {
     // is a second hash agg on doc_id. No all-pairs anywhere — cost is
     // O(total spans), the same asymptotics as the suffix-array pass.
     // dup_frac is one IEEE division of integer-exact operands —
-    // bit-identical cross-engine. (The oracle dedups gram STRINGS
-    // while Spark dedups their 60-bit hashes; a disagreement needs an
-    // md5 collision inside one document's span set.)
+    // bit-identical cross-engine. (The oracle counts df over gram
+    // STRINGS while Spark counts over their 60-bit hashes, so ANY
+    // 60-bit collision between different grams anywhere in the corpus
+    // — within one document or across two — can flip a df>=2 gate and
+    // break parity; negligible probability at fixture scale, and at
+    // production scale an approximate dup-fraction tolerates it.)
     Q("dedup_span_frac", {
       // single line: a multi-line fragment would be re-margined by the
       // enclosing stripMargin and its leading '||' corrupted

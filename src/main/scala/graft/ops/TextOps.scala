@@ -168,6 +168,37 @@ object TextOps {
        | + 0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / NULLIF(length(text), 0)))""".stripMargin
   }
 
+  /** CCNet tercile bucketing over a (doc_id, lang, text) relation —
+    * the body of `text_ccnet_buckets`, factored so MixtureBucketsSpec
+    * can pin the cutoff-less-language contract on synthetic data: a
+    * language whose every document has NULL quality yields no cutoff
+    * row, and the LEFT cutoff attach routes its documents to 'tail'
+    * (every document is bucketed exactly once, never dropped).
+    */
+  private[graft] def ccnetBuckets(d: DataFrame): DataFrame = {
+    val negH =
+      -(graft.Cols.hex60(concat(lit("ccnet|"), col("doc_id").cast("string")))
+        .cast(DoubleType))
+    val base = d.select(col("doc_id"), col("lang"),
+      qualityCol(col("text")).as("quality"), negH.as("negh"))
+      .persist()
+    val topk = udaf(new graft.functions.TopKAgg(CcnetSampleK))
+    val sampleIds = base.filter(col("quality").isNotNull)
+      .groupBy("lang").agg(topk(col("negh"), col("doc_id")).as("cands"))
+      .select(col("lang"), explode(col("cands.id")).as("doc_id"))
+    val qs = base.join(broadcast(sampleIds), Seq("lang", "doc_id"))
+      .groupBy("lang").agg(sort_array(collect_list(col("quality"))).as("qs"))
+    val m = size(col("qs"))
+    val cut = qs.select(col("lang"),
+      element_at(col("qs"), (m - ceil(m / lit(3.0)) + 1).cast("int")).as("c1"),
+      element_at(col("qs"), (m - ceil(m * 2 / lit(3.0)) + 1).cast("int")).as("c2"))
+    base.join(broadcast(cut), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("quality"),
+        when(col("quality") >= col("c1"), "head")
+          .when(col("quality") >= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── token / char statistics ─────────────────────────────────────
@@ -1414,7 +1445,12 @@ object TextOps {
     // cutoff spill into the better bucket (documented CCNet behavior —
     // buckets are approximately, not exactly, equal). Cutoff values
     // are exact sampled doubles; comparisons are exact — bit-identical
-    // cross-engine.
+    // cross-engine. The cutoff attach is a LEFT join: a language whose
+    // every document has NULL quality produces no cutoff row, and its
+    // documents land in 'tail' (both >= comparisons are NULL) instead
+    // of silently vanishing — "every document is bucketed exactly
+    // once" is the contract, pinned on synthetic data by
+    // MixtureBucketsSpec.
     Q("text_ccnet_buckets", {
       val negh = s"-(CAST(${graft.OracleSql.hex60("'ccnet|' || CAST(doc_id AS VARCHAR)")} AS DOUBLE))"
       s"""WITH q AS (
@@ -1435,30 +1471,8 @@ object TextOps {
          |  CASE WHEN q.quality >= c.c1 THEN 'head'
          |       WHEN q.quality >= c.c2 THEN 'middle'
          |       ELSE 'tail' END AS bucket
-         |FROM q JOIN cut c ON q.lang = c.lang""".stripMargin
-    }) { (s, dir) =>
-      val negH =
-        -(graft.Cols.hex60(concat(lit("ccnet|"), col("doc_id").cast("string")))
-          .cast(DoubleType))
-      val base = docs(s, dir).select(col("doc_id"), col("lang"),
-        qualityCol(col("text")).as("quality"), negH.as("negh"))
-        .persist()
-      val topk = udaf(new graft.functions.TopKAgg(CcnetSampleK))
-      val sampleIds = base.filter(col("quality").isNotNull)
-        .groupBy("lang").agg(topk(col("negh"), col("doc_id")).as("cands"))
-        .select(col("lang"), explode(col("cands.id")).as("doc_id"))
-      val qs = base.join(broadcast(sampleIds), Seq("lang", "doc_id"))
-        .groupBy("lang").agg(sort_array(collect_list(col("quality"))).as("qs"))
-      val m = size(col("qs"))
-      val cut = qs.select(col("lang"),
-        element_at(col("qs"), (m - ceil(m / lit(3.0)) + 1).cast("int")).as("c1"),
-        element_at(col("qs"), (m - ceil(m * 2 / lit(3.0)) + 1).cast("int")).as("c2"))
-      base.join(broadcast(cut), Seq("lang"))
-        .select(col("doc_id"), col("lang"), col("quality"),
-          when(col("quality") >= col("c1"), "head")
-            .when(col("quality") >= col("c2"), "middle")
-            .otherwise("tail").as("bucket"))
-    },
+         |FROM q LEFT JOIN cut c ON q.lang = c.lang""".stripMargin
+    }) { (s, dir) => ccnetBuckets(docs(s, dir)) },
 
     // ── RAG-style chunking (fixed window + stride, overlap = W - S) ─
     // Split each document into ChunkWin-token windows every ChunkStride

@@ -15,6 +15,19 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class AqeSkewSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
+  test("Verify/Bench sessions fail fast if AQE or skew-join splitting is off") {
+    // the default session satisfies the invariant (Spark 4 defaults)
+    Sessions.requireAqe(spark)
+    // an explicit override must be caught at startup, not discovered as
+    // a silently different plan shape across the whole registry
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try {
+      val e = intercept[IllegalArgumentException] { Sessions.requireAqe(spark) }
+      assert(e.getMessage.contains("skewJoin"))
+    } finally spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+    Sessions.requireAqe(spark) // restored
+  }
+
   test("AQE splits the skewed partition of a sort-merge join") {
     val confs = Seq(
       "spark.sql.adaptive.enabled" -> "true",

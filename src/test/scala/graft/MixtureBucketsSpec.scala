@@ -39,6 +39,27 @@ class MixtureBucketsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "weights must be non-increasing in share")
   }
 
+  test("ccnet bucketing keeps a cutoff-less language: all-NULL quality lands in tail") {
+    // a language whose every document is empty has NULL quality
+    // throughout -> no sampled cutoffs -> no cutoff row; the LEFT
+    // attach must still bucket those documents (as 'tail'), never drop
+    // them — the "every doc bucketed exactly once" contract on data
+    // the fixture cannot be trusted to contain
+    val synth = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "a stitch in time saves nine the more the merrier"),
+      (3L, "en", "all that glitters is not gold said the poet"),
+      (4L, "xx", ""),
+      (5L, "xx", "")).toDF("doc_id", "lang", "text")
+    val out = ops.TextOps.ccnetBuckets(synth)
+      .select("doc_id", "lang", "bucket")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    spark.catalog.clearCache()
+    assert(out.length === 5, "every document must be bucketed exactly once")
+    assert(out.filter(_._2 == "xx").map(_._3).toSeq === Seq("tail", "tail"))
+    assert(out.filter(_._2 == "en").forall(r => Set("head", "middle", "tail")(r._3)))
+  }
+
   test("text_ccnet_buckets: per-language quality ordering head >= middle >= tail") {
     val rows = run("text_ccnet_buckets")
       .select("doc_id", "lang", "quality", "bucket")
