@@ -867,22 +867,33 @@ object TextOps {
     // Scale shape: filter build is one hash agg over the (small)
     // benchmark side; the probe is a per-row generator (J rows per
     // distinct shingle) + one broadcast join on the position key.
+    // Shingles are md5'd to 60-bit ints AT THE SCAN (the minhash/
+    // span_frac discipline — every shuffle and the broadcast Bloom/
+    // bench sides carry 8-byte ints, never gram strings), and the j
+    // Bloom positions derive from that ONE digest by double hashing
+    // (Kirsch & Mitzenmacher 2006: pos_i = (h1 + i*h2) mod m, h2 odd
+    // so it is invertible mod the power-of-two m) — one md5 per
+    // shingle total where the previous formulation paid one per
+    // (shingle, seed). Both engines compute identical integer
+    // arithmetic on the identical digest, so cross-engine parity is
+    // exact even under a 60-bit collision (unlike a string-vs-hash
+    // split, a collision here changes both engines the same way).
     Q("text_decontam_bloom", {
       val m = 4096; val j = 3
-      val posSql = (tag: String) =>
-        s"${graft.OracleSql.hex60(s"$tag || '#' || CAST(u.j AS VARCHAR)")} % $m"
+      val posSql =
+        s"((sh % $m) + u.j * ((((sh // $m) % $m) * 2 + 1))) % $m"
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
          |s0 AS (
-         |  SELECT doc_id, unnest(${DedupOps.shingles3Sql}) AS sh
+         |  SELECT doc_id, unnest(${DedupOps.shingles3Sql}) AS shs
          |  FROM t WHERE len(tokens) >= 3),
-         |s AS (SELECT DISTINCT doc_id, sh FROM s0),
+         |s AS (SELECT DISTINCT doc_id, ${graft.OracleSql.hex60("shs")} AS sh FROM s0),
          |bench AS (SELECT DISTINCT sh FROM s WHERE doc_id % 97 = 0),
          |bits AS (
-         |  SELECT DISTINCT ${posSql("sh")} AS pos
+         |  SELECT DISTINCT $posSql AS pos
          |  FROM bench, unnest([0, 1, 2]) u(j)),
          |probe AS (
-         |  SELECT doc_id, sh, ${posSql("sh")} AS pos
+         |  SELECT doc_id, sh, $posSql AS pos
          |  FROM s, unnest([0, 1, 2]) u(j)
          |  WHERE doc_id % 97 <> 0),
          |hit AS (
@@ -902,11 +913,12 @@ object TextOps {
       val m = 4096; val j = 3
       val seeds = explode(array((0 until j).map(lit): _*)).as("j")
       def pos(sh: Column, seed: Column): Column =
-        graft.Cols.hex60(concat(sh, lit("#"), seed.cast("string"))) % m
+        (sh % m + seed * ((expr(s"sh div $m") % m) * 2 + 1)) % m
       val shRel = docs(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("tokens"))
         .filter(size(col("tokens")) >= 3)
-        .select(col("doc_id"), explode(DedupOps.shingles3(col("tokens"))).as("sh"))
+        .select(col("doc_id"), explode(DedupOps.shingles3(col("tokens"))).as("shs"))
+        .select(col("doc_id"), graft.Cols.hex60(col("shs")).as("sh"))
         .distinct().persist()
       val bench = shRel.filter(col("doc_id") % 97 === 0).select("sh").distinct()
       val bits = bench.select(seeds, col("sh"))
