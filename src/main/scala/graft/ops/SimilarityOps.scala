@@ -641,6 +641,91 @@ object SimilarityOps {
           col("rk"))
     },
 
+    // INDEX-FED hard-negative mining — the production-scale variant of
+    // sim_hard_negatives: candidates come from the anchor's nprobe=2
+    // IVF cells instead of a full corpus scan, so candidate generation
+    // is ONE cell-keyed hash join (work ~2N/NumCentroids per anchor)
+    // and the brute-force broadcast pass disappears entirely. The
+    // hardest positive is likewise mined within the probed cells — an
+    // anchor whose probed cells hold no same-label vector emits a NULL
+    // pos_score and semi_hard=0 (the miner reports what the index can
+    // see; that trade IS the difference between this row and the
+    // exhaustive one). Ranking is the same O(anchors*k) TopKAgg shape.
+    Q("sim_hard_negatives_ivf",
+      s"""WITH v AS (SELECT vec_id, ${sqlToDouble("embedding")} AS emb, label FROM embeddings),
+         |n AS (SELECT vec_id, emb, label, ${sqlNormSq("emb")} AS nsq FROM v),
+         |cents AS ($centsSql),
+         |cl AS (${assignSql("n", "vec_id")}),
+         |cln AS (
+         |  SELECT cl.vec_id, cl.emb, cl.nsq, cl.c_id, n.label
+         |  FROM cl JOIN n ON n.vec_id = cl.vec_id),
+         |qv AS (SELECT vec_id AS q_id, emb, nsq FROM n WHERE vec_id < $NumQueries),
+         |qcl AS (${assignKSql("qv", "q_id", 2)}),
+         |qmeta AS (SELECT vec_id AS q_id, label AS q_label
+         |          FROM n WHERE vec_id < $NumQueries),
+         |neg AS (
+         |  SELECT q.q_id, m.q_label, c.vec_id, c.label AS neg_label,
+         |         ${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")} AS score
+         |  FROM qcl q
+         |  JOIN qmeta m ON m.q_id = q.q_id
+         |  JOIN cln c ON c.c_id = q.c_id AND c.label <> m.q_label),
+         |pos AS (
+         |  SELECT q.q_id,
+         |         max(${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")}) AS pos_score
+         |  FROM qcl q
+         |  JOIN qmeta m ON m.q_id = q.q_id
+         |  JOIN cln c ON c.c_id = q.c_id AND c.label = m.q_label
+         |                AND c.vec_id <> q.q_id
+         |  GROUP BY q.q_id)
+         |SELECT t.q_id, q_label, vec_id, neg_label, score, pos_score,
+         |       CAST(CASE WHEN pos_score IS NOT NULL AND score < pos_score
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS semi_hard,
+         |       CAST(rk AS BIGINT) AS rk
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
+         |  FROM neg) t
+         |LEFT JOIN pos ON pos.q_id = t.q_id
+         |WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      val n = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
+        .withColumn("nsq", normSq(col("emb")))
+        .persist()
+      val cs = cents(n)
+      val cln = assign(n, "vec_id", cs)
+        .join(n.select(col("vec_id"), col("label")), "vec_id")
+      val qcl = assignK(n.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("emb"), col("nsq")), "q_id", cs, 2)
+        .select(col("q_id"), col("emb").as("q_emb"),
+          col("nsq").as("q_nsq"), col("c_id").as("q_cid"))
+      val qmeta = n.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+      val cand = cln.join(broadcast(qcl), col("c_id") === col("q_cid"))
+        .join(broadcast(qmeta), "q_id")
+      val neg = cand.filter(col("label") =!= col("q_label"))
+        .select(col("q_id"), col("q_label"), col("vec_id"),
+          cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score"))
+      val pos = cand.filter(col("label") === col("q_label") &&
+          col("vec_id") =!= col("q_id"))
+        .groupBy("q_id")
+        .agg(max(cosine(dot(col("q_emb"), col("emb")),
+          col("q_nsq"), col("nsq"))).as("pos_score"))
+      val topk = udaf(new graft.functions.TopKAgg(3))
+      val negTop = neg.groupBy("q_id", "q_label")
+        .agg(topk(col("score"), col("vec_id")).as("top"))
+        .select(col("q_id"), col("q_label"), posexplode(col("top")).as(Seq("pos", "sc")))
+        .select(col("q_id"), col("q_label"),
+          col("sc.id").as("vec_id"), col("sc.score").as("score"),
+          (col("pos") + 1).cast(LongType).as("rk"))
+      n.select(col("vec_id"), col("label").as("neg_label"))
+        .join(broadcast(negTop), Seq("vec_id"))
+        .join(broadcast(pos), Seq("q_id"), "left")
+        .select(col("q_id"), col("q_label"), col("vec_id"), col("neg_label"),
+          col("score"), col("pos_score"),
+          when(col("pos_score").isNotNull && col("score") < col("pos_score"), 1L)
+            .otherwise(0L).as("semi_hard"),
+          col("rk"))
+    },
+
     // ANN: queries are PERTURBED copies of the first NumQueries corpus
     // vectors (first element +0.01) — each query therefore has a genuine
     // near-neighbor in the corpus, almost always sharing its LSH bucket,

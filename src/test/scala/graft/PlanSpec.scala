@@ -97,6 +97,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // stream — the deliberate bounded brute force (sim_topk_brute's
     // budget rationale); the hardest-positive join hashes on label
     "sim_hard_negatives" -> 1,
+    // the corpus- and query-side centroid assignments (each above the
+    // persisted labeled-corpus relation; corpus side stringified per
+    // consuming branch: negatives + hardest-positive)
+    "sim_hard_negatives_ivf" -> 4,
     "q_bm25" -> 1,
     // 5-query dense broadcast + 1-row corpus-stats attach on the df prune
     "q_hybrid_rrf" -> 2,
@@ -269,6 +273,11 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "sim_ann_recall_ivfpq" -> 4,  // + the ADC re-rank above the LUT join
     "sim_ann_recall_ivfpq_np2" -> 4,
     "sim_hard_negatives" -> 0,    // TopKAgg, not a window — pinned at 0
+    // assignment windows only (corpus cl stringified into both the
+    // negatives and hardest-positive branches + the 2-cell query-side
+    // probe): candidate RANKING itself is TopKAgg, pinned by the fact
+    // this count stays at the assignment-window floor
+    "sim_hard_negatives_ivf" -> 4,
     "q_kmeans_step" -> 1,         // one Lloyd assignment window
     "q_kmeans3" -> 3,             // one per Lloyd iteration
     // all three windows (assignment, tok-partitioned g_df sum, c_id
