@@ -60,6 +60,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions.litInt
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: the native as-of join (custom logical
+    // node + left-filter pushdown rule + planner strategy + physical
+    // hash/binary-search exec — graft.plans.AsOfJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfFilterPushdown)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),

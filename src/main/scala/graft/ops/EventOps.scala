@@ -149,6 +149,34 @@ object EventOps {
           col("asof_pid").as("purchase_id"), col("asof_pts").as("purchase_ts"))
     },
 
+    // ── as-of join, NATIVE operator path ────────────────────────────
+    // Same query and same DuckDB ASOF-JOIN oracle as q_asof_join, but
+    // executed by the engine's own whole-operator extension
+    // (graft.plans.AsOfJoinPlan -> AsOfJoinExec via the injected
+    // strategy): per-side hash shuffle on the key, per-partition
+    // right-side time index, binary-search probe. A hash match here
+    // proves the custom physical operator agrees row-for-row with
+    // DuckDB's native ASOF JOIN — the composed window formulation
+    // above certifies the SEMANTICS, this row certifies the OPERATOR.
+    Q("q_asof_native",
+      """WITH p AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, p.purchase_id, p.ts AS purchase_ts
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("purchase_id"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.plans.AsOfJoinOps.asof(c, p, "user_id", "p_user", "ts", "p_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("purchase_id"), col("p_ts").as("purchase_ts"))
+    },
+
     // ── JSON column extraction + aggregation ────────────────────────
     Q("q_events_json",
       """SELECT event_type,
