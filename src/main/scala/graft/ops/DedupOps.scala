@@ -577,8 +577,14 @@ object DedupOps {
     val sig = (0 until MinhashK)
       .map(j => s"list_min(list_transform(hh, h -> (${MinhashA(j)} * h + ${MinhashB(j)}) % $MinhashP))")
       .mkString("[", ",\n      ", "]")
+    // 60-bit band keys (hex60 of the salted band digest), not the
+    // 32-char md5 hex string: the banded self-join and its exchange
+    // then carry 8-byte ints — same bucket semantics (both engines
+    // compute the identical digest, so even a collision only merges
+    // the same buckets on both sides and the exact-jaccard verify
+    // keeps the output identical)
     val bandKeys = (0 until Bands)
-      .map(b => s"md5('$b~' || sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])")
+      .map(b => graft.OracleSql.hex60(s"'$b~' || sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}]"))
       .mkString("[", ",\n      ", "]")
     s"""docs_aug AS ($corpusSql),
        |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM docs_aug),
@@ -656,8 +662,10 @@ object DedupOps {
 
   private[graft] def minhashPairsOverSets(sh: DataFrame): DataFrame = {
     val mh = minhashSigs(sh)
+    // 60-bit band keys — see minhashCoreCtes: the banded join carries
+    // 8-byte ints instead of 32-char md5 strings
     val bandKeys = array((0 until Bands).map(b =>
-      md5(concat(lit(s"$b~"), element_at(col("sig"), 2 * b + 1).cast("string"),
+      Cols.hex60(concat(lit(s"$b~"), element_at(col("sig"), 2 * b + 1).cast("string"),
         lit("|"), element_at(col("sig"), 2 * b + 2).cast("string")))): _*)
     val bands = mh.select(col("doc_id"), explode(bandKeys).as("band_key")).persist()
     // Candidate dedup via plain distinct(), NOT repartition(doc_a) +
@@ -1475,12 +1483,18 @@ object DedupOps {
     // by construction, never N². Determinism: counts are integers and
     // the two IEEE ops (sqrt, divide) are correctly rounded in both
     // engines.
+    // Shingles are md5'd to 60-bit ints AT THE SCAN (the minhash/
+    // span_frac/bloom discipline): the postings self-join, the df cap
+    // and the norm counts all key on 8-byte ints, never gram strings —
+    // both engines hash identically, so parity is exact even under a
+    // collision (it changes both sides the same way).
     Q("dedup_shingle_cosine",
       s"""WITH docs_aug AS ($docsAugSql),
          |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM docs_aug),
-         |sh AS (
-         |  SELECT doc_id, unnest($shingles3Sql) AS s
+         |sh0 AS (
+         |  SELECT doc_id, unnest($shingles3Sql) AS ss
          |  FROM tok WHERE len(tokens) >= 3),
+         |sh AS (SELECT doc_id, ${graft.OracleSql.hex60("ss")} AS s FROM sh0),
          |nsq AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
          |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq ON sh.s = dfq.s
@@ -1500,7 +1514,8 @@ object DedupOps {
       // persist: the exploded postings list feeds three consumers
       // (norms, df, the pair join)
       val sh = tok.filter(size(col("tokens")) >= 3)
-        .select(col("doc_id"), explode(shingles3(col("tokens"))).as("s"))
+        .select(col("doc_id"), explode(shingles3(col("tokens"))).as("ss"))
+        .select(col("doc_id"), Cols.hex60(col("ss")).as("s"))
         .persist()
       val nsq = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val dfq = sh.groupBy("s").agg(count(lit(1)).as("df"))
