@@ -1673,9 +1673,13 @@ object DedupOps {
           .cast(LongType).as("n_triangles"))
       // n_edges = sum(d)/2 by the handshake identity — all three graph
       // stats come from ONE pass over the cached degree table, dropping
-      // the separate edge-count aggregate and its 1-row attach
+      // the separate edge-count aggregate and its 1-row attach. The
+      // coalesce matches the oracle on an EMPTY graph: its n_edges is
+      // count(*) (0), while sum over no rows is NULL — n_wedges stays
+      // a bare sum because the oracle's n_wedges is also a sum (both
+      // NULL on empty, and the clustering guard passes NULL through).
       val stats = deg.agg(count(lit(1)).as("n_nodes"),
-        expr("sum(d) div 2").as("n_edges"),
+        coalesce(expr("sum(d) div 2"), lit(0L)).as("n_edges"),
         sum(expr("d * (d - 1) div 2")).as("n_wedges"))
       tri.crossJoin(stats)
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),

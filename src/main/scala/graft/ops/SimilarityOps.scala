@@ -600,9 +600,11 @@ object SimilarityOps {
          |  FROM q JOIN n c ON c.label = q.q_label AND c.vec_id <> q.q_id
          |  GROUP BY q.q_id),
          |neg AS (
-         |  SELECT q.q_id, q.q_label, c.vec_id, c.label AS neg_label,
-         |         ${sqlCosine(sqlDot("q.q_emb", "c.emb"), "q.q_nsq", "c.nsq")} AS score
-         |  FROM q JOIN n c ON c.label <> q.q_label)
+         |  SELECT * FROM (
+         |    SELECT q.q_id, q.q_label, c.vec_id, c.label AS neg_label,
+         |           ${sqlCosine(sqlDot("q.q_emb", "c.emb"), "q.q_nsq", "c.nsq")} AS score
+         |    FROM q JOIN n c ON c.label <> q.q_label) z
+         |  WHERE score IS NOT NULL)
          |SELECT t.q_id, q_label, vec_id, neg_label, score, pos_score,
          |       CAST(CASE WHEN score < pos_score THEN 1 ELSE 0 END AS BIGINT) AS semi_hard,
          |       CAST(rk AS BIGINT) AS rk
@@ -622,9 +624,13 @@ object SimilarityOps {
         .groupBy("q_id")
         .agg(max(cosine(dot(col("q_emb"), col("emb")),
           col("q_nsq"), col("nsq"))).as("pos_score"))
+      // zero-norm degenerates give NULL cosine: excluded on BOTH sides
+      // (they can never be a meaningful negative, and TopKAgg's Scored
+      // encoder is non-nullable by contract)
       val neg = n.join(broadcast(q), col("label") =!= col("q_label"))
         .select(col("q_id"), col("q_label"), col("vec_id"),
           cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score"))
+        .filter(col("score").isNotNull)
       val topk = udaf(new graft.functions.TopKAgg(3))
       val negTop = neg.groupBy("q_id", "q_label")
         .agg(topk(col("score"), col("vec_id")).as("top"))
@@ -664,11 +670,13 @@ object SimilarityOps {
          |qmeta AS (SELECT vec_id AS q_id, label AS q_label
          |          FROM n WHERE vec_id < $NumQueries),
          |neg AS (
-         |  SELECT q.q_id, m.q_label, c.vec_id, c.label AS neg_label,
-         |         ${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")} AS score
-         |  FROM qcl q
-         |  JOIN qmeta m ON m.q_id = q.q_id
-         |  JOIN cln c ON c.c_id = q.c_id AND c.label <> m.q_label),
+         |  SELECT * FROM (
+         |    SELECT q.q_id, m.q_label, c.vec_id, c.label AS neg_label,
+         |           ${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")} AS score
+         |    FROM qcl q
+         |    JOIN qmeta m ON m.q_id = q.q_id
+         |    JOIN cln c ON c.c_id = q.c_id AND c.label <> m.q_label) z
+         |  WHERE score IS NOT NULL),
          |pos AS (
          |  SELECT q.q_id,
          |         max(${sqlCosine(sqlDot("q.emb", "c.emb"), "q.nsq", "c.nsq")}) AS pos_score
@@ -704,6 +712,7 @@ object SimilarityOps {
       val neg = cand.filter(col("label") =!= col("q_label"))
         .select(col("q_id"), col("q_label"), col("vec_id"),
           cosine(dot(col("q_emb"), col("emb")), col("q_nsq"), col("nsq")).as("score"))
+        .filter(col("score").isNotNull) // zero-norm degenerates, see brute miner
       val pos = cand.filter(col("label") === col("q_label") &&
           col("vec_id") =!= col("q_id"))
         .groupBy("q_id")

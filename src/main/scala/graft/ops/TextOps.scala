@@ -910,10 +910,15 @@ object TextOps {
          |SELECT mb.doc_id, mb.n_maybe, COALESCE(exact.n_exact, 0) AS n_exact
          |FROM mb LEFT JOIN exact ON mb.doc_id = exact.doc_id""".stripMargin
     }) { (s, dir) =>
-      val m = 4096; val j = 3
+      val m = 4096; val mBits = 12; val j = 3
+      require(m == (1 << mBits))
       val seeds = explode(array((0 until j).map(lit): _*)).as("j")
+      // h2 comes from the ARGUMENT column (shiftright(sh, 12) == the
+      // oracle's `sh // 4096` for the non-negative hex60 value — an
+      // expr("sh div ...") here would re-resolve the name 'sh' from
+      // the surrounding plan instead of using the parameter)
       def pos(sh: Column, seed: Column): Column =
-        (sh % m + seed * ((expr(s"sh div $m") % m) * 2 + 1)) % m
+        (sh % m + seed * ((shiftright(sh, mBits) % m) * 2 + 1)) % m
       val shRel = docs(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("tokens"))
         .filter(size(col("tokens")) >= 3)

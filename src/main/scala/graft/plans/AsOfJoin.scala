@@ -112,8 +112,9 @@ final case class AsOfJoinExec(
 
   /** Times must evaluate to an integral instant — the engine's event
     * time is TimestampType (micros as Long). Date/int/long are
-    * accepted for generality; anything else is a planning-time error,
-    * not a runtime surprise.
+    * accepted for generality. [[AsOfJoinOps.asof]] enforces the type
+    * contract (same type both sides, from this set) at construction;
+    * this is the runtime backstop for plans built directly.
     */
   private def toLong(dt: org.apache.spark.sql.types.DataType, v: Any): Long = dt match {
     case TimestampType | TimestampNTZType | LongType => v.asInstanceOf[Long]
@@ -199,19 +200,45 @@ object AsOfJoinOps {
     * right(time) <= left(time)`, latest right row winning. Column
     * names are resolved on each side independently, so colliding
     * names across sides are fine (rename before joining if you need
-    * to select both afterwards).
+    * to select both afterwards). Self-joins are safe: when the two
+    * sides share attribute ids (same source Dataset), the right side
+    * is re-aliased so the join output never contains duplicate ids —
+    * without this, UnsafeProjection would bind both copies of a
+    * duplicated attribute to the LEFT value (silently wrong rows).
+    *
+    * Type contract, checked HERE (construction time, not first-row):
+    * the two time columns must have the SAME integral/temporal type
+    * (date-vs-timestamp would compare days to micros and silently
+    * never match), and float/double keys are rejected — the exec's
+    * hash index uses value equality, which disagrees with SQL
+    * equality on -0.0/NaN; normalize such keys to bits first.
     */
   def asof(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String): DataFrame = {
     val lp = GraftPlanShim.analyzed(left)
-    val rp = GraftPlanShim.analyzed(right)
+    val rp0 = GraftPlanShim.analyzed(right)
+    val rp =
+      if (rp0.outputSet.intersect(lp.outputSet).isEmpty) rp0
+      else GraftPlanShim.analyzed(
+        right.select(right.columns.toIndexedSeq.map(c =>
+          org.apache.spark.sql.functions.col(c).as(c)): _*))
     def attr(p: LogicalPlan, n: String, side: String) =
       p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
         s"as-of $side column '$n' not found among ${p.output.map(_.name).mkString(", ")}"))
-    GraftPlanShim.ofRows(left.sparkSession,
-      AsOfJoinPlan(lp, rp,
-        attr(lp, leftKey, "left key"), attr(rp, rightKey, "right key"),
-        attr(lp, leftTime, "left time"), attr(rp, rightTime, "right time")))
+    val (lk, rk) = (attr(lp, leftKey, "left key"), attr(rp, rightKey, "right key"))
+    val (lt, rt) = (attr(lp, leftTime, "left time"), attr(rp, rightTime, "right time"))
+    require(lt.dataType == rt.dataType &&
+      Seq(TimestampType, TimestampNTZType, LongType, IntegerType, DateType)
+        .contains(lt.dataType),
+      s"as-of time columns must share one integral/temporal type; " +
+        s"got ${lt.dataType} vs ${rt.dataType}")
+    Seq("left key" -> lk, "right key" -> rk).foreach { case (side, a) =>
+      require(a.dataType != org.apache.spark.sql.types.DoubleType &&
+        a.dataType != org.apache.spark.sql.types.FloatType,
+        s"as-of $side is ${a.dataType}: floating-point join keys are not " +
+          "supported (value equality diverges from SQL equality on -0.0/NaN)")
+    }
+    GraftPlanShim.ofRows(left.sparkSession, AsOfJoinPlan(lp, rp, lk, rk, lt, rt))
   }
 }

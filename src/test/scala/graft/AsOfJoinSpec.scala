@@ -77,6 +77,36 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(joined.select("event_id").as[Long].collect().sorted === Array(2L, 6L))
   }
 
+  test("self-join: shared attribute ids are re-aliased, right columns bind correctly") {
+    val base = Seq((1L, "a", 10L, "l@10"), (2L, "a", 20L, "l@20"))
+      .toDF("event_id", "k", "t", "tag")
+    // join a dataset against ITSELF (strictly-earlier rows): without
+    // the re-alias, output would duplicate exprIds and the right
+    // columns would silently carry left values
+    val got = plans.AsOfJoinOps.asof(base, base.withColumn("t", col("t") + 1), "k", "k", "t", "t")
+      .toDF("event_id", "k", "t", "tag", "r_event_id", "r_k", "r_t", "r_tag")
+      .select("event_id", "r_tag", "r_t").as[(Long, Option[String], Option[Long])]
+      .collect().map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    // right times are shifted +1, so row 1 (t=10) has no right row <= 10
+    // except... right times are 11 and 21: t=10 -> none; t=20 -> 11
+    assert(got(1L) === ((None, None)))
+    assert(got(2L) === ((Some("l@10"), Some(11L))))
+  }
+
+  test("construction-time guards: mismatched time types and float keys are rejected") {
+    val l = Seq((1L, 1.5, 10L)).toDF("event_id", "fk", "t")
+    val r = Seq((1.5, 5L, "x")).toDF("rfk", "rt", "tag")
+    val e1 = intercept[IllegalArgumentException] {
+      plans.AsOfJoinOps.asof(
+        l, r.withColumn("rt", col("rt").cast("int")), "event_id", "rt", "t", "rt")
+    }
+    assert(e1.getMessage.contains("time columns"))
+    val e2 = intercept[IllegalArgumentException] {
+      plans.AsOfJoinOps.asof(l, r, "fk", "rfk", "t", "rt")
+    }
+    assert(e2.getMessage.contains("floating-point"))
+  }
+
   test("fixture-scale equivalence with the composed window formulation") {
     val native = {
       val ev = Tables.load(spark, dir, "events")

@@ -287,7 +287,7 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // dense side: ONE deliberate bounded brute-force ranking (5-query
     // dense-retrieval baseline); the other three windows inherit the
     // 1-row corpus-stats crossJoin attach inside the BM25 subtree
-    "q_hybrid_rrf" -> 4)             // one per Lloyd iteration
+    "q_hybrid_rrf" -> 4)
 
   test("per-query window ranking runs only over candidate-pruned streams") {
     import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
@@ -322,9 +322,13 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
         case Left(err) => Seq(err)
         case Right(n) =>
           val budget = windowOverBruteBudget.getOrElse(name, 0)
-          Option.when(n > budget)(
+          // EXACT match, both directions: a count above budget is a new
+          // brute-force ranking; a count below means the budget is
+          // stale and would mask a later regression up to its value
+          Option.when(n != budget)(
             s"$name ranks $n windows over un-pruned (non-equi-joined) streams, " +
-              s"budget is $budget").toSeq
+              s"budgeted exact count is $budget — update the budget with the " +
+              "reason if the change is intended").toSeq
       }
     }
     assert(problems.isEmpty, problems.mkString("\n"))
