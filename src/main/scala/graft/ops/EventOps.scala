@@ -177,6 +177,32 @@ object EventOps {
           col("purchase_id"), col("p_ts").as("purchase_ts"))
     },
 
+    // ── as-of join, FORWARD direction ───────────────────────────────
+    // The other merge_asof direction: the EARLIEST purchase at-or-
+    // after each click (time-to-conversion shape). Same native
+    // operator, binary search flipped to smallest-time >= t; DuckDB's
+    // ASOF JOIN takes the reversed inequality natively, so the oracle
+    // is symmetric with q_asof_native's.
+    Q("q_asof_forward",
+      """WITH p AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, p.purchase_id, p.ts AS purchase_ts
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("purchase_id"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.plans.AsOfJoinOps.asof(c, p, "user_id", "p_user", "ts", "p_ts",
+          direction = "forward")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("purchase_id"), col("p_ts").as("purchase_ts"))
+    },
+
     // ── JSON column extraction + aggregation ────────────────────────
     Q("q_events_json",
       """SELECT event_type,

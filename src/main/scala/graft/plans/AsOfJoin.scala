@@ -42,7 +42,8 @@ final case class AsOfJoinPlan(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -86,8 +87,8 @@ object AsOfFilterPushdown extends Rule[LogicalPlan] {
 /** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -97,6 +98,7 @@ final case class AsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -171,14 +173,21 @@ final case class AsOfJoinExec(
           val buf = index.get(k)
           if (buf != null) {
             val target = toLong(ltType, t)
-            // binary search: greatest index with time <= target
+            // binary search over the sorted postings: BACKWARD takes
+            // the greatest time <= target, FORWARD the smallest
+            // time >= target (pandas merge_asof's direction dial)
             var lo = 0
             var hi = buf.length - 1
             var ans = -1
             while (lo <= hi) {
               val mid = (lo + hi) >>> 1
-              if (buf(mid)._1 <= target) { ans = mid; lo = mid + 1 }
-              else hi = mid - 1
+              if (forward) {
+                if (buf(mid)._1 >= target) { ans = mid; hi = mid - 1 }
+                else lo = mid + 1
+              } else {
+                if (buf(mid)._1 <= target) { ans = mid; lo = mid + 1 }
+                else hi = mid - 1
+              }
             }
             if (ans >= 0) matched = buf(ans)._2
           }
@@ -215,7 +224,14 @@ object AsOfJoinOps {
     */
   def asof(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      direction: String = "backward"): DataFrame = {
+    val forward = direction match {
+      case "backward" => false
+      case "forward" => true
+      case other => throw new IllegalArgumentException(
+        s"as-of direction must be 'backward' or 'forward', got '$other'")
+    }
     val lp = GraftPlanShim.analyzed(left)
     val rp0 = GraftPlanShim.analyzed(right)
     val rp =
@@ -239,6 +255,7 @@ object AsOfJoinOps {
         s"as-of $side is ${a.dataType}: floating-point join keys are not " +
           "supported (value equality diverges from SQL equality on -0.0/NaN)")
     }
-    GraftPlanShim.ofRows(left.sparkSession, AsOfJoinPlan(lp, rp, lk, rk, lt, rt))
+    GraftPlanShim.ofRows(left.sparkSession,
+      AsOfJoinPlan(lp, rp, lk, rk, lt, rt, forward))
   }
 }

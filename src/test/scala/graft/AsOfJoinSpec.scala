@@ -77,6 +77,22 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(joined.select("event_id").as[Long].collect().sorted === Array(2L, 6L))
   }
 
+  test("forward direction: earliest right row at-or-after, null when none") {
+    val got = plans.AsOfJoinOps.asof(leftDf, rightDf, "k", "rk", "t", "rt",
+        direction = "forward")
+      .select("event_id", "tag").as[(Long, Option[String])].collect().toMap
+    assert(got === Map(
+      1L -> Some("a@12"),  // smallest rt >= 10
+      2L -> Some("a@20"),
+      3L -> Some("a@8"),   // smallest rt >= 5
+      4L -> None,          // key absent on the right
+      5L -> Some("c@9"),
+      6L -> Some("a@20"))) // inclusive: rt == t matches
+    intercept[IllegalArgumentException] {
+      plans.AsOfJoinOps.asof(leftDf, rightDf, "k", "rk", "t", "rt", direction = "nearest")
+    }
+  }
+
   test("self-join: shared attribute ids are re-aliased, right columns bind correctly") {
     val base = Seq((1L, "a", 10L, "l@10"), (2L, "a", 20L, "l@20"))
       .toDF("event_id", "k", "t", "tag")
