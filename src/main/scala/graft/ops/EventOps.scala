@@ -203,6 +203,35 @@ object EventOps {
           col("purchase_id"), col("p_ts").as("purchase_ts"))
     },
 
+    // ── as-of join with a TOLERANCE band ────────────────────────────
+    // merge_asof's third dial: the latest purchase at-or-before each
+    // click only counts if it happened within the last hour —
+    // attribution windows in one operator instead of a range join +
+    // re-rank. The oracle gates DuckDB's ASOF match with the same
+    // band: a match outside tolerance degrades to NULL (the row stays;
+    // contrast q_range_join, which counts all in-window purchases).
+    Q("q_asof_tolerance",
+      """WITH p AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  CASE WHEN p.ts >= c.ts - INTERVAL '1 hour' THEN p.purchase_id END AS purchase_id,
+        |  CASE WHEN p.ts >= c.ts - INTERVAL '1 hour' THEN p.ts END AS purchase_ts
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("purchase_id"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.plans.AsOfJoinOps.asof(c, p, "user_id", "p_user", "ts", "p_ts",
+          tolerance = Some(3600L * 1000000L)) // 1 hour in timestamp micros
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("purchase_id"), col("p_ts").as("purchase_ts"))
+    },
+
     // ── JSON column extraction + aggregation ────────────────────────
     Q("q_events_json",
       """SELECT event_type,

@@ -43,7 +43,8 @@ final case class AsOfJoinPlan(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    forward: Boolean = false) extends BinaryNode {
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -87,8 +88,8 @@ object AsOfFilterPushdown extends Rule[LogicalPlan] {
 /** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd) =>
-      AsOfJoinExec(lk, rk, lt, rt, fwd, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -99,6 +100,7 @@ final case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     forward: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -189,7 +191,11 @@ final case class AsOfJoinExec(
                 else hi = mid - 1
               }
             }
-            if (ans >= 0) matched = buf(ans)._2
+            // tolerance band (merge_asof's dial): a candidate farther
+            // than `tolerance` time units from the probe is no match
+            if (ans >= 0 && tolerance.forall(tol =>
+                (if (forward) buf(ans)._1 - target else target - buf(ans)._1) <= tol))
+              matched = buf(ans)._2
           }
         }
         project(joined(lrow, if (matched != null) matched else nullRight))
@@ -225,7 +231,9 @@ object AsOfJoinOps {
   def asof(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(tolerance.forall(_ >= 0), "as-of tolerance must be >= 0")
     val forward = direction match {
       case "backward" => false
       case "forward" => true
@@ -256,6 +264,6 @@ object AsOfJoinOps {
           "supported (value equality diverges from SQL equality on -0.0/NaN)")
     }
     GraftPlanShim.ofRows(left.sparkSession,
-      AsOfJoinPlan(lp, rp, lk, rk, lt, rt, forward))
+      AsOfJoinPlan(lp, rp, lk, rk, lt, rt, forward, tolerance))
   }
 }

@@ -93,6 +93,21 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("tolerance band: matches farther than the band degrade to null") {
+    val got = plans.AsOfJoinOps.asof(leftDf, rightDf, "k", "rk", "t", "rt",
+        tolerance = Some(2L))
+      .select("event_id", "tag").as[(Long, Option[String])].collect().toMap
+    assert(got === Map(
+      1L -> Some("a@8"),   // gap 2 <= 2
+      2L -> None,          // latest-at-or-before is a@12, gap 3 > 2
+      3L -> None, 4L -> None, 5L -> None,
+      6L -> Some("a@20"))) // exact hit, gap 0
+    intercept[IllegalArgumentException] {
+      plans.AsOfJoinOps.asof(leftDf, rightDf, "k", "rk", "t", "rt",
+        tolerance = Some(-1L))
+    }
+  }
+
   test("self-join: shared attribute ids are re-aliased, right columns bind correctly") {
     val base = Seq((1L, "a", 10L, "l@10"), (2L, "a", 20L, "l@20"))
       .toDF("event_id", "k", "t", "tag")
