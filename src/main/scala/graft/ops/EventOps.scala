@@ -232,6 +232,42 @@ object EventOps {
           col("purchase_id"), col("p_ts").as("purchase_ts"))
     },
 
+    // ── as-of join, NEAREST direction ───────────────────────────────
+    // merge_asof's last direction: the purchase closest in time to
+    // each click, either side, ties to the at-or-before one (the
+    // operator's pinned contract). DuckDB has no native nearest ASOF,
+    // so the oracle composes it from the two directed ASOF joins and
+    // picks the smaller absolute gap with the same tie rule — which
+    // also documents exactly why the single-operator form earns its
+    // place.
+    Q("q_asof_nearest",
+      """WITH p AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |b AS (SELECT c.event_id, c.user_id, c.ts, p.purchase_id AS b_id, p.ts AS b_ts
+        |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts),
+        |f AS (SELECT c.event_id, p.purchase_id AS f_id, p.ts AS f_ts
+        |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts > c.ts)
+        |SELECT b.event_id, b.user_id, b.ts,
+        |  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR (b.ts - b_ts) <= (f_ts - b.ts))
+        |       THEN b_id ELSE f_id END AS purchase_id,
+        |  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR (b.ts - b_ts) <= (f_ts - b.ts))
+        |       THEN b_ts ELSE f_ts END AS purchase_ts
+        |FROM b JOIN f ON b.event_id = f.event_id""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("purchase_id"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.plans.AsOfJoinOps.asof(c, p, "user_id", "p_user", "ts", "p_ts",
+          direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("purchase_id"), col("p_ts").as("purchase_ts"))
+    },
+
     // ── JSON column extraction + aggregation ────────────────────────
     Q("q_events_json",
       """SELECT event_type,

@@ -36,6 +36,23 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZ
   * spill path is the documented follow-up if right partitions ever
   * outgrow memory.
   */
+/** merge_asof's direction dial. Nearest prefers the BACKWARD
+  * candidate on an exact distance tie (pinned, spec-tested contract).
+  */
+sealed trait AsOfDirection extends Serializable
+object AsOfDirection {
+  case object Backward extends AsOfDirection
+  case object Forward extends AsOfDirection
+  case object Nearest extends AsOfDirection
+  def parse(s: String): AsOfDirection = s match {
+    case "backward" => Backward
+    case "forward" => Forward
+    case "nearest" => Nearest
+    case other => throw new IllegalArgumentException(
+      s"as-of direction must be 'backward', 'forward' or 'nearest', got '$other'")
+  }
+}
+
 final case class AsOfJoinPlan(
     left: LogicalPlan,
     right: LogicalPlan,
@@ -43,7 +60,7 @@ final case class AsOfJoinPlan(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    forward: Boolean = false,
+    direction: AsOfDirection = AsOfDirection.Backward,
     tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -88,8 +105,8 @@ object AsOfFilterPushdown extends Rule[LogicalPlan] {
 /** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, fwd, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, dir, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, dir, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -99,7 +116,7 @@ final case class AsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    forward: Boolean,
+    direction: AsOfDirection,
     tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
@@ -175,26 +192,38 @@ final case class AsOfJoinExec(
           val buf = index.get(k)
           if (buf != null) {
             val target = toLong(ltType, t)
-            // binary search over the sorted postings: BACKWARD takes
-            // the greatest time <= target, FORWARD the smallest
-            // time >= target (pandas merge_asof's direction dial)
+            // ONE binary search anchors all three directions: bk is
+            // the greatest index with time <= target; bk+1 is then the
+            // smallest index with time > target. BACKWARD takes bk,
+            // FORWARD the smallest time >= target (bk itself on an
+            // exact hit, else bk+1), NEAREST whichever neighbor has
+            // the smaller absolute gap — ties to the backward one.
             var lo = 0
             var hi = buf.length - 1
-            var ans = -1
+            var bk = -1
             while (lo <= hi) {
               val mid = (lo + hi) >>> 1
-              if (forward) {
-                if (buf(mid)._1 >= target) { ans = mid; hi = mid - 1 }
-                else lo = mid + 1
-              } else {
-                if (buf(mid)._1 <= target) { ans = mid; lo = mid + 1 }
-                else hi = mid - 1
-              }
+              if (buf(mid)._1 <= target) { bk = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            val ans = direction match {
+              case AsOfDirection.Backward => bk
+              case AsOfDirection.Forward =>
+                if (bk >= 0 && buf(bk)._1 == target) bk
+                else if (bk + 1 < buf.length) bk + 1
+                else -1
+              case AsOfDirection.Nearest =>
+                val fw = bk + 1
+                if (bk < 0 && fw >= buf.length) -1
+                else if (bk < 0) fw
+                else if (fw >= buf.length) bk
+                else if (target - buf(bk)._1 <= buf(fw)._1 - target) bk
+                else fw
             }
             // tolerance band (merge_asof's dial): a candidate farther
             // than `tolerance` time units from the probe is no match
             if (ans >= 0 && tolerance.forall(tol =>
-                (if (forward) buf(ans)._1 - target else target - buf(ans)._1) <= tol))
+                math.abs(buf(ans)._1 - target) <= tol))
               matched = buf(ans)._2
           }
         }
@@ -234,12 +263,7 @@ object AsOfJoinOps {
       direction: String = "backward",
       tolerance: Option[Long] = None): DataFrame = {
     require(tolerance.forall(_ >= 0), "as-of tolerance must be >= 0")
-    val forward = direction match {
-      case "backward" => false
-      case "forward" => true
-      case other => throw new IllegalArgumentException(
-        s"as-of direction must be 'backward' or 'forward', got '$other'")
-    }
+    val dir = AsOfDirection.parse(direction)
     val lp = GraftPlanShim.analyzed(left)
     val rp0 = GraftPlanShim.analyzed(right)
     val rp =
@@ -264,6 +288,6 @@ object AsOfJoinOps {
           "supported (value equality diverges from SQL equality on -0.0/NaN)")
     }
     GraftPlanShim.ofRows(left.sparkSession,
-      AsOfJoinPlan(lp, rp, lk, rk, lt, rt, forward, tolerance))
+      AsOfJoinPlan(lp, rp, lk, rk, lt, rt, dir, tolerance))
   }
 }

@@ -89,8 +89,27 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSessionTestWrapper {
       5L -> Some("c@9"),
       6L -> Some("a@20"))) // inclusive: rt == t matches
     intercept[IllegalArgumentException] {
-      plans.AsOfJoinOps.asof(leftDf, rightDf, "k", "rk", "t", "rt", direction = "nearest")
+      plans.AsOfJoinOps.asof(leftDf, rightDf, "k", "rk", "t", "rt", direction = "sideways")
     }
+  }
+
+  test("nearest direction: smaller absolute gap wins, ties to backward") {
+    val got = plans.AsOfJoinOps.asof(leftDf, rightDf, "k", "rk", "t", "rt",
+        direction = "nearest")
+      .select("event_id", "tag").as[(Long, Option[String])].collect().toMap
+    assert(got === Map(
+      1L -> Some("a@8"),   // gaps: back 2 vs fwd 2 — TIE, backward wins
+      2L -> Some("a@12"),  // back 3 vs fwd 5
+      3L -> Some("a@8"),   // no backward, forward only
+      4L -> None,
+      5L -> Some("c@9"),
+      6L -> Some("a@20"))) // exact hit
+    // nearest + tolerance: the chosen candidate must sit in the band
+    val tol = plans.AsOfJoinOps.asof(leftDf, rightDf, "k", "rk", "t", "rt",
+        direction = "nearest", tolerance = Some(1L))
+      .select("event_id", "tag").as[(Long, Option[String])].collect().toMap
+    assert(tol(1L) === None)        // both gaps are 2 > 1
+    assert(tol(6L) === Some("a@20")) // gap 0
   }
 
   test("tolerance band: matches farther than the band degrade to null") {
