@@ -60,6 +60,23 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(df.count() === 6)
   }
 
+  test("EnsureRequirements hash-clusters both children on their keys") {
+    // the exec's per-partition merge is only correct when equal keys
+    // land in the same partition index on both sides — pin that the
+    // planner inserts the two co-partitioning exchanges rather than
+    // accepting whatever partitioning the children arrive with
+    val df = plans.AsOfJoinOps.asof(leftDf.repartition(5, col("t")),
+      rightDf.repartition(9, col("rt")), "k", "rk", "t", "rt")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(k#".r.findFirstIn(plan).isDefined,
+      s"left side not re-clustered on the key:\n$plan")
+    assert("Exchange hashpartitioning\\(rk#".r.findFirstIn(plan).isDefined,
+      s"right side not re-clustered on the key:\n$plan")
+    // and the merge is still correct under the hostile input partitioning
+    assert(df.select("event_id", "tag").as[(Long, Option[String])]
+      .collect().toMap.apply(2L) === Some("a@12"))
+  }
+
   test("left-side filters push below the join; right-side filters stay above") {
     val joined = AsOfJoinOps.asof(leftDf, rightDf, "k", "rk", "t", "rt")
       .filter(col("event_id") > 1 && col("tag").isNotNull)
