@@ -154,7 +154,8 @@ object EventOps {
     // executed by the engine's own whole-operator extension
     // (graft.plans.AsOfJoinPlan -> AsOfJoinExec via the injected
     // strategy): per-side hash shuffle on the key, per-partition
-    // right-side time index, binary-search probe. A hash match here
+    // (key, time) sorts that SPILL, and a streaming merge holding
+    // O(1) right rows. A hash match here
     // proves the custom physical operator agrees row-for-row with
     // DuckDB's native ASOF JOIN — the composed window formulation
     // above certifies the SEMANTICS, this row certifies the OPERATOR.
@@ -172,7 +173,63 @@ object EventOps {
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("purchase_id"))
       val c = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
-      graft.plans.AsOfJoinOps.asof(c, p, "user_id", "p_user", "ts", "p_ts")
+      graft.plans.AsOfJoinOps.asof(c, p, "user_id", "p_user", "ts", "p_ts",
+          broadcast = Some(false)) // pin the shuffled sort-merge exec
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("purchase_id"), col("p_ts").as("purchase_ts"))
+    },
+
+    // ── as-of join, BROADCAST operator path ─────────────────────────
+    // Same query and same oracle once more, forced onto the OTHER
+    // physical path: AsOfBroadcastExec — the right side broadcasts
+    // (zero shuffles, probe-side partitioning passes through), each
+    // task probes a bounded index built from the broadcast rows. With
+    // q_asof_native pinned to the shuffled sort-merge exec, the two
+    // rows certify BOTH planner outputs row-for-row against DuckDB;
+    // the forward/tolerance/nearest rows leave the hint unset so the
+    // stats-based strategy decision itself stays exercised per scale.
+    Q("q_asof_broadcast",
+      """WITH p AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, p.purchase_id, p.ts AS purchase_ts
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("purchase_id"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.plans.AsOfJoinOps.asof(c, p, "user_id", "p_user", "ts", "p_ts",
+          broadcast = Some(true))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("purchase_id"), col("p_ts").as("purchase_ts"))
+    },
+
+    // ── as-of join, STRICT dial ─────────────────────────────────────
+    // merge_asof's allow_exact_matches=false: the latest purchase
+    // STRICTLY before each click (self-exclusion shape — "state as of
+    // just before this event"). DuckDB's ASOF JOIN takes the strict
+    // inequality natively, so the oracle is one character away from
+    // q_asof_native's.
+    Q("q_asof_strict",
+      """WITH p AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, p.purchase_id, p.ts AS purchase_ts
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts < c.ts""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("purchase_id"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.plans.AsOfJoinOps.asof(c, p, "user_id", "p_user", "ts", "p_ts",
+          allowExactMatches = false)
         .select(col("event_id"), col("user_id"), col("ts"),
           col("purchase_id"), col("p_ts").as("purchase_ts"))
     },
