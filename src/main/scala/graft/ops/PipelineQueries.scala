@@ -193,6 +193,61 @@ object PipelineQueries {
         sum(floor(col("s_acctbal") * lit(10000.0)).cast(LongType)).as("bal_digest"))
   }
 
+  /** JDBC predicate pushdown certified by the oracle — the other
+    * production knob SURVEY O4 names beyond partitioned reads: a
+    * filtered read through [[graft.io.JdbcSource]] must ship the
+    * predicate INTO the database (`WHERE` in the generated SQL, so a
+    * 100 TB-side enrichment table streams only matching rows over the
+    * wire) rather than scanning everything and filtering in Spark.
+    * The query asserts the plan property itself — the JDBC scan node
+    * must advertise the pushed `GreaterThan` in its `PushedFilters`
+    * metadata, making the green row a proof of pushdown at BOTH
+    * gate scales, not just of value correctness — and DuckDB then
+    * certifies the digest of the filtered result over the parquet
+    * original. Single-conjunct filter by design: scan-node metadata
+    * truncates long filter lists in the plan string, which would turn
+    * the assertion flaky.
+    */
+  def runJdbcPushdown(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    System.setProperty("derby.system.home", "target/staging/derby")
+    val tag = dir.replaceAll("[^0-9A-Za-z.]", "_")
+    val opts = graft.io.JdbcOptions(
+      url = s"jdbc:derby:memory:graft_push_$tag;create=true",
+      dbtable = "supplier_push",
+      user = "app",
+      password = "app",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver",
+      partitionColumn = Some("s_suppkey"),
+      lowerBound = Some(0L),
+      upperBound = Some(1L << 20),
+      numPartitions = Some(4))
+    graft.Tables.load(s, dir, "supplier")
+      .write.format("jdbc")
+      .options(opts.asMap)
+      .mode("overwrite")
+      .save()
+    val filtered = graft.io.JdbcSource(opts).load(s)
+      .filter(col("s_acctbal") > lit(1000.0))
+    val plan = filtered.queryExecution.executedPlan.toString.toLowerCase
+    require(plan.contains("pushedfilters:") &&
+      plan.contains("greaterthan(s_acctbal,1000.0)"),
+      s"JDBC scan did not push the predicate down:\n$plan")
+    filtered
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(graft.Cols.hex60(col("s_name")) % lit(1000003L)).cast(LongType)
+          .as("name_digest"),
+        sum(floor(col("s_acctbal") * lit(10000.0)).cast(LongType)).as("bal_digest"))
+  }
+
+  private val jdbcPushdownOracle: String =
+    s"""SELECT s_nationkey, count(*) AS n_supp,
+       |  CAST(sum(${graft.OracleSql.hex60("s_name")} % 1000003) AS BIGINT) AS name_digest,
+       |  CAST(sum(CAST(floor(s_acctbal * 10000.0) AS BIGINT)) AS BIGINT) AS bal_digest
+       |FROM supplier WHERE s_acctbal > 1000.0 GROUP BY s_nationkey""".stripMargin
+
   private val jdbcMirrorOracle: String =
     s"""SELECT s_nationkey, count(*) AS n_supp,
        |  CAST(sum(${graft.OracleSql.hex60("s_name")} % 1000003) AS BIGINT) AS name_digest,
@@ -203,5 +258,6 @@ object PipelineQueries {
     Q("pipeline_e2e", MergeQueries.coalesceOracle)(runE2e),
     Q("q_orc_mirror", orcMirrorOracle)(runOrcMirror),
     Q("q_partition_prune", partitionPruneOracle)(runPartitionPrune),
-    Q("q_jdbc_mirror", jdbcMirrorOracle)(runJdbcMirror))
+    Q("q_jdbc_mirror", jdbcMirrorOracle)(runJdbcMirror),
+    Q("q_jdbc_pushdown", jdbcPushdownOracle)(runJdbcPushdown))
 }

@@ -166,6 +166,25 @@ class SourcesSpec extends AnyFunSuite with SparkSessionTestWrapper {
       sample.collect().map(_.toString).sorted)
   }
 
+  test("JDBC source pushes predicates into the database (PushedFilters in the scan)") {
+    // the other production knob beyond partitioned reads: a filter on
+    // the JDBC DataFrame must reach the generated SQL's WHERE clause
+    // (advertised as PushedFilters on the scan node), so a large
+    // enrichment table streams only matching rows over the wire
+    System.setProperty("derby.system.home", "target/staging/derby")
+    val base = JdbcOptions(
+      url = "jdbc:derby:memory:graft_sources_push;create=true",
+      dbtable = "jdbc_push",
+      user = "app", password = "app",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver")
+    sample.write.format("jdbc").options(base.asMap).mode("overwrite").save()
+    val filtered = JdbcSource(base).load(spark).filter(col("v") > 2.0)
+    val plan = filtered.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("pushedfilters:") && plan.contains("greaterthan(v,2.0)"),
+      s"predicate not pushed into the JDBC scan:\n$plan")
+    assert(filtered.collect().map(_.getLong(0)) === Array(3L))
+  }
+
   test("pipeline runs with mixed source formats (jsonl primary, orc secondary)") {
     sample.write.mode("overwrite").json(s"$root/p-lines")
     val sec = spark.createDataFrame(Seq(
