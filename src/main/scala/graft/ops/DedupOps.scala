@@ -233,24 +233,33 @@ object DedupOps {
     val bands = sim.select(col("doc_id") +: sigCols.map(col) :+ bandIdx: _*)
       .withColumn("band_v", expr(bandKey))
       .persist()
+    // The Hamming cut runs INSIDE the join's projection (xor+popcount,
+    // whole-stage codegen) BEFORE the cross-band distinct, so the raw
+    // candidate set — 3.9M rows at sf0.1, ~60x the surviving pairs —
+    // is never shuffled, persisted or distinct()ed; only survivors
+    // are. That is the shape that holds at 100x: band saturation makes
+    // candidates grow toward N^2, and the one structure that touches
+    // them is a streaming codegen filter. Blocking degradation stays
+    // VISIBLE without a dedicated counting job (an eager
+    // sum-of-C(bucket,2) pass measured +0.35 s on every family query):
+    // the count printed here is the SURVIVING pair count — if the
+    // corpus outgrows the band capacity the signal is this join stage's
+    // runtime against a flat survivor count, and the remedy is the same
+    // (widen the signature / raise bandBits via simBandBits).
+    val hammingSql = sigCols.map(c => s"bit_count(a.$c ^ b.$c)").mkString(" + ")
     val pairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band_i") === col("b.band_i") && col("a.band_v") === col("b.band_v") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a") +: col("b.doc_id").as("doc_b") +:
-        sigCols.flatMap(c => Seq(col(s"a.$c").as(s"a_$c"), col(s"b.$c").as(s"b_$c"))): _*)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr(s"CAST($hammingSql AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 3)
       .distinct()
       .persist()
-    // blocking degradation must be VISIBLE: if the corpus outgrows the
-    // band capacity, this count blowing up (toward N^2) is the signal
-    // to widen the signature — never a silent slow query
-    val nCandidates = pairs.count()
-    println(s"[$tag] bandBits=$bandBits candidates=$nCandidates")
-    val hammingSql = sigCols.map(c => s"bit_count(a_$c ^ b_$c)").mkString(" + ")
+    // one eager action: materializes the (small) pair cache every
+    // downstream consumer reuses, and surfaces the survivor count
+    println(s"[$tag] bandBits=$bandBits pairs=" + pairs.count())
     pairs
-      .withColumn("hamming", expr(s"CAST($hammingSql AS BIGINT)"))
-      .filter(col("hamming") <= 3)
-      .select("doc_a", "doc_b", "hamming")
   }
 
   /** The native-codegen 60-bit signature of a token-hash array column
