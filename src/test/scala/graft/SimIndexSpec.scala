@@ -58,6 +58,42 @@ class SimIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(postings.select("vec_id").distinct().count() === nVec)
   }
 
+  test("upsert is keyed: re-delivering the same delta converges, no duplicates") {
+    val root = s"${ops.Staging.dir(dir)}/sim_index_upsert"
+    ops.SimilarityOps.buildIvfIndex(spark, dir, root, !ops.SimilarityOps.upsertDelta)
+    ops.SimilarityOps.upsertIvfIndex(spark, dir, root, ops.SimilarityOps.upsertDelta)
+    val once = spark.read.parquet(s"$root/postings.parquet")
+      .collect().map(_.toString).sorted
+    // the at-least-once delivery case: the SAME batch arrives again
+    ops.SimilarityOps.upsertIvfIndex(spark, dir, root, ops.SimilarityOps.upsertDelta)
+    val twice = spark.read.parquet(s"$root/postings.parquet")
+      .collect().map(_.toString).sorted
+    assert(twice === once, "second delivery of the same delta changed the index")
+    val nVec = Tables.load(spark, dir, "embeddings").count()
+    assert(twice.length === nVec.toInt)
+  }
+
+  test("ensureBaseIvfIndex builds once per fixture fingerprint, rebuilds on marker loss") {
+    val root = s"${ops.Staging.dir(dir)}/sim_index_ensure_test"
+    val pred = !ops.SimilarityOps.upsertDelta
+    def centMtimes(): Seq[Long] = {
+      val d = new java.io.File(s"$root/centroids.parquet")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.lastModified).sorted.toSeq
+    }
+    ops.SimilarityOps.ensureBaseIvfIndex(spark, dir, root, pred)
+    val built = centMtimes()
+    assert(built.nonEmpty)
+    ops.SimilarityOps.ensureBaseIvfIndex(spark, dir, root, pred)
+    assert(centMtimes() === built, "matching fingerprint must skip the rebuild")
+    // a lost/corrupt marker (crash between build and marker) must rebuild
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/_base_fingerprint"), "stale".getBytes)
+    Thread.sleep(1100) // mtime granularity can be 1s on some filesystems
+    ops.SimilarityOps.ensureBaseIvfIndex(spark, dir, root, pred)
+    assert(centMtimes() !== built, "stale fingerprint must force a rebuild")
+  }
+
   test("saved postings are cell-partitioned; every vector in exactly one cell") {
     val out = SparkEntry.queries("sim_index_roundtrip")(spark, dir)
     assert(out.count() > 0) // also materializes the index build
