@@ -3,12 +3,14 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftPlanShim}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, AttributeSet, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DataType, DateType, DecimalType, IntegerType, LongType, TimestampNTZType, TimestampType}
 
@@ -204,6 +206,103 @@ private[plans] object AsOfSearch {
   }
 }
 
+/** Per-key postings (times ascending, parallel row array) plus the
+  * frozen search dials — the probe structure of the broadcast path.
+  * `lookup` is the single entry point both the interpreted path and
+  * the generated code call.
+  */
+final class AsOfIndex(
+    index: java.util.HashMap[Any, (Array[Long], Array[InternalRow])],
+    direction: AsOfDirection,
+    allowExactMatches: Boolean,
+    tolerance: Option[Long]) {
+
+  /** The matching right row for (key, target-instant), or null. */
+  def lookup(key: Any, target: Long): InternalRow = {
+    val p = index.get(key)
+    if (p == null) null
+    else {
+      val i = AsOfSearch.select(p._1, p._1.length, target,
+        direction, allowExactMatches, tolerance)
+      if (i >= 0) p._2(i) else null
+    }
+  }
+}
+
+/** Builds — and memoizes per executor JVM — the [[AsOfIndex]] over a
+  * broadcast right side. BroadcastExchangeExec only ships
+  * HashedRelation or Array[InternalRow] values (it type-checks the
+  * BroadcastMode result), so the index cannot be built driver-side and
+  * broadcast directly; instead the rows ride the standard
+  * IdentityBroadcastMode and the index builds ONCE PER EXECUTOR, keyed
+  * by broadcast id — the same per-executor cost profile as
+  * deserializing a broadcast HashedRelation, and strictly better than
+  * the previous once-per-task build. SoftReferences let the cache
+  * shed entries under memory pressure (a rebuild is always safe).
+  */
+final case class AsOfIndexSource(
+    bc: org.apache.spark.broadcast.Broadcast[Array[InternalRow]],
+    rightOutput: Seq[Attribute],
+    rightKey: Expression,
+    rightTime: Expression,
+    direction: AsOfDirection,
+    allowExactMatches: Boolean,
+    tolerance: Option[Long]) extends Serializable {
+
+  /** The executor-cached index (builds it on first call per JVM). */
+  def index(): AsOfIndex = {
+    val ref = AsOfIndexSource.cache.get(bc.id)
+    val hit = if (ref != null) ref.get() else null
+    if (hit != null) hit
+    else AsOfIndexSource.cache.synchronized {
+      val again = AsOfIndexSource.cache.get(bc.id)
+      val cached = if (again != null) again.get() else null
+      if (cached != null) cached
+      else {
+        val built = build()
+        AsOfIndexSource.cache.put(bc.id, new java.lang.ref.SoftReference(built))
+        built
+      }
+    }
+  }
+
+  private def build(): AsOfIndex = {
+    val rkB = BindReferences.bindReference(rightKey, rightOutput)
+    val rtB = BindReferences.bindReference(rightTime, rightOutput)
+    val rtType = rightTime.dataType
+    val grouped = new java.util.HashMap[
+      Any, scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
+    bc.value.foreach { row =>
+      val k = rkB.eval(row)
+      val t = rtB.eval(row)
+      // null key/time right rows can never match: drop at build
+      if (k != null && t != null) {
+        var buf = grouped.get(k)
+        if (buf == null) {
+          buf = new scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]()
+          grouped.put(k, buf)
+        }
+        buf += ((AsOfSearch.toLong(rtType, t), row))
+      }
+    }
+    val index =
+      new java.util.HashMap[Any, (Array[Long], Array[InternalRow])](grouped.size())
+    val it = grouped.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val sorted = e.getValue.sortInPlaceBy(_._1)
+      index.put(e.getKey, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+    }
+    new AsOfIndex(index, direction, allowExactMatches, tolerance)
+  }
+}
+
+object AsOfIndexSource {
+  // broadcast id -> built index; soft so memory pressure can reclaim
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.ref.SoftReference[AsOfIndex]]()
+}
+
 /** Shuffled as-of join: hash-cluster both children on the key, sort
   * within partitions on (key, time) — EnsureRequirements inserts the
   * exchanges AND the (spillable) SortExecs — then stream a merge.
@@ -367,15 +466,21 @@ final case class AsOfJoinExec(
 
 /** Broadcast as-of join: ZERO shuffles. EnsureRequirements plans a
   * `BroadcastExchangeExec` under the right child (IdentityBroadcastMode
-  * — the collected rows, already driver-copied, broadcast once per
-  * cluster); each left task builds the per-key sorted time index from
-  * the broadcast rows and probes with [[AsOfSearch.select]]'s binary
+  * — the collected rows broadcast once per cluster); the per-key
+  * sorted time index builds once PER EXECUTOR over them
+  * ([[AsOfIndexSource]]) and each task probes it with a binary
   * search. Memory is bounded by construction: the strategy only picks
   * this exec when the right side's size estimate fits under the
   * broadcast threshold (or the caller forced it, accepting the same
-  * contract Spark's own broadcast hint implies). The per-task index
-  * build is O(broadcast size) and in practice dwarfed by the probe
-  * side — the same trade BroadcastNestedLoopJoinExec makes.
+  * contract Spark's own broadcast hint implies).
+  *
+  * The probe side participates in WHOLE-STAGE CODEGEN
+  * ([[CodegenSupport]]): the generated loop evaluates the left key and
+  * time inline, calls `AsOfIndex.lookup`, and materializes the right
+  * columns behind a null guard — so an as-of probe embedded in a
+  * scan→filter→join→project pipeline compiles into the same single
+  * Java loop a built-in broadcast hash join would, instead of
+  * breaking the stage in two at each side of the operator.
   */
 final case class AsOfBroadcastExec(
     leftKey: Expression,
@@ -386,7 +491,7 @@ final case class AsOfBroadcastExec(
     tolerance: Option[Long],
     allowExactMatches: Boolean,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -394,74 +499,113 @@ final case class AsOfBroadcastExec(
   override def requiredChildDistribution: Seq[Distribution] =
     UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
 
+  private def indexSource(): AsOfIndexSource =
+    AsOfIndexSource(right.executeBroadcast[Array[InternalRow]](),
+      right.output, rightKey, rightTime,
+      direction, allowExactMatches, tolerance)
+
   // no exchange on the probe side: partitioning and ordering pass
   // straight through — a downstream agg on the left key reuses the
   // left child's layout untouched
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  // ── interpreted path (codegen disabled / fallback) ────────────────
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
-    val rightOut = right.output
     val lkB = BindReferences.bindReference(leftKey, leftOut)
     val ltB = BindReferences.bindReference(leftTime, leftOut)
-    val rkBound = BindReferences.bindReference(rightKey, rightOut)
-    val rtBound = BindReferences.bindReference(rightTime, rightOut)
     val ltType = leftTime.dataType
-    val rtType = rightTime.dataType
-    val dir = direction
-    val allowExact = allowExactMatches
-    val tol = tolerance
     val out = output
-    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    val nRight = right.output.size
+    val src = indexSource()
 
     left.execute().mapPartitions({ lIter =>
-      // per-key postings: times ascending, parallel row array. Built
-      // from the broadcast value (executor-cached by TorrentBroadcast);
-      // bounded by the broadcast threshold by construction.
-      val index = new java.util.HashMap[Any, (Array[Long], Array[InternalRow])]()
-      locally {
-        val grouped = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
-        broadcastRows.value.foreach { row =>
-          val k = rkBound.eval(row)
-          val t = rtBound.eval(row)
-          if (k != null && t != null) {
-            var buf = grouped.get(k)
-            if (buf == null) {
-              buf = new scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]()
-              grouped.put(k, buf)
-            }
-            buf += ((AsOfSearch.toLong(rtType, t), row))
-          }
-        }
-        val it = grouped.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          val sorted = e.getValue.sortInPlaceBy(_._1)
-          index.put(e.getKey, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
-        }
-      }
-
-      val nullRight = new GenericInternalRow(rightOut.size)
+      val index = src.index()
+      val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
       val project = UnsafeProjection.create(out, out)
-
       lIter.map { lrow =>
         val k = lkB.eval(lrow)
         val t = ltB.eval(lrow)
-        var matched: InternalRow = null
-        if (k != null && t != null) {
-          val postings = index.get(k)
-          if (postings != null) {
-            val (times, rows) = postings
-            val ans = AsOfSearch.select(times, times.length,
-              AsOfSearch.toLong(ltType, t), dir, allowExact, tol)
-            if (ans >= 0) matched = rows(ans)
-          }
-        }
+        val matched =
+          if (k != null && t != null)
+            index.lookup(k, AsOfSearch.toLong(ltType, t))
+          else null
         project(joined(lrow, if (matched != null) matched else nullRight))
       }
     }, preservesPartitioning = true)
+  }
+
+  // ── whole-stage codegen path ──────────────────────────────────────
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[CodegenSupport].inputRDDs()
+
+  // exactly ONE output row per probe row (left outer, single match),
+  // so whether downstream must copy is decided by the probe side alone
+  // — the same inheritance Spark's unique-key broadcast hash join uses
+  override def needCopyResult: Boolean =
+    left.asInstanceOf[CodegenSupport].needCopyResult
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    left.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+      row: ExprCode): String = {
+    // the index source (broadcast handle + build recipe) is a
+    // reference object; the generated init fetches the
+    // executor-memoized AsOfIndex once per task
+    val srcTerm = ctx.addReferenceObj("asofIndexSource", indexSource())
+    val idxCls = classOf[AsOfIndex].getName
+    val idxTerm = ctx.addMutableState(idxCls, "asofIndex",
+      v => s"$v = ($idxCls) $srcTerm.index();")
+
+    // left key/time evaluate against the incoming stream vars (already
+    // evaluated by consume(): both are in this node's `references`)
+    ctx.currentVars = input
+    val keyEv = BindReferences.bindReference(leftKey, left.output).genCode(ctx)
+    val timeEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    // widen int/date instants; timestamps/longs are already long
+    val targetJava = leftTime.dataType match {
+      case IntegerType | DateType => s"(long) ${timeEv.value}"
+      case _ => s"${timeEv.value}"
+    }
+    val matched = ctx.freshName("asofMatched")
+    val rowCls = classOf[InternalRow].getName
+
+    // right-side output vars read from the matched row behind a null
+    // guard (the genOneSideJoinVars pattern for the streamed-outer side)
+    ctx.currentVars = null
+    ctx.INPUT_ROW = matched
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val ev = BoundReference(i, a.dataType, nullable = true).genCode(ctx)
+      val isNull = ctx.freshName("asofIsNull")
+      val value = ctx.freshName("asofValue")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val rCode =
+        code"""
+           |boolean $isNull = true;
+           |$jt $value = ${CodeGenerator.defaultValue(a.dataType)};
+           |if ($matched != null) {
+           |  ${ev.code}
+           |  $isNull = ${ev.isNull};
+           |  $value = ${ev.value};
+           |}
+         """.stripMargin
+      ExprCode(rCode, JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+
+    s"""
+       |// graft as-of broadcast probe
+       |${keyEv.code}
+       |${timeEv.code}
+       |$rowCls $matched = null;
+       |if (!(${keyEv.isNull}) && !(${timeEv.isNull})) {
+       |  $matched = $idxTerm.lookup(${keyEv.value}, $targetJava);
+       |}
+       |${consume(ctx, input ++ rightVars)}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

@@ -141,6 +141,41 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(df.count() === 6)
   }
 
+  test("broadcast probe participates in whole-stage codegen (one fused stage with the probe side)") {
+    // projection over the probe: both must fuse into ONE generated
+    // loop containing the as-of exec, not break the stage at the
+    // operator's edges. Execute first — AQE finalizes stages (and
+    // inserts WholeStageCodegen) lazily.
+    val df = AsOfJoinOps.asof(
+      leftDf.filter(col("t") > 0), rightDf, "k", "rk", "t", "rt",
+      broadcast = Some(true)).select(col("k"), col("t"), col("tag"))
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    // the `*(N)` prefix marks membership in codegen stage N
+    val joinStage = """\*\((\d+)\) AsOfBroadcast""".r
+      .findFirstMatchIn(finalPlan).map(_.group(1))
+    assert(joinStage.nonEmpty,
+      s"AsOfBroadcastExec not inside a WholeStageCodegen span:\n$finalPlan")
+    // the projection above the join must sit in the SAME stage (not
+    // cut at the operator's upper edge)
+    assert(finalPlan.contains(s"*(${joinStage.get}) Project"),
+      s"projection not fused into the as-of codegen stage:\n$finalPlan")
+    // and the generated path must compute the same rows as the
+    // interpreted one
+    val rows = df.orderBy("k", "t").collect().map(_.toString)
+    val key = "spark.sql.codegen.wholeStage"
+    val prior = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val df2 = AsOfJoinOps.asof(
+        leftDf.filter(col("t") > 0), rightDf, "k", "rk", "t", "rt",
+        broadcast = Some(true)).select(col("k"), col("t"), col("tag"))
+      assert(!df2.queryExecution.executedPlan.toString.contains("WholeStageCodegen"))
+      assert(df2.orderBy("k", "t").collect().map(_.toString) === rows,
+        "interpreted and generated broadcast probes disagree")
+    } finally spark.conf.set(key, prior)
+  }
+
   test("sort-merge path: EnsureRequirements co-partitions both children and inserts spillable sorts") {
     // the streaming merge is only correct when equal keys land in the
     // same partition index on both sides AND each side arrives sorted
