@@ -208,6 +208,42 @@ object EventOps {
           col("purchase_id"), col("p_ts").as("purchase_ts"))
     },
 
+    // ── as-of join, STREAMING state machine ─────────────────────────
+    // Same query and same oracle a FOURTH time, through the streaming
+    // twin (StatefulOps.asofStream): both sides ride one tagged union
+    // into a flatMapGroupsWithState keyed by user, whose state holds
+    // watermark-compacted right postings and watermark-deferred left
+    // events. Run here in batch flush mode — the hash match proves the
+    // state machine agrees row-for-row with DuckDB's ASOF JOIN and
+    // with all three batch implementations (composed window,
+    // sort-merge exec, broadcast exec). StreamingAsOfSpec proves the
+    // SAME operator incrementally: out-of-order micro-batches under a
+    // real watermark converge to this exact output.
+    Q("q_asof_stream",
+      """WITH p AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, p.purchase_id, p.ts AS purchase_ts
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
+        .select(col("user_id"), col("ts"), lit(true).as("is_right"),
+          lit(0L).as("event_id"), col("purchase_id"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(false).as("is_right"),
+          col("event_id"), lit(0L).as("purchase_id"))
+      graft.streaming.StatefulOps
+        .asofStream(p.unionByName(c).as[graft.streaming.StatefulOps.AsOfRec],
+          flush = true)
+        .toDF()
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("purchase_id"), col("purchase_ts"))
+    },
+
     // ── as-of join, STRICT dial ─────────────────────────────────────
     // merge_asof's allow_exact_matches=false: the latest purchase
     // STRICTLY before each click (self-exclusion shape — "state as of

@@ -151,6 +151,125 @@ object StatefulOps extends Serializable {
     }
   }
 
+  /** One record of the unioned as-of enrichment stream: a left (probe)
+    * event or a right (state) update, tagged by `is_right`. The union
+    * envelope is the standard two-streams-one-operator shape — a
+    * stateful operator keys ONE input, so both sides ride the same
+    * type and split inside the state function. Field names match the
+    * q_asof_native fixture (clicks enriched with purchases).
+    */
+  final case class AsOfRec(user_id: Long, ts: Timestamp, is_right: Boolean,
+      event_id: Long, purchase_id: Long)
+
+  /** One enriched left event: the latest right row at-or-before its
+    * time (backward-inclusive as-of), or None.
+    */
+  final case class AsOfMatch(event_id: Long, user_id: Long, ts: Timestamp,
+      purchase_id: Option[Long], purchase_ts: Option[Timestamp])
+
+  /** Per-key as-of state: right postings (micros -> id, time-sorted)
+    * plus left events still inside the watermark window. Both lists
+    * are BOUNDED by the watermark discipline, not by history: lefts
+    * drain as the watermark passes them, and rights older than the
+    * watermark are compacted to the single latest one (the only
+    * backward candidate any future left can need).
+    */
+  final case class AsOfBuf(rights: List[(Long, Long)], lefts: List[(Long, Long)])
+
+  /** STREAMING AS-OF JOIN — the streaming twin of the native batch
+    * operator (`graft.plans.AsOfJoinPlan`): enrich an event stream
+    * with the latest at-or-before state update per key, the
+    * "attach the config/price/model version that was live when this
+    * event happened" shape every training-data ingest needs.
+    *
+    * Correctness under disorder: a left event at time t is matched
+    * only once the watermark has passed t — no on-time right row at
+    * or before t can still arrive (later arrivals below the watermark
+    * are late-beyond-watermark by contract). Until then the left row
+    * WAITS IN STATE; an event-time timeout at the earliest waiting
+    * left's instant guarantees emission even if the key receives no
+    * further records. Output is therefore append-mode exact over
+    * non-late data.
+    *
+    * State scale: per key, the compacted right postings (everything
+    * newer than the watermark plus ONE latest-at-watermark row) and
+    * the waiting lefts (a watermark-delay-wide window) — both bounded
+    * by stream rate x delay, never by history.
+    *
+    * `flush`: batch-mode dial (same convention as [[sessionize]]'s
+    * `flushOpen`): treat the watermark as +infinity and emit every
+    * left — the gate `q_asof_stream` runs this against the SAME
+    * DuckDB ASOF oracle as the three batch implementations (composed
+    * window, sort-merge exec, broadcast exec), making the streaming
+    * state machine the FOURTH independently-certified formulation.
+    */
+  def asofStream(recs: Dataset[AsOfRec], flush: Boolean = false,
+      watermarkDelay: Option[String] = None): Dataset[AsOfMatch] = {
+    import recs.sparkSession.implicits._
+    val src = watermarkDelay
+      .map(d => recs.withWatermark("ts", d).as[AsOfRec])
+      .getOrElse(recs)
+    val timeoutConf =
+      if (watermarkDelay.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    src.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append(), timeoutConf) {
+      (user: Long, it: Iterator[AsOfRec], state: GroupState[AsOfBuf]) =>
+        val wm =
+          if (flush) Long.MaxValue
+          else state.getCurrentWatermarkMs() * 1000L // millis -> micros
+        val prior = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+        val batch = it.toIndexedSeq
+        val (rIn, lIn) = batch.partition(_.is_right)
+        // postings stay time-sorted; ties keep the larger id (the
+        // fixture dedups per (key, time), so ties only appear if the
+        // caller skipped that — make the choice deterministic anyway)
+        val rights = (prior.rights ++ rIn.map(r => (micros(r.ts), r.purchase_id)))
+          .groupBy(_._1).map { case (t, vs) => (t, vs.map(_._2).max) }
+          .toArray.sortBy(_._1)
+        val lefts = prior.lefts ++ lIn.map(l => (micros(l.ts), l.event_id))
+        val (ready, waiting) = lefts.partition(_._1 <= wm)
+        val times = rights.map(_._1)
+        val out = ready.sortBy(l => (l._1, l._2)).map { case (t, eid) =>
+          // binary search: greatest right time <= t (backward inclusive)
+          var lo = 0; var hi = times.length - 1; var ans = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (times(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+          }
+          if (ans >= 0)
+            AsOfMatch(eid, user, fromMicros(t),
+              Some(rights(ans)._2), Some(fromMicros(rights(ans)._1)))
+          else AsOfMatch(eid, user, fromMicros(t), None, None)
+        }
+        if (flush) {
+          // batch semantics: nothing survives the single invocation
+          state.remove()
+        } else {
+          // compact rights: keep everything a FUTURE left (t > wm) can
+          // still need — all postings after the watermark plus the
+          // single latest at-or-before it
+          val cut = {
+            var lo = 0; var hi = times.length - 1; var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (times(mid) <= wm) { ans = mid; lo = mid + 1 } else hi = mid - 1
+            }
+            math.max(ans, 0)
+          }
+          val kept = rights.drop(cut).toList
+          state.update(AsOfBuf(kept, waiting))
+          // guarantee emission for waiting lefts even on an idle key:
+          // fire when the watermark passes the earliest one (round UP
+          // to millis so the timeout can never fire a micro early)
+          if (waiting.nonEmpty)
+            state.setTimeoutTimestamp((waiting.map(_._1).min + 999L) / 1000L)
+        }
+        out.iterator
+    }
+  }
+
   /** One live count-min cell snapshot: hash row j, bucket, running
     * count.
     */

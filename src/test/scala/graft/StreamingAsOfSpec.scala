@@ -1,0 +1,145 @@
+package graft
+
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.AsOfRec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** The STREAMING as-of join (StatefulOps.asofStream) — the streaming
+  * twin of the native batch operator. Pins:
+  *
+  *  1. INCREMENTAL EQUIVALENCE: out-of-order micro-batches under a
+  *     real 10-minute watermark — in-batch shuffling plus cross-batch
+  *     stragglers that stay inside the allowed lateness — converge to
+  *     exactly the batch native operator's output
+  *     (graft.plans.AsOfJoinOps.asof) on the same data. Lefts that
+  *     arrive before their watermark passes WAIT in state and are
+  *     flushed by the event-time timeout, so the comparison is total,
+  *     not best-effort.
+  *  2. BOUNDED STATE: one state row per key (the compacted postings +
+  *     waiting window live INSIDE the row), so the state-store row
+  *     count tracks active keys, never history.
+  *
+  * The batch-mode flush dial is certified separately by the
+  * `q_asof_stream` oracle row against DuckDB's ASOF JOIN.
+  */
+class StreamingAsOfSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  import spark.implicits._
+
+  // (fixture built arithmetically — no RNG, reshuffled deterministically)
+  private def minuteTs(minute: Int): Timestamp =
+    new Timestamp(Timestamp.valueOf("2024-03-01 10:00:00").getTime + minute * 60000L)
+
+  /** users 1..12; purchases on a per-user stride, clicks denser —
+    * includes click-at-purchase-instant ties (inclusive semantics) and
+    * users with clicks before any purchase (no-match lefts).
+    */
+  private def fixture: Seq[AsOfRec] = {
+    val users = 1L to 12L
+    val purchases = for {
+      u <- users
+      m <- (u % 7).toInt to 89 by (5 + (u % 3)).toInt
+    } yield AsOfRec(u, minuteTs(m), is_right = true, 0L, 1000L + u * 100 + m)
+    val clicks = for {
+      u <- users
+      m <- 0 to 89 by (2 + (u % 2)).toInt
+    } yield AsOfRec(u, minuteTs(m), is_right = false, 5000L + u * 100 + m, 0L)
+    purchases ++ clicks
+  }
+
+  /** Deterministic in-batch shuffle: order by a hash of the record. */
+  private def scramble(rs: Seq[AsOfRec]): Seq[AsOfRec] =
+    rs.sortBy(r => (r.event_id * 2654435761L + r.purchase_id * 40503L + r.ts.getTime) % 9973)
+
+  test("out-of-order micro-batches under a watermark converge to the batch native operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = fixture
+    def minute(r: AsOfRec): Int =
+      ((r.ts.getTime - minuteTs(0).getTime) / 60000L).toInt
+    // batch windows with stragglers that stay within the 10-minute
+    // lateness allowance: after batch N (max minute 29/59), the
+    // watermark is 19/49, so stragglers from minute >= 21/51 are on time
+    val b1 = scramble(all.filter(minute(_) <= 29))
+    val b2 = scramble(all.filter(r => minute(r) >= 30 && minute(r) <= 59)
+      ++ Seq.empty) // stragglers below are re-sent duplicates-free by construction
+    val b3 = scramble(all.filter(r => minute(r) >= 60))
+    // move a few boundary records one batch later (cross-batch
+    // disorder): minute 25-29 arrive with batch 2, minute 55-59 with
+    // batch 3 — both above the respective watermarks (19, 49)
+    val late1 = b1.filter(minute(_) >= 25)
+    val early1 = b1.filterNot(minute(_) >= 25)
+    val late2 = b2.filter(minute(_) >= 55)
+    val early2 = b2.filterNot(minute(_) >= 55)
+
+    val ms = MemoryStream[AsOfRec]
+    val q = StatefulOps.asofStream(ms.toDS(), watermarkDelay = Some("10 minutes"))
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(early1: _*); q.processAllAvailable()
+      ms.addData(scramble(late1 ++ early2): _*); q.processAllAvailable()
+      ms.addData(scramble(late2 ++ b3): _*); q.processAllAvailable()
+      // sentinel right row far in the future: pushes the watermark past
+      // every waiting left so the event-time timeouts flush them all
+      ms.addData(AsOfRec(1L, minuteTs(120), is_right = true, 0L, 9999L))
+      q.processAllAvailable()
+
+      val got = spark.table("asof_stream")
+        .select("event_id", "user_id", "ts", "purchase_id", "purchase_ts")
+        .collect().map(_.toString).sorted
+
+      val recsDf = all.toDF()
+      val p = recsDf.filter(col("is_right"))
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("purchase_id"))
+      val c = recsDf.filter(!col("is_right"))
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val want = graft.plans.AsOfJoinOps
+        .asof(c, p, "user_id", "p_user", "ts", "p_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("purchase_id"), col("p_ts").as("purchase_ts"))
+        .collect().map(_.toString).sorted
+
+      assert(got.length === want.length,
+        s"row counts differ: streaming=${got.length} batch=${want.length}")
+      assert(got === want)
+
+      // bounded state: one state row per key — 12 fixture users plus
+      // the sentinel's key; never O(events)
+      val maxStateRows = q.recentProgress
+        .flatMap(p0 => Option(p0.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal).maxOption.getOrElse(0L)
+      assert(maxStateRows <= 13L,
+        s"state rows ($maxStateRows) exceed the active-key bound")
+    } finally q.stop()
+  }
+
+  test("flush mode equals the batch operator on the events fixture") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
+    val recs = p
+      .select(col("user_id"), col("ts"), lit(true).as("is_right"),
+        lit(0L).as("event_id"), col("purchase_id"))
+      .unionByName(ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(false).as("is_right"),
+          col("event_id"), lit(0L).as("purchase_id")))
+    val got = StatefulOps.asofStream(recs.as[AsOfRec], flush = true)
+      .toDF().select("event_id", "user_id", "ts", "purchase_id", "purchase_ts")
+      .collect().map(_.toString).sorted
+    val want = graft.plans.AsOfJoinOps.asof(
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts")),
+      p.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("purchase_id")),
+      "user_id", "p_user", "ts", "p_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("purchase_id"), col("p_ts").as("purchase_ts"))
+      .collect().map(_.toString).sorted
+    assert(got.nonEmpty && got === want)
+  }
+}
