@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Clus
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DataType, DateType, DecimalType, IntegerType, LongType, TimestampNTZType, TimestampType}
 
@@ -34,11 +35,12 @@ import org.apache.spark.sql.types.{DataType, DateType, DecimalType, IntegerType,
   *
   *  - [[AsOfBroadcastExec]] when the right side fits under
   *    `spark.sql.autoBroadcastJoinThreshold` (or forced by hint):
-  *    ZERO shuffles — the right side broadcasts once, each left task
-  *    builds the per-key time index from the broadcast rows (bounded
-  *    by the broadcast threshold by construction) and probes with a
-  *    binary search. This is the 100 TB path for the dominant as-of
-  *    use (huge fact side, small dimension/price/config side).
+  *    ZERO shuffles — the right side broadcasts once, the per-key
+  *    time index builds once per executor over it (memoized by
+  *    broadcast id; bounded by the broadcast threshold by
+  *    construction) and every probe is a binary search inside
+  *    WHOLE-STAGE CODEGEN. This is the 100 TB path for the dominant
+  *    as-of use (huge fact side, small dimension/price/config side).
   *
   *  - [[AsOfJoinExec]] otherwise: both children hash-cluster on the
   *    key AND sort within partitions on (key, time) — the sorts are
@@ -328,6 +330,10 @@ final case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -360,6 +366,8 @@ final case class AsOfJoinExec(
     val allowExact = allowExactMatches
     val tol = tolerance
     val out = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
@@ -454,6 +462,8 @@ final case class AsOfJoinExec(
           if (matched != null &&
               !tol.forall(b => math.abs(matchedT - target) <= b)) matched = null
         }
+        numOutputRows += 1
+        if (matched != null) numMatched += 1
         project(joined(lrow, if (matched != null) matched else nullRight))
       }
     }
@@ -493,6 +503,10 @@ final case class AsOfBroadcastExec(
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -519,6 +533,8 @@ final case class AsOfBroadcastExec(
     val out = output
     val nRight = right.output.size
     val src = indexSource()
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
 
     left.execute().mapPartitions({ lIter =>
       val index = src.index()
@@ -532,6 +548,8 @@ final case class AsOfBroadcastExec(
           if (k != null && t != null)
             index.lookup(k, AsOfSearch.toLong(ltType, t))
           else null
+        numOutputRows += 1
+        if (matched != null) numMatched += 1
         project(joined(lrow, if (matched != null) matched else nullRight))
       }
     }, preservesPartitioning = true)
@@ -596,6 +614,8 @@ final case class AsOfBroadcastExec(
         JavaCode.variable(value, a.dataType))
     }
 
+    val numOutputRows = metricTerm(ctx, "numOutputRows")
+    val numMatched = metricTerm(ctx, "numMatched")
     s"""
        |// graft as-of broadcast probe
        |${keyEv.code}
@@ -604,6 +624,8 @@ final case class AsOfBroadcastExec(
        |if (!(${keyEv.isNull}) && !(${timeEv.isNull})) {
        |  $matched = $idxTerm.lookup(${keyEv.value}, $targetJava);
        |}
+       |$numOutputRows.add(1);
+       |if ($matched != null) $numMatched.add(1);
        |${consume(ctx, input ++ rightVars)}
      """.stripMargin
   }
