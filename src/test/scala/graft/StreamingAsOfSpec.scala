@@ -118,6 +118,56 @@ class StreamingAsOfSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("as-of state survives a checkpointed query RESTART") {
+    // Three recovery hazards in one fixture (file source + parquet
+    // sink; the memory sink cannot recover from a checkpoint):
+    //  - a WAITING left (t past the run-1 watermark) must survive the
+    //    restart and match a right that only arrives in run 2;
+    //  - the restored rights must be the COMPACTED set (latest
+    //    at-or-under the watermark, everything after) — if compaction
+    //    kept the wrong posting the run-2 match comes out wrong;
+    //  - key 2's waiting left gets NO run-2 data at all: only the
+    //    re-registered event-time TIMEOUT can flush it.
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-asof-restart").toString
+    val (src, ckpt, out) = (s"$root/src", s"$root/ckpt", s"$root/out")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    def r(u: Long, m: Int, pid: Long) = AsOfRec(u, minuteTs(m), is_right = true, 0L, pid)
+    def l(u: Long, m: Int, eid: Long) = AsOfRec(u, minuteTs(m), is_right = false, eid, 0L)
+    def writeBatch(recs: AsOfRec*): Unit =
+      spark.createDataset(recs)(org.apache.spark.sql.Encoders.product)
+        .write.mode("append").parquet(src)
+    def run(): Unit = {
+      val q = StatefulOps.asofStream(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+          .as[AsOfRec], watermarkDelay = Some("10 minutes"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "streaming query timed out")
+    }
+    // run 1: watermark ends at minute 25 (max ts 35 - 10). The left at
+    // minute 5 emits (matching pid=100); both lefts at minute 30 wait.
+    writeBatch(r(1, 2, 100L), r(1, 10, 101L), l(1, 5, 1L),
+      l(1, 30, 2L), r(1, 35, 102L), r(2, 1, 200L), l(2, 30, 3L))
+    run()
+    val afterRun1 = spark.read.parquet(out).count()
+    assert(afterRun1 === 1L, s"run 1 should emit exactly the minute-5 left, got $afterRun1")
+    // run 2 (fresh query instance, same checkpoint): a late-but-on-time
+    // right at minute 28 lands BEFORE the waiting left's instant, and a
+    // far sentinel pushes the watermark past every waiting left
+    writeBatch(r(1, 28, 103L), r(1, 60, 104L))
+    run()
+    val got = spark.read.parquet(out)
+      .select("event_id", "purchase_id", "purchase_ts")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getTimestamp(2))).sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 100L, minuteTs(2)),   // run 1, matched pre-restart
+      (2L, 103L, minuteTs(28)),  // waiting left + post-restart right
+      (3L, 200L, minuteTs(1))),  // timeout-flushed on a silent key
+      s"restart broke the as-of state round-trip: $got")
+  }
+
   test("flush mode equals the batch operator on the events fixture") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val p = ev.filter(col("event_type") === "purchase")
