@@ -318,6 +318,14 @@ object AsOfIndexSource {
   * which spill to disk under pressure — so a hot key degrades
   * gracefully instead of OOMing, closing the r9 verdict's one named
   * scale caveat.
+  *
+  * No CodegenSupport here, deliberately: a two-sided streaming merge
+  * cannot ride the produce/consume protocol (it pulls from BOTH
+  * children at data-dependent rates; Spark's own SortMergeJoinExec
+  * needs a bespoke inner-iterator codegen for the same reason), and
+  * the children's SortExecs already run generated sort/compare code.
+  * The broadcast path — the one whose probe sits inside a hot fused
+  * pipeline — is the one that codegens ([[AsOfBroadcastExec]]).
   */
 final case class AsOfJoinExec(
     leftKey: Expression,

@@ -202,6 +202,12 @@ object StatefulOps extends Serializable {
     * DuckDB ASOF oracle as the three batch implementations (composed
     * window, sort-merge exec, broadcast exec), making the streaming
     * state machine the FOURTH independently-certified formulation.
+    *
+    * Surface: backward-inclusive only, deliberately — the streaming
+    * enrichment shape. Forward/nearest need FUTURE state (the match
+    * is unknown until the watermark passes t + tolerance), turning
+    * the operator into a delay line; batch callers who need those
+    * dials have the native operator's full surface.
     */
   def asofStream(recs: Dataset[AsOfRec], flush: Boolean = false,
       watermarkDelay: Option[String] = None): Dataset[AsOfMatch] = {
