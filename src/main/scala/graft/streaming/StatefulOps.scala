@@ -167,14 +167,16 @@ object StatefulOps extends Serializable {
   final case class AsOfMatch(event_id: Long, user_id: Long, ts: Timestamp,
       purchase_id: Option[Long], purchase_ts: Option[Timestamp])
 
-  /** Per-key as-of state: right postings (micros -> id, time-sorted)
-    * plus left events still inside the watermark window. Both lists
-    * are BOUNDED by the watermark discipline, not by history: lefts
-    * drain as the watermark passes them, and rights older than the
-    * watermark are compacted to the single latest one (the only
-    * backward candidate any future left can need).
+  /** Per-key as-of state: right postings (micros -> id, time-sorted),
+    * left events still inside the watermark window, and the key's last
+    * event-time activity (for idle-TTL eviction). The lists are
+    * BOUNDED by the watermark discipline, not by history: lefts drain
+    * as the watermark passes them, and rights older than the watermark
+    * are compacted to the single latest one (the only backward
+    * candidate any future left can need).
     */
-  final case class AsOfBuf(rights: List[(Long, Long)], lefts: List[(Long, Long)])
+  final case class AsOfBuf(rights: List[(Long, Long)], lefts: List[(Long, Long)],
+      lastSeenMicros: Long)
 
   /** STREAMING AS-OF JOIN — the streaming twin of the native batch
     * operator (`graft.plans.AsOfJoinPlan`): enrich an event stream
@@ -208,9 +210,17 @@ object StatefulOps extends Serializable {
     * is unknown until the watermark passes t + tolerance), turning
     * the operator into a delay line; batch callers who need those
     * dials have the native operator's full surface.
+    *
+    * `idleTtlMinutes`: without it, a key that stops receiving records
+    * holds its one compacted posting FOREVER — at production key
+    * cardinality that is state growth by distinct-keys-ever. With it,
+    * a key idle (no records, event time) past the TTL is EVICTED on
+    * the watermark clock; a later probe of an evicted key degrades to
+    * no-match, the documented trade of bounding state by ACTIVE keys.
     */
   def asofStream(recs: Dataset[AsOfRec], flush: Boolean = false,
-      watermarkDelay: Option[String] = None): Dataset[AsOfMatch] = {
+      watermarkDelay: Option[String] = None,
+      idleTtlMinutes: Option[Long] = None): Dataset[AsOfMatch] = {
     import recs.sparkSession.implicits._
     val src = watermarkDelay
       .map(d => recs.withWatermark("ts", d).as[AsOfRec])
@@ -225,7 +235,7 @@ object StatefulOps extends Serializable {
         val wm =
           if (flush) Long.MaxValue
           else state.getCurrentWatermarkMs() * 1000L // millis -> micros
-        val prior = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+        val prior = state.getOption.getOrElse(AsOfBuf(Nil, Nil, 0L))
         val batch = it.toIndexedSeq
         val (rIn, lIn) = batch.partition(_.is_right)
         // postings stay time-sorted; ties keep the larger id (the
@@ -253,24 +263,40 @@ object StatefulOps extends Serializable {
           // batch semantics: nothing survives the single invocation
           state.remove()
         } else {
-          // compact rights: keep everything a FUTURE left (t > wm) can
-          // still need — all postings after the watermark plus the
-          // single latest at-or-before it
-          val cut = {
-            var lo = 0; var hi = times.length - 1; var ans = -1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (times(mid) <= wm) { ans = mid; lo = mid + 1 } else hi = mid - 1
+          val lastSeen = (prior.lastSeenMicros +: batch.map(r => micros(r.ts))).max
+          val idleDeadline = idleTtlMinutes.map(m => lastSeen + m * 60L * 1000000L)
+          if (waiting.isEmpty && idleDeadline.exists(_ <= wm)) {
+            // idle past the TTL on the event-time clock and nothing
+            // pending: evict — state stays bounded by ACTIVE keys
+            state.remove()
+          } else {
+            // compact rights: keep everything a FUTURE left (t > wm)
+            // can still need — all postings after the watermark plus
+            // the single latest at-or-before it
+            val cut = {
+              var lo = 0; var hi = times.length - 1; var ans = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (times(mid) <= wm) { ans = mid; lo = mid + 1 } else hi = mid - 1
+              }
+              math.max(ans, 0)
             }
-            math.max(ans, 0)
+            val kept = rights.drop(cut).toList
+            state.update(AsOfBuf(kept, waiting, lastSeen))
+            // arm the event-time timeout (only meaningful — and only
+            // LEGAL — under EventTimeTimeout, i.e. with a watermark):
+            // the earlier of "flush the earliest waiting left" and
+            // "idle-TTL eviction", rounded UP to millis so neither can
+            // fire a micro early, and always strictly past the current
+            // watermark as the API requires
+            if (watermarkDelay.isDefined) {
+              val flushAt = waiting.map(_._1).minOption
+              val deadline = (flushAt.toSeq ++ idleDeadline.toSeq)
+                .map(m => (m + 999L) / 1000L).minOption
+              deadline.foreach(d =>
+                state.setTimeoutTimestamp(math.max(d, state.getCurrentWatermarkMs() + 1L)))
+            }
           }
-          val kept = rights.drop(cut).toList
-          state.update(AsOfBuf(kept, waiting))
-          // guarantee emission for waiting lefts even on an idle key:
-          // fire when the watermark passes the earliest one (round UP
-          // to millis so the timeout can never fire a micro early)
-          if (waiting.nonEmpty)
-            state.setTimeoutTimestamp((waiting.map(_._1).min + 999L) / 1000L)
         }
         out.iterator
     }

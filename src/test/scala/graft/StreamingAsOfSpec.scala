@@ -168,6 +168,47 @@ class StreamingAsOfSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"restart broke the as-of state round-trip: $got")
   }
 
+  test("idle-TTL evicts a silent key's postings; a post-eviction probe degrades to no-match") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[AsOfRec]
+    val q = StatefulOps.asofStream(ms.toDS(),
+      watermarkDelay = Some("10 minutes"), idleTtlMinutes = Some(30L))
+      .writeStream.format("memory").queryName("asof_ttl")
+      .outputMode("append").start()
+    try {
+      def stateRows: Long = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+      // key 1: one posting, then silence. key 2: stays active.
+      ms.addData(
+        AsOfRec(1L, minuteTs(0), is_right = true, 0L, 100L),
+        AsOfRec(2L, minuteTs(0), is_right = true, 0L, 200L))
+      q.processAllAvailable()
+      // key 2 keeps the watermark moving; key 1 idles past 30 minutes
+      // of event time (wm reaches 80 - 10 = 70 > 0 + 30)
+      ms.addData(AsOfRec(2L, minuteTs(80), is_right = true, 0L, 201L))
+      q.processAllAvailable()
+      // key 1's TTL timeout fires on this trigger's watermark
+      ms.addData(AsOfRec(2L, minuteTs(81), is_right = true, 0L, 202L))
+      q.processAllAvailable()
+      assert(stateRows === 1L,
+        s"idle key 1 not evicted: $stateRows state rows (want key 2 only)")
+      // a probe of the evicted key degrades to no-match (the documented
+      // trade); an active-key probe still matches
+      ms.addData(
+        AsOfRec(1L, minuteTs(85), is_right = false, 11L, 0L),
+        AsOfRec(2L, minuteTs(85), is_right = false, 22L, 0L))
+      q.processAllAvailable()
+      ms.addData(AsOfRec(2L, minuteTs(120), is_right = true, 0L, 203L)) // flush wm
+      q.processAllAvailable()
+      val byEid = spark.table("asof_ttl")
+        .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+      assert(byEid(11L).isEmpty, "evicted key must probe to no-match")
+      assert(byEid(22L).contains(202L), "active key must still match its latest posting")
+    } finally q.stop()
+  }
+
   test("flush mode equals the batch operator on the events fixture") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val p = ev.filter(col("event_type") === "purchase")
