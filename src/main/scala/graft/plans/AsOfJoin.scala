@@ -251,18 +251,35 @@ final case class AsOfIndexSource(
     allowExactMatches: Boolean,
     tolerance: Option[Long]) extends Serializable {
 
+  /** Cache key. bc.id alone is NOT enough: with exchange reuse
+    * (default on) two as-of joins over the SAME broadcast right side
+    * but different dials — or different key/time columns — share one
+    * broadcast id, and the cached index bakes all of those in. The
+    * key therefore carries every ingredient the built index froze;
+    * expressions via their canonicalized rendering (exprIds included
+    * — a spurious miss just rebuilds, which is always safe; a false
+    * hit would return wrong rows).
+    */
+  private def cacheKey: AsOfIndexSource.Key = AsOfIndexSource.Key(
+    bc.id, rightKey.canonicalized.toString, rightTime.canonicalized.toString,
+    direction, allowExactMatches, tolerance)
+
   /** The executor-cached index (builds it on first call per JVM). */
   def index(): AsOfIndex = {
-    val ref = AsOfIndexSource.cache.get(bc.id)
+    val key = cacheKey
+    val ref = AsOfIndexSource.cache.get(key)
     val hit = if (ref != null) ref.get() else null
     if (hit != null) hit
     else AsOfIndexSource.cache.synchronized {
-      val again = AsOfIndexSource.cache.get(bc.id)
+      // drop the stale mapping a cleared SoftReference leaves behind,
+      // so the map never accumulates (key -> empty ref) tombstones
+      if (ref != null) AsOfIndexSource.cache.remove(key, ref)
+      val again = AsOfIndexSource.cache.get(key)
       val cached = if (again != null) again.get() else null
       if (cached != null) cached
       else {
         val built = build()
-        AsOfIndexSource.cache.put(bc.id, new java.lang.ref.SoftReference(built))
+        AsOfIndexSource.cache.put(key, new java.lang.ref.SoftReference(built))
         built
       }
     }
@@ -300,9 +317,18 @@ final case class AsOfIndexSource(
 }
 
 object AsOfIndexSource {
-  // broadcast id -> built index; soft so memory pressure can reclaim
+  /** Full identity of a built index: the broadcast's data plus every
+    * dial the index froze at build time.
+    */
+  final case class Key(bcId: Long, rightKey: String, rightTime: String,
+      direction: AsOfDirection, allowExactMatches: Boolean,
+      tolerance: Option[Long])
+
+  // (broadcast, dials) -> built index; soft so memory pressure can
+  // reclaim (cleared entries are removed on the next lookup that
+  // observes them — see AsOfIndexSource.index)
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.ref.SoftReference[AsOfIndex]]()
+    new java.util.concurrent.ConcurrentHashMap[Key, java.lang.ref.SoftReference[AsOfIndex]]()
 }
 
 /** Shuffled as-of join: hash-cluster both children on the key, sort

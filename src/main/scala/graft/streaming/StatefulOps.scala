@@ -221,6 +221,14 @@ object StatefulOps extends Serializable {
   def asofStream(recs: Dataset[AsOfRec], flush: Boolean = false,
       watermarkDelay: Option[String] = None,
       idleTtlMinutes: Option[Long] = None): Dataset[AsOfMatch] = {
+    // flush=false with no watermark would never emit: the watermark
+    // stays 0 so every left waits forever under NoTimeout and state
+    // grows without bound — reject the combination at entry instead
+    // of producing a silently-empty stream
+    require(flush || watermarkDelay.isDefined,
+      "asofStream with flush=false requires a watermarkDelay (without " +
+        "one the watermark never advances, no left ever emits, and " +
+        "state grows unboundedly)")
     import recs.sparkSession.implicits._
     val src = watermarkDelay
       .map(d => recs.withWatermark("ts", d).as[AsOfRec])

@@ -116,6 +116,33 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("exchange reuse: two broadcast as-of joins with different dials over ONE shared broadcast build separate indexes") {
+    // Both joins broadcast the SAME right side, so Spark's exchange
+    // reuse collapses them onto one broadcast id. The per-executor
+    // index cache must key on the dials too — keyed only by broadcast
+    // id, the strict join would silently reuse the inclusive join's
+    // index and return a@20 for event 6.
+    val incl = AsOfJoinOps.asof(leftDf, rightDf, "k", "rk", "t", "rt",
+      broadcast = Some(true))
+      .select(col("event_id"), col("tag"), lit("incl").as("mode"))
+    val strict = AsOfJoinOps.asof(leftDf, rightDf, "k", "rk", "t", "rt",
+      allowExactMatches = false, broadcast = Some(true))
+      .select(col("event_id"), col("tag"), lit("strict").as("mode"))
+    val ds = incl.unionByName(strict).as[(Long, Option[String], String)]
+    val rows = ds.collect()
+    // plan read AFTER collect (AQE finalizes lazily): the pin is only
+    // meaningful if the two joins really shared one broadcast
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"fixture no longer exercises a shared broadcast exchange:\n$plan")
+    val byMode = rows.groupBy(_._3)
+      .map { case (m, rs) => m -> rs.map(r => r._1 -> r._2).toMap }
+    assert(byMode("incl")(6L) === Some("a@20"),   // inclusive: rt == t matches
+      s"inclusive join wrong under shared broadcast: ${byMode("incl")}")
+    assert(byMode("strict")(6L) === Some("a@12"), // strict: exact a@20 excluded
+      s"strict join reused the inclusive index: ${byMode("strict")}")
+  }
+
   test("strategy: small right side auto-selects the broadcast exec; threshold off selects sort-merge") {
     // tiny local fixture sits far under autoBroadcastJoinThreshold
     val auto = AsOfJoinOps.asof(leftDf, rightDf, "k", "rk", "t", "rt")
