@@ -15,6 +15,34 @@ import java.nio.file.{Files, Paths}
   * so the driver can parse it without scraping sbt log noise.
   */
 object Bench {
+
+  /** Fixed CPU-bound calibration probe: fill 4M longs with xorshift,
+    * sort, hash-fold — single-threaded, constant size (32 MB, well
+    * past L2 so memory bandwidth participates), no Spark involved.
+    * Its best-of-3 time is a pure host-speed denominator: cross-round
+    * BENCH comparisons divide query times by the artifact's `calib`
+    * to tell host drift (r9→r10 burned its adjudication budget
+    * proving a uniform +16% was the machine) from plan regressions.
+    */
+  private def calibrate(): Double = {
+    def once(): Double = {
+      val n = 1 << 22
+      val a = new Array[Long](n)
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a(i) = x; i += 1 }
+      java.util.Arrays.sort(a)
+      var h = 0L
+      i = 0
+      while (i < n) { h = h * 31 + a(i); i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (h == 42L) System.err.print("") // defeat dead-code elimination
+      dt
+    }
+    (1 to 3).map(_ => once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -114,6 +142,10 @@ object Bench {
           once(n, fn, pass).foreach(t => runsAcc(n) = runsAcc(n) :+ t)
         }
       }
+    // host-speed denominators: once before pass 1 and once after the
+    // last pass — two samples bracket the timed window, so a reader
+    // can also see whether the host drifted DURING the run
+    val calibStart = calibrate()
     passOver(order, 1, repeats = 2) // consecutive warm pair per query
     // slow queries decide the headline total and the judge's regression
     // read: any query whose warm-pair best exceeds 1s gets a third,
@@ -158,8 +190,11 @@ object Bench {
       "\"" + k + "\":{\"min\":" + best + ",\"spread\":" + r3d(spread) +
         ",\"runs\":[" + runs.map(r3d).mkString(",") + "]}"
     }.mkString("{", ",", "}")
+    val calibEnd = calibrate()
+    val calibJson =
+      s""""calib":${r3d(calibStart)},"calib_end":${r3d(calibEnd)}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$det,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$calibJson,"queries":$qs,"detail":$det,"failed":$failed,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>
@@ -182,7 +217,7 @@ object Bench {
       if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
     }
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{${entries.mkString(",")}},""" +
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",$calibJson,"queries":{${entries.mkString(",")}},""" +
         s""""queries_total":${results.size},"queries_shown":${entries.size},""" +
         s""""full":"$outPath","failed":$failed,"sf":"$sfDir"}"""
     // print BEFORE spark.stop(): nothing else writes to stdout after
