@@ -33,10 +33,19 @@ object Cols {
 
   /** First 60 bits of md5(x) as a non-negative long. Twin:
     * OracleSql.hex60. The 15-hex-char slice keeps the value positive and
-    * exactly representable in both engines' BIGINT.
+    * exactly representable in both engines' BIGINT. Native
+    * digest-to-long expression ([[graft.functions.Hex60Expr]]) — the
+    * previous `conv(substring(md5(c), 1, 15), 16, 10)` formulation
+    * paid four string allocations and two parses per hash; Hex60Spec
+    * pins value equivalence against that composed form.
     */
   def hex60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.Hex60Expr(
+        // explicit string cast (a no-op on string columns): the
+        // composed md5() form implicitly coerced numeric callers the
+        // same way
+        org.apache.spark.sql.GraftColumnShim.expression(c.cast(StringType))))
 
   /** hex60 scaled to a uniform double in [0, 1). 2^60 = 1152921504606846976. */
   def unitHash(c: Column): Column = hex60(c) / lit(1.152921504606846976e18)

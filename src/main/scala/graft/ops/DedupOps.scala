@@ -262,6 +262,19 @@ object DedupOps {
     pairs
   }
 
+  /** |A ∩ B| of two ascending-sorted distinct long arrays as one
+    * codegen merge scan ([[graft.functions.SortedIntersectCountExpr]])
+    * — replaces `size(array_intersect(a, b))` in the pair-verification
+    * hot paths, where the per-row OpenHashSet build plus the counted-
+    * then-discarded result array were the stage cost at sf1. Callers
+    * OWN the sort (contract of the expression).
+    */
+  private[graft] def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.SortedIntersectCountExpr(
+        org.apache.spark.sql.GraftColumnShim.expression(a),
+        org.apache.spark.sql.GraftColumnShim.expression(b)))
+
   /** The native-codegen 60-bit signature of a token-hash array column
     * (SimHashExpr — the per-bit HOF aggregate formulation cost SimBits
     * interpreted passes over the array per row).
@@ -636,9 +649,18 @@ object DedupOps {
   private[graft] def shingleSets(corpus: DataFrame): DataFrame =
     corpus.select(col("doc_id"), split(col("text"), " ").as("tokens"))
       .filter(size(col("tokens")) >= 3)
-      .select(col("doc_id"),
-        array_distinct(transform(shingles3(col("tokens")),
-          s => Cols.hex60(s))).as("shingles"))
+      .select(col("doc_id"), hashedShingles(col("tokens"), 3).as("shingles"))
+
+  /** array_distinct(transform(shingles3(tokens), hex60)) as ONE native
+    * pass ([[graft.functions.HashedShingleSetExpr]]) — same array,
+    * element for element, but the digest streams over token bytes
+    * (no per-shingle concat string) and the projection stays inside
+    * whole-stage codegen (the HOF form evicted it).
+    */
+  private[graft] def hashedShingles(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.HashedShingleSetExpr(
+        org.apache.spark.sql.GraftColumnShim.expression(tokens), n))
 
   /** [[minhashPairsDf]] generalized over any (doc_id, text) corpus —
     * the twin of [[minhashPairsSqlOver]].
@@ -758,7 +780,6 @@ object DedupOps {
     */
   private[graft] def allPairsOverSets(ss: DataFrame, p: Int, q: Int): DataFrame = {
     val sh = ss.select(col("doc_id"), explode(col("shingles")).as("tok"))
-    val dfRel = sh.groupBy("tok").agg(count(lit(1)).as("df"))
     // PPJoin consumes only each doc's tokens in the global rarest-first
     // ORDER — never the rank VALUES — and (df, tok) is unique per
     // token, so sorting by the (df, tok) pair IS the rank order. The
@@ -767,7 +788,15 @@ object DedupOps {
     // its offsets action) and then sorted by them; sorting by the pair
     // directly removes that whole job at identical output (AllPairsSpec
     // re-proves exactness against brute force at every threshold).
-    val tr = sh.join(dfRel, "tok")
+    // df and the token's posting ride ONE tok-keyed aggregation — the
+    // previous separate df relation joined back onto the exploded
+    // token stream shuffled that stream twice (df agg + join) where
+    // one grouped pass suffices; postings are bounded by the largest
+    // document frequency (boilerplate shingles), which does not grow
+    // with corpus replication.
+    val tr = sh.groupBy("tok")
+      .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("docs"))
+      .select(col("tok"), col("df"), explode(col("docs")).as("doc_id"))
     val ranked = tr.groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("rt"))
       .withColumn("n", size(col("rt")).cast(LongType))
@@ -796,11 +825,17 @@ object DedupOps {
       // plain distinct, for the same map-side-partial-dedup reason as
       // the band join's candidate set
       .distinct()
+    // shingle sets sorted in the per-DOC projection under the join
+    // (once per document side, not once per candidate pair), so
+    // n_inter is the codegen merge scan instead of a per-pair
+    // hash-set array_intersect — the verification stage's cost at sf1
     val iv = cand
-      .join(ss.select(col("doc_id").as("doc_a"), col("shingles").as("st_a")), Seq("doc_a"))
-      .join(ss.select(col("doc_id").as("doc_b"), col("shingles").as("st_b")), Seq("doc_b"))
+      .join(ss.select(col("doc_id").as("doc_a"),
+        sort_array(col("shingles")).as("st_a")), Seq("doc_a"))
+      .join(ss.select(col("doc_id").as("doc_b"),
+        sort_array(col("shingles")).as("st_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
-        size(array_intersect(col("st_a"), col("st_b"))).cast(LongType).as("n_inter"))
+        sortedIntersectCount(col("st_a"), col("st_b")).as("n_inter"))
     iv.filter(lit(q) * col("n_inter") >= lit(p) *
         (col("n_a") + col("n_b") - col("n_inter")))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_inter"),
@@ -818,16 +853,12 @@ object DedupOps {
     * 60-bit ints at the scan so shuffles carry fixed-width keys.
     */
   private[graft] def spanFracOver(corpus: DataFrame): DataFrame = {
-    val toks = col("tokens")
-    val grams5 = array_distinct(transform(sequence(lit(1), size(toks) - 4), i =>
-      Cols.hex60(concat_ws(" ",
-        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2),
-        element_at(toks, i + 3), element_at(toks, i + 4)))))
+    // hashedShingles(n=5) fuses the distinct/5-gram-concat/hex60
+    // lambda chain and returns the empty array below 5 tokens —
+    // exactly the previous when(size >= 5, ...).otherwise(array())
     val spans = corpus
       .select(col("doc_id"), split(col("text"), " ").as("tokens"))
-      .select(col("doc_id"),
-        when(size(toks) >= 5, grams5)
-          .otherwise(array().cast("array<bigint>")).as("grams"))
+      .select(col("doc_id"), hashedShingles(col("tokens"), 5).as("grams"))
       .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
       .persist()
     val df = spans.filter(col("gram").isNotNull)
@@ -1672,13 +1703,19 @@ object DedupOps {
         // sf0.1: the intersect stage drops 2.2 s -> 0.9 s.)
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("u"))
         .persist()
-      val adj = o.groupBy(col("u").as("node")).agg(collect_list(col("v")).as("nbrs"))
+      // adjacency lists SORTED at the (one-per-node) aggregate so the
+      // per-edge common-neighbor count below is a codegen merge scan
+      // (sortedIntersectCount) instead of size(array_intersect)'s
+      // per-row hash-set build — at sf1 (650k oriented edges over
+      // clique-heavy families) the intersect stage was the query
+      val adj = o.groupBy(col("u").as("node"))
+        .agg(sort_array(collect_list(col("v"))).as("nbrs"))
       // inner joins: an edge whose head has no out-neighbors closes no
       // triangle, so dropping it leaves the sum unchanged
       val tri = o
         .join(adj.select(col("node").as("u"), col("nbrs").as("nu")), "u")
         .join(adj.select(col("node").as("v"), col("nbrs").as("nv")), "v")
-        .agg(coalesce(sum(size(array_intersect(col("nu"), col("nv")))), lit(0))
+        .agg(coalesce(sum(sortedIntersectCount(col("nu"), col("nv"))), lit(0))
           .cast(LongType).as("n_triangles"))
       // n_edges = sum(d)/2 by the handshake identity — all three graph
       // stats come from ONE pass over the cached degree table, dropping

@@ -912,28 +912,46 @@ object TextOps {
     }) { (s, dir) =>
       val m = 4096; val mBits = 12; val j = 3
       require(m == (1 << mBits))
-      val seeds = explode(array((0 until j).map(lit): _*)).as("j")
       // h2 comes from the ARGUMENT column (shiftright(sh, 12) == the
       // oracle's `sh // 4096` for the non-negative hex60 value — an
       // expr("sh div ...") here would re-resolve the name 'sh' from
       // the surrounding plan instead of using the parameter)
       def pos(sh: Column, seed: Column): Column =
         (sh % m + seed * ((shiftright(sh, mBits) % m) * 2 + 1)) % m
+      // (doc_id, sh) distinct BY CONSTRUCTION: the hashed shingle
+      // array is array_distinct'd per document before exploding, so
+      // the oracle's `SELECT DISTINCT doc_id, sh` needs no
+      // relation-level distinct() — that was a full shuffle of the
+      // exploded 10x-corpus shingle stream
       val shRel = docs(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("tokens"))
         .filter(size(col("tokens")) >= 3)
-        .select(col("doc_id"), explode(DedupOps.shingles3(col("tokens"))).as("shs"))
-        .select(col("doc_id"), graft.Cols.hex60(col("shs")).as("sh"))
-        .distinct().persist()
+        .select(col("doc_id"),
+          explode(DedupOps.hashedShingles(col("tokens"), 3)).as("sh"))
+        .persist()
       val bench = shRel.filter(col("doc_id") % 97 === 0).select("sh").distinct()
-      val bits = bench.select(seeds, col("sh"))
-        .select(pos(col("sh"), col("j")).as("pos")).distinct()
-      val probe = shRel.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), col("sh"), seeds)
-        .select(col("doc_id"), col("sh"), pos(col("sh"), col("j")).as("pos"))
-      val mb = probe.join(broadcast(bits), "pos")
-        .groupBy("doc_id", "sh").agg(count(lit(1)).as("n_set"))
-        .filter(col("n_set") === j)
+      // The filter IS its bit array: m=4096 bits, so the distinct set
+      // positions collect into a literal mask (bounded driver-side
+      // build, <= m rows — the size of the filter itself, the same
+      // memory contract broadcasting a built Bloom filter implies).
+      // Each probe row then tests its j positions INSIDE the scan's
+      // codegen — the previous shape exploded j rows per shingle
+      // through a broadcast position-join and re-aggregated them by
+      // (doc_id, sh), shuffling 3x the shingle stream to recover a
+      // per-row conjunction.
+      val mask = new Array[Int](m)
+      bench
+        .select(explode(array((0 until j).map(lit): _*)).as("j"), col("sh"))
+        .select(pos(col("sh"), col("j")).cast("int").as("pos"))
+        .distinct().collect().foreach(r => mask(r.getInt(0)) = 1)
+      val maskCol = typedlit(mask.toSeq)
+      def isSet(p: Column): Column =
+        element_at(maskCol, p.cast("int") + 1) === 1
+      // n_set = j in the oracle counts the j probe ROWS (duplicated
+      // positions included) that land on set bits — true iff every
+      // position is set, i.e. this conjunction
+      val mb = shRel.filter(col("doc_id") % 97 =!= 0)
+        .filter((0 until j).map(i => isSet(pos(col("sh"), lit(i)))).reduce(_ && _))
         .groupBy("doc_id").agg(count(lit(1)).as("n_maybe"))
       val exact = shRel.filter(col("doc_id") % 97 =!= 0)
         .join(broadcast(bench), "sh")
