@@ -91,6 +91,35 @@ object DedupOps {
     val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
     math.min(SimBandBitsMax, math.max(8, ceilLog2))
   }
+
+  /** The 60-bit family's capacity knee: at the 15-bit band maximum a
+    * band has 2^15 buckets, so past N ~ 2^16 docs expected
+    * unrelated-doc collisions exceed ~2N per band and keep growing
+    * O(N^2) — the corpus has outgrown the signature, not the band
+    * width. Above this count the engine auto-selects the 120-bit wide
+    * family ([[simhashPairsAuto]]); at or below it, the 60-bit family.
+    */
+  private[graft] val SimWideKnee: Long = 1L << (SimBandBitsMax + 1) // 65,536
+
+  private[graft] def useWideSimhash(n: Long): Boolean = n > SimWideKnee
+
+  /** Corpus-adaptive SimHash near-dup pairs — THE deployment code
+    * path. Picks the signature family from the corpus count: 60-bit
+    * at or below [[SimWideKnee]], 120-bit wide above it (capacity
+    * 2^30 band buckets at max width); band width within the family
+    * comes from [[simBandBits]] as always. The two family-pinned
+    * registry rows (`dedup_simhash`, `dedup_simhash_wide`) stay as
+    * certification anchors — each family's oracle holds at every
+    * corpus size — while `dedup_simhash_auto`'s oracle reproduces
+    * THIS selection rule with the same count arithmetic, so the
+    * crossing itself is certified, not just each side
+    * (SimBandSpec pins the knee and both-side agreement).
+    */
+  private[graft] def simhashPairsAuto(
+      s: SparkSession, dir: String, nEstimate: Long): DataFrame =
+    if (useWideSimhash(nEstimate))
+      simhashPairsWide(s, dir, simBandBits(nEstimate))
+    else simhashPairs(s, dir, simBandBits(nEstimate))
   // sorted-neighborhood rank window for n-gram blocking
   private val NgramWindow = 10
   // inverted-index cosine join: shingles with document frequency above
@@ -908,6 +937,39 @@ object DedupOps {
        |  FROM pairs) t
        |WHERE hamming <= 3""".stripMargin
 
+  /** DuckDB twin of [[simhashPairsWide]] at the fixed 15-bit band
+    * maximum (band width is output-invariant — SimBandSpec). Shared by
+    * `dedup_simhash_wide` and the wide branch of `dedup_simhash_auto`.
+    */
+  private[graft] lazy val simhashPairsWideOracleSql: String = {
+    val bandVals = (0 until SimBands).map(i => s"($i)").mkString(",")
+    val mask = (1 << SimBandBitsMax) - 1
+    s"""WITH docs_aug AS ($docsAugSql),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(list_distinct(string_split(text, ' ')),
+       |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hh1,
+       |    list_transform(list_distinct(string_split(text, ' ')),
+       |      t -> ('0x' || substr(md5('w2|' || t), 1, 15))::BIGINT) AS hh2
+       |  FROM docs_aug),
+       |sim AS (SELECT doc_id, ${simhashSqlExpr("hh1")} AS s1, ${simhashSqlExpr("hh2")} AS s2 FROM hs),
+       |bands AS (
+       |  SELECT doc_id, s1, s2, band_i,
+       |    ((s1 >> (band_i * $SimBandBitsMax)) & $mask) * ${mask + 1}
+       |      + ((s2 >> (band_i * $SimBandBitsMax)) & $mask) AS band_v
+       |  FROM sim CROSS JOIN (VALUES $bandVals) t(band_i)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.s1 AS s1a, a.s2 AS s2a, b.s1 AS s1b, b.s2 AS s2b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(bit_count(xor(s1a, s1b)) + bit_count(xor(s2a, s2b)) AS BIGINT) AS hamming
+       |  FROM pairs) t
+       |WHERE hamming <= 3""".stripMargin
+  }
+
   // ── queries ───────────────────────────────────────────────────────
 
   val queries: Seq[Q] = Seq(
@@ -1305,36 +1367,29 @@ object DedupOps {
     // so 3 bits leave one of the 4 matching). The oracle bands at the
     // fixed 15-bit max while the Spark side sizes bands from the
     // corpus — same output either way (SimBandSpec).
-    Q("dedup_simhash_wide", {
-      val bandVals = (0 until SimBands).map(i => s"($i)").mkString(",")
-      val mask = (1 << SimBandBitsMax) - 1
-      s"""WITH docs_aug AS ($docsAugSql),
-         |hs AS (
-         |  SELECT doc_id,
-         |    list_transform(list_distinct(string_split(text, ' ')),
-         |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hh1,
-         |    list_transform(list_distinct(string_split(text, ' ')),
-         |      t -> ('0x' || substr(md5('w2|' || t), 1, 15))::BIGINT) AS hh2
-         |  FROM docs_aug),
-         |sim AS (SELECT doc_id, ${simhashSqlExpr("hh1")} AS s1, ${simhashSqlExpr("hh2")} AS s2 FROM hs),
-         |bands AS (
-         |  SELECT doc_id, s1, s2, band_i,
-         |    ((s1 >> (band_i * $SimBandBitsMax)) & $mask) * ${mask + 1}
-         |      + ((s2 >> (band_i * $SimBandBitsMax)) & $mask) AS band_v
-         |  FROM sim CROSS JOIN (VALUES $bandVals) t(band_i)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         a.s1 AS s1a, a.s2 AS s2a, b.s1 AS s1b, b.s2 AS s2b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, hamming FROM (
-         |  SELECT doc_a, doc_b,
-         |    CAST(bit_count(xor(s1a, s1b)) + bit_count(xor(s2a, s2b)) AS BIGINT) AS hamming
-         |  FROM pairs) t
-         |WHERE hamming <= 3""".stripMargin
-    }) { (s, dir) =>
+    Q("dedup_simhash_wide", simhashPairsWideOracleSql) { (s, dir) =>
       val nDocs = Tables.load(s, dir, "documents").count()
       simhashPairsWide(s, dir, simBandBits(nDocs + nDocs / 10 + 1))
+    },
+
+    // Corpus-adaptive family selection ([[simhashPairsAuto]]): the
+    // deployment path picks 60-bit vs 120-bit-wide from the corpus
+    // count at the documented 2^16 capacity knee. The oracle encodes
+    // the SAME selection rule — both family twins guarded by the same
+    // count arithmetic the Spark side uses (count(documents) +
+    // count//10 + 1, the docsAug upper bound) — so the gate certifies
+    // the crossing behavior itself at whatever scale it runs, narrow
+    // at the fixture scales, wide past the knee.
+    Q("dedup_simhash_auto", {
+      val est = "(SELECT count(*) + count(*) // 10 + 1 FROM documents)"
+      s"""SELECT * FROM ($simhashPairsOracleSql) narrow
+         |WHERE $est <= $SimWideKnee
+         |UNION ALL
+         |SELECT * FROM ($simhashPairsWideOracleSql) wide
+         |WHERE $est > $SimWideKnee""".stripMargin
+    }) { (s, dir) =>
+      val nDocs = Tables.load(s, dir, "documents").count()
+      simhashPairsAuto(s, dir, nDocs + nDocs / 10 + 1)
     },
 
     // n-gram (word bigram) Jaccard with token-prefix blocking PLUS

@@ -49,4 +49,30 @@ class SimBandSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(narrow === wide)
     spark.catalog.clearCache()
   }
+
+  test("family knee: narrow at and below 2^16, wide above") {
+    assert(DedupOps.SimWideKnee === 65536L)
+    assert(!DedupOps.useWideSimhash(1))
+    assert(!DedupOps.useWideSimhash(DedupOps.SimWideKnee))
+    assert(DedupOps.useWideSimhash(DedupOps.SimWideKnee + 1))
+    assert(DedupOps.useWideSimhash(Long.MaxValue))
+  }
+
+  test("auto family crossing: selector output equals the selected family's on both sides of the knee") {
+    def collect(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // same fixture corpus, forced count estimates on either side of the
+    // knee — the selector must reproduce each family's exact pair set
+    // (including the definition change: Hamming over 60 vs 120 bits)
+    val below = collect(DedupOps.simhashPairsAuto(spark, dir, DedupOps.SimWideKnee))
+    val narrow = collect(DedupOps.simhashPairs(spark, dir,
+      DedupOps.simBandBits(DedupOps.SimWideKnee)))
+    assert(below === narrow)
+    val above = collect(DedupOps.simhashPairsAuto(spark, dir, DedupOps.SimWideKnee + 1))
+    val wide = collect(DedupOps.simhashPairsWide(spark, dir,
+      DedupOps.simBandBits(DedupOps.SimWideKnee + 1)))
+    assert(above === wide)
+    assert(narrow.nonEmpty && wide.nonEmpty)
+    spark.catalog.clearCache()
+  }
 }
