@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
 """Deterministic sf1 fixture derivation (10x the sf0.1 gate scale) for
-the scale-sensitive dedup/similarity/text families.
+the FULL registry — dedup/similarity/text families AND the
+relational/event tables.
 
 The driver generates /root/testdata/sf{0.001,0.01,0.1}; there is no
 sf1 and testdata is read-only, so this derives one from sf0.1 into a
@@ -20,8 +21,17 @@ structure-preserving:
   occupancy) without being exact cosine twins of their source. The
   fixed ANN ground-truth ids (vec_id < 10) and the quantizer sample
   (vec_id < 8) sit in replica 0, unchanged.
-- all other tables are copied verbatim so check_oracle.py's view
-  registration and Tables.load keep working.
+- customer/supplier/part/orders/lineitem/events: 10 replicas with
+  key-space shifts that preserve referential integrity — replica k's
+  orders reference replica k's customers, its lineitems replica k's
+  orders/parts/suppliers, so every join's fan-out profile (incl. the
+  engineered event-key skew) is exactly the sf0.1 profile at 10x
+  volume. Shift strides are max(key)+1 (keys need not be dense).
+  Non-key columns ride verbatim: values, dates, and timestamps keep
+  their ranges, so date filters select 10x rows and time windows see
+  10x density — the realistic scale shape for a growing business.
+- region/nation are copied verbatim: TPC-H holds the geography
+  dimensions CONSTANT across scale factors, and so does this.
 
 Oracle parity is unaffected by HOW values are generated: Spark and
 DuckDB both read the same parquet bytes this script writes.
@@ -38,14 +48,67 @@ SRC = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
 DST = Path(sys.argv[2] if len(sys.argv) > 2 else "target/sf1")
 REPLICAS = 10
 
-COPY_TABLES = ["region", "nation", "customer", "supplier", "part",
-               "orders", "lineitem", "events"]
+COPY_TABLES = ["region", "nation"]
+
+# table -> (columns in schema order, {column -> stride table}) where a
+# "stride table" means: replica k adds k * (max(key of that table) + 1).
+SHIFT_TABLES = {
+    "customer": (["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                  "c_mktsegment"],
+                 {"c_custkey": "customer"}),
+    "supplier": (["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+                 {"s_suppkey": "supplier"}),
+    "part": (["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+              "p_retailprice"],
+             {"p_partkey": "part"}),
+    "orders": (["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority"],
+               {"o_orderkey": "orders", "o_custkey": "customer"}),
+    "lineitem": (["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                  "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                  "l_returnflag", "l_linestatus", "l_shipdate"],
+                 {"l_orderkey": "orders", "l_partkey": "part",
+                  "l_suppkey": "supplier"}),
+    "events": (["event_id", "ts", "user_id", "event_type", "value", "props"],
+               {"event_id": "events_id", "user_id": "events_user"}),
+}
+
+# key column whose max defines each stride
+STRIDE_KEY = {
+    "customer": ("customer", "c_custkey"),
+    "supplier": ("supplier", "s_suppkey"),
+    "part": ("part", "p_partkey"),
+    "orders": ("orders", "o_orderkey"),
+    "events_id": ("events", "event_id"),
+    "events_user": ("events", "user_id"),
+}
 
 
 def main():
     DST.mkdir(parents=True, exist_ok=True)
     for t in COPY_TABLES:
         shutil.copyfile(SRC / f"{t}.parquet", DST / f"{t}.parquet")
+
+    con0 = duckdb.connect()
+    strides = {
+        name: con0.execute(
+            f"SELECT max({key}) + 1 FROM '{SRC}/{tbl}.parquet'"
+        ).fetchone()[0]
+        for name, (tbl, key) in STRIDE_KEY.items()
+    }
+
+    for tbl, (cols, shifts) in SHIFT_TABLES.items():
+        parts = []
+        for k in range(REPLICAS):
+            sel = ", ".join(
+                f"{c} + {k * strides[shifts[c]]} AS {c}" if c in shifts and k
+                else c
+                for c in cols)
+            parts.append(f"SELECT {sel} FROM '{SRC}/{tbl}.parquet'")
+        order = cols[0]
+        con0.execute(
+            f"COPY ({' UNION ALL '.join(parts)} ORDER BY {order}) "
+            f"TO '{DST}/{tbl}.parquet' (FORMAT PARQUET)")
 
     con = duckdb.connect()
     n_docs = con.execute(

@@ -244,6 +244,107 @@ object EventOps {
           col("purchase_id"), col("purchase_ts"))
     },
 
+    // ── as-of join, streaming PRODUCTION path (watermark + TTL) ─────
+    // The watermarked incremental path — the dial combination a real
+    // deployment runs — against the same DuckDB ASOF oracle: the
+    // fixture is staged into three time-ranged parquet files plus a
+    // far-future sentinel, then READ AS A STREAM (file source,
+    // maxFilesPerTrigger=1), so asofStream processes genuine
+    // micro-batches under a real 10-minute watermark with idle-TTL
+    // eviction armed. Lefts wait in state until the watermark passes
+    // them, event-time timeouts flush stragglers, the sentinel drives
+    // the final watermark advance, and TTL eviction then clears every
+    // key — the full production state lifecycle, hash-checked
+    // row-for-row against DuckDB. (Time-ranged staging keeps every
+    // record on time; cross-batch DISORDER convergence is
+    // StreamingAsOfSpec's job.) Output rides foreachBatch parquet
+    // appends — distributed writes, nothing driver-side.
+    Q("q_asof_stream_wm",
+      """WITH p AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, p.purchase_id, p.ts AS purchase_ts
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
+        .select(col("user_id"), col("ts"), lit(true).as("is_right"),
+          lit(0L).as("event_id"), col("purchase_id"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(false).as("is_right"),
+          col("event_id"), lit(0L).as("purchase_id"))
+      val recs = p.unionByName(c).as[graft.streaming.StatefulOps.AsOfRec]
+
+      val root = s"${Staging.dir(dir)}/asof_stream_wm"
+      val srcDir = new java.io.File(s"$root/src")
+      def rmTree(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree)
+        f.delete(); ()
+      }
+      rmTree(new java.io.File(root)) // fresh run every invocation
+      srcDir.mkdirs()
+
+      // bounds: one 2-value aggregate row — the same bounded scalar
+      // anchor shape RelationalOps' quantile anchor uses
+      val b = recs.agg(min($"ts"), max($"ts")).head()
+      val tminMs = b.getTimestamp(0).getTime
+      val tmaxMs = b.getTimestamp(1).getTime
+      val delayMin = 10L
+      // TTL covers the fixture span plus the delay, so no key is
+      // evicted while a live probe can still arrive; the sentinel then
+      // pushes the watermark past every deadline and eviction runs for
+      // every key at end of stream
+      val ttlMin = (tmaxMs - tminMs) / 60000L + delayMin + 10L
+      val sentinelMs = tmaxMs + (delayMin + ttlMin + 60L) * 60000L
+      val c1 = tminMs + (tmaxMs - tminMs) / 3
+      val c2 = tminMs + 2L * (tmaxMs - tminMs) / 3
+
+      // stage: chunk k holds a contiguous time range, so across-batch
+      // arrival stays time-monotone and nothing is ever late; mtimes
+      // order the file source's processing
+      val chunks: Seq[(String, DataFrame)] = Seq(
+        "b1" -> recs.toDF().filter($"ts" < new java.sql.Timestamp(c1)),
+        "b2" -> recs.toDF().filter($"ts" >= new java.sql.Timestamp(c1) &&
+          $"ts" < new java.sql.Timestamp(c2)),
+        "b3" -> recs.toDF().filter($"ts" >= new java.sql.Timestamp(c2)),
+        "b4" -> Seq(graft.streaming.StatefulOps.AsOfRec(
+          -1L, new java.sql.Timestamp(sentinelMs), is_right = true, 0L, 0L))
+          .toDF())
+      chunks.zipWithIndex.foreach { case ((name, df), i) =>
+        val tmp = s"$root/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        val dst = new java.io.File(srcDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(tminMs + i * 10000L); ()
+      }
+
+      val out = s"$root/out"
+      val stream = s.readStream.schema(recs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.getAbsolutePath)
+        .as[graft.streaming.StatefulOps.AsOfRec]
+      val q = graft.streaming.StatefulOps
+        .asofStream(stream, flush = false,
+          watermarkDelay = Some(s"$delayMin minutes"),
+          idleTtlMinutes = Some(ttlMin))
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            graft.streaming.StatefulOps.AsOfMatch], _: Long) =>
+          batch.toDF().write.mode("append").parquet(out); ()
+        }
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.read.parquet(out)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("purchase_id"), col("purchase_ts"))
+    },
+
     // ── as-of join, STRICT dial ─────────────────────────────────────
     // merge_asof's allow_exact_matches=false: the latest purchase
     // STRICTLY before each click (self-exclusion shape — "state as of

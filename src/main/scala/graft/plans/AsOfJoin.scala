@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{DataType, DateType, DecimalType, IntegerType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Native AS-OF JOIN — the whole-operator extension point exercised
   * end to end (custom LogicalPlan + optimizer Rule + SparkStrategy +
@@ -208,27 +208,100 @@ private[plans] object AsOfSearch {
   }
 }
 
+/** Open-addressing long->postings-slot map: the integral-key probe
+  * path of [[AsOfIndex]]. `java.util.HashMap[Any, _]` boxes EVERY
+  * probe key the generated loop passes (`Long.valueOf` per row, a
+  * garbage allocation on the hottest path the broadcast exec has) and
+  * double-hashes through `Object.hashCode`; this map is two primitive
+  * arrays with linear probing — no allocation, no boxing, one mixed
+  * hash — the `LongToUnsafeRowMap` shape sized once at build.
+  * Capacity is the next power of two at <= 0.5 load, so probe chains
+  * stay short; slot value 0 marks empty (stored values are
+  * postings-index + 1).
+  */
+final class AsOfLongMap(n: Int) {
+  private val cap = math.max(8,
+    java.lang.Integer.highestOneBit(math.max(1, n) * 4 - 1) << 1)
+  private val mask = cap - 1
+  private val keys = new Array[Long](cap)
+  private val slots = new Array[Int](cap)
+
+  // Stafford variant-13 finalizer: full avalanche, so consecutive ids
+  // (the common key shape) spread across the table
+  private def mix(k: Long): Int = {
+    var h = k
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    (h ^ (h >>> 31)).toInt & mask
+  }
+
+  def put(k: Long, v: Int): Unit = {
+    var i = mix(k)
+    while (slots(i) != 0 && keys(i) != k) i = (i + 1) & mask
+    keys(i) = k
+    slots(i) = v + 1
+  }
+
+  /** Postings slot for k, or -1. */
+  def get(k: Long): Int = {
+    var i = mix(k)
+    while (slots(i) != 0) {
+      if (keys(i) == k) return slots(i) - 1
+      i = (i + 1) & mask
+    }
+    -1
+  }
+}
+
 /** Per-key postings (times ascending, parallel row array) plus the
   * frozen search dials — the probe structure of the broadcast path.
-  * `lookup` is the single entry point both the interpreted path and
-  * the generated code call.
+  * Two key layouts behind one build: integral keys (byte/short/int/
+  * long/date/timestamp — the overwhelmingly common shape) probe an
+  * [[AsOfLongMap]] through the primitive [[lookupLong]] entry point
+  * the generated code calls directly, so a codegen probe never boxes;
+  * every other key type probes the generic hash map through
+  * [[lookup]].
   */
 final class AsOfIndex(
-    index: java.util.HashMap[Any, (Array[Long], Array[InternalRow])],
+    generic: java.util.HashMap[Any, (Array[Long], Array[InternalRow])],
+    longMap: AsOfLongMap,
+    postTimes: Array[Array[Long]],
+    postRows: Array[Array[InternalRow]],
     direction: AsOfDirection,
     allowExactMatches: Boolean,
     tolerance: Option[Long]) {
 
-  /** The matching right row for (key, target-instant), or null. */
-  def lookup(key: Any, target: Long): InternalRow = {
-    val p = index.get(key)
-    if (p == null) null
-    else {
-      val i = AsOfSearch.select(p._1, p._1.length, target,
-        direction, allowExactMatches, tolerance)
-      if (i >= 0) p._2(i) else null
-    }
+  private def selectIn(times: Array[Long], rows: Array[InternalRow],
+      target: Long): InternalRow = {
+    val i = AsOfSearch.select(times, times.length, target,
+      direction, allowExactMatches, tolerance)
+    if (i >= 0) rows(i) else null
   }
+
+  /** Primitive-key probe — the generated loop's entry point (no
+    * boxing). Only valid when the index was built over an integral
+    * key (the codegen site picks the call by the key's data type, the
+    * same type the build saw — the construction contract pins both
+    * sides to one type).
+    */
+  def lookupLong(key: Long, target: Long): InternalRow = {
+    val s = longMap.get(key)
+    if (s < 0) null else selectIn(postTimes(s), postRows(s), target)
+  }
+
+  /** Boxed-key probe: the interpreted path (and non-integral keys on
+    * both paths). Integral boxes are routed to the primitive map.
+    */
+  def lookup(key: Any, target: Long): InternalRow =
+    if (longMap != null) key match {
+      case n: java.lang.Number => lookupLong(n.longValue(), target)
+      case other => throw new IllegalStateException(
+        s"integral-keyed as-of index probed with ${other.getClass.getName}")
+    } else {
+      val p = generic.get(key)
+      if (p == null) null
+      else selectIn(p._1, p._2, target)
+    }
 }
 
 /** Builds — and memoizes per executor JVM — the [[AsOfIndex]] over a
@@ -304,19 +377,54 @@ final case class AsOfIndexSource(
         buf += ((AsOfSearch.toLong(rtType, t), row))
       }
     }
-    val index =
-      new java.util.HashMap[Any, (Array[Long], Array[InternalRow])](grouped.size())
-    val it = grouped.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val sorted = e.getValue.sortInPlaceBy(_._1)
-      index.put(e.getKey, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+    if (AsOfIndexSource.integralKey(rightKey.dataType)) {
+      // integral keys: postings land in slot arrays, the key->slot map
+      // is the primitive open-addressing AsOfLongMap (see AsOfIndex —
+      // the codegen probe calls lookupLong, never boxing)
+      val n = grouped.size()
+      val longMap = new AsOfLongMap(n)
+      val postTimes = new Array[Array[Long]](n)
+      val postRows = new Array[Array[InternalRow]](n)
+      var slot = 0
+      val it = grouped.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val sorted = e.getValue.sortInPlaceBy(_._1)
+        postTimes(slot) = sorted.map(_._1).toArray
+        postRows(slot) = sorted.map(_._2).toArray
+        longMap.put(e.getKey.asInstanceOf[java.lang.Number].longValue(), slot)
+        slot += 1
+      }
+      new AsOfIndex(null, longMap, postTimes, postRows,
+        direction, allowExactMatches, tolerance)
+    } else {
+      val index =
+        new java.util.HashMap[Any, (Array[Long], Array[InternalRow])](grouped.size())
+      val it = grouped.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val sorted = e.getValue.sortInPlaceBy(_._1)
+        index.put(e.getKey, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+      }
+      new AsOfIndex(index, null, null, null,
+        direction, allowExactMatches, tolerance)
     }
-    new AsOfIndex(index, direction, allowExactMatches, tolerance)
   }
 }
 
 object AsOfIndexSource {
+  /** Key types served by the primitive [[AsOfLongMap]] layout — the
+    * integral family the construction contract admits. One predicate,
+    * consulted by BOTH the build (right key) and the codegen probe
+    * site (left key); the contract pins the two types equal, so the
+    * layout decision is always consistent.
+    */
+  def integralKey(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
   /** Full identity of a built index: the broadcast's data plus every
     * dial the index froze at build time.
     */
@@ -624,6 +732,12 @@ final case class AsOfBroadcastExec(
     }
     val matched = ctx.freshName("asofMatched")
     val rowCls = classOf[InternalRow].getName
+    // integral keys call the primitive entry point — the boxed
+    // lookup(Object, long) would allocate a Long per probe row
+    val lookupCall =
+      if (AsOfIndexSource.integralKey(leftKey.dataType))
+        s"$idxTerm.lookupLong((long) ${keyEv.value}, $targetJava)"
+      else s"$idxTerm.lookup(${keyEv.value}, $targetJava)"
 
     // right-side output vars read from the matched row behind a null
     // guard (the genOneSideJoinVars pattern for the streamed-outer side)
@@ -656,7 +770,7 @@ final case class AsOfBroadcastExec(
        |${timeEv.code}
        |$rowCls $matched = null;
        |if (!(${keyEv.isNull}) && !(${timeEv.isNull})) {
-       |  $matched = $idxTerm.lookup(${keyEv.value}, $targetJava);
+       |  $matched = $lookupCall;
        |}
        |$numOutputRows.add(1);
        |if ($matched != null) $numMatched.add(1);

@@ -185,6 +185,70 @@ class SourcesSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(filtered.collect().map(_.getLong(0)) === Array(3L))
   }
 
+  test("MySQL dialect: the reference's JDBC shape resolves and maps MySQL-specific types") {
+    // The reference's enrichment database is MariaDB reached over the
+    // MYSQL wire protocol (reference common_settings.json:13 names
+    // org.mariadb.jdbc.Driver; gule_test_job.py:84 sets
+    // connection_type="mysql", and data.tf:19 builds a
+    // jdbc:<dbtype>:// url) — so the dialect Spark selects for that
+    // url shape is MySQLDialect. A live server is unreachable offline;
+    // what IS testable is the dialect's type-mapping surface — the
+    // MySQL-specific shapes (UNSIGNED promotion, TINYINT width,
+    // BIT(n)) that a Derby-backed proof can't touch. These pins are
+    // exactly what `spark.read.format("jdbc")` (JdbcSource's load
+    // path) consults when it builds the scan schema from the remote
+    // ResultSet metadata.
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import java.sql.Types
+    val d = JdbcDialects.get("jdbc:mysql://db:3306/enrich")
+    assert(d.getClass.getName === "org.apache.spark.sql.jdbc.MySQLDialect")
+
+    def signed = new MetadataBuilder().putBoolean("isSigned", true)
+    def unsigned = new MetadataBuilder().putBoolean("isSigned", false)
+    // UNSIGNED promotion: the dialect consults the `isSigned` metadata
+    // flag (populated from ResultSetMetaData.isSigned by the JDBC scan
+    // schema builder — NOT the type-name string), and each unsigned
+    // integer type must widen one tier, or values above the signed max
+    // corrupt silently
+    assert(d.getCatalystType(Types.TINYINT, "TINYINT", 3, signed) === Some(ByteType))
+    assert(d.getCatalystType(Types.TINYINT, "TINYINT", 3, unsigned) === Some(ShortType))
+    assert(d.getCatalystType(Types.SMALLINT, "SMALLINT", 5, signed) === Some(ShortType))
+    assert(d.getCatalystType(Types.SMALLINT, "SMALLINT", 5, unsigned) === Some(IntegerType))
+    // MEDIUMINT UNSIGNED fits in 32 bits — the one unsigned shape the
+    // dialect keeps narrow (by type NAME: the driver reports it signed
+    // at the wire level)
+    assert(d.getCatalystType(Types.INTEGER, "MEDIUMINT UNSIGNED", 8,
+      new MetadataBuilder()) === Some(IntegerType))
+    // INT/BIGINT (signed and unsigned): the dialect DECLINES (None)
+    // and Spark's default JDBC mapping applies, which promotes by the
+    // ResultSet's isSigned flag (INT UNSIGNED->LongType, BIGINT
+    // UNSIGNED->Decimal(20,0)) — pinning the decline documents where
+    // that promotion happens so a dialect change can't silently
+    // reroute it
+    assert(d.getCatalystType(Types.INTEGER, "INT UNSIGNED", 10, unsigned) === None)
+    assert(d.getCatalystType(Types.BIGINT, "BIGINT UNSIGNED", 20, unsigned) === None)
+    // TINYINT(1): the MySQL driver reports it as Types.BIT typeName
+    // "TINYINT"; the dialect declines single-bit shapes and the
+    // default BIT->BooleanType mapping produces the boolean column
+    assert(d.getCatalystType(Types.BIT, "TINYINT", 1, new MetadataBuilder()) === None)
+    // BIT(n>1) arrives as Types.BIT or (MariaDB driver) VARBINARY with
+    // typeName "BIT": binary payload, tagged `binarylong` so the write
+    // path can round-trip it (LongType only under the legacy conf)
+    val bitMd = new MetadataBuilder()
+    assert(d.getCatalystType(Types.VARBINARY, "BIT", 8, bitMd) === Some(BinaryType))
+    assert(bitMd.build().getLong("binarylong") === 1L)
+    assert(d.getCatalystType(Types.BIT, "BIT", 8, new MetadataBuilder()) === Some(BinaryType))
+    // DATETIME (no session zone in MySQL) honors the reader's NTZ
+    // preference through metadata; TIMESTAMP (zone-normalized on the
+    // server) is always the instant type
+    assert(d.getCatalystType(Types.TIMESTAMP, "DATETIME", 19,
+      new MetadataBuilder().putBoolean("isTimestampNTZ", false)) === Some(TimestampType))
+    assert(d.getCatalystType(Types.TIMESTAMP, "DATETIME", 19,
+      new MetadataBuilder().putBoolean("isTimestampNTZ", true)) === Some(TimestampNTZType))
+    assert(d.getCatalystType(Types.TIMESTAMP, "TIMESTAMP", 19,
+      new MetadataBuilder()) === Some(TimestampType))
+  }
+
   test("pipeline runs with mixed source formats (jsonl primary, orc secondary)") {
     sample.write.mode("overwrite").json(s"$root/p-lines")
     val sec = spark.createDataFrame(Seq(
