@@ -1,7 +1,15 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run graft.Verify
 output against the DuckDB oracle SQL it dumped, compare per query
-(sorted columns by name, sorted rows, exact values)."""
+(sorted columns by name, sorted rows, exact values).
+
+Usage: check_oracle.py <sf_dir> <out_dir> [--json ARTIFACT] [name ...]
+
+Trailing names restrict the compare to that subset (matching
+graft.Verify's own trailing-args contract); --json additionally dumps
+the per-query result map in the CORRECTNESS artifact shape
+({name: {err, hash_match, rows, rows_match, schema_match}}).
+"""
 import json, sys, math
 import duckdb
 
@@ -23,13 +31,27 @@ def frame(rows, cols):
     return [cols[i] for i in order], out
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None, only=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        missing = sorted(set(only) - set(oracle))
+        if missing:
+            print(f"FAIL unknown query names: {missing}")
+            return 1
+        oracle = {k: v for k, v in oracle.items() if k in set(only)}
     n_pass = n_fail = 0
+    results = {}
+
+    def record(name, err=None, rows=None, rows_match=False,
+               schema_match=False, hash_match=False):
+        results[name] = {"err": err, "hash_match": hash_match,
+                         "rows": rows, "rows_match": rows_match,
+                         "schema_match": schema_match}
+
     for name, sql in sorted(oracle.items()):
         try:
             got = con.execute(
@@ -37,13 +59,16 @@ def main(sf_dir, out_dir):
             got_rows, got_cols = got.fetchall(), [d[0] for d in got.description]
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
+            record(name, err=f"spark output unreadable: {e}")
             n_fail += 1
             continue
         try:
             exp = con.execute(sql)
             exp_rows, exp_cols = exp.fetchall(), [d[0] for d in exp.description]
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {str(e).splitlines()[0]}")
+            msg = str(e).splitlines()[0]
+            print(f"FAIL {name}: oracle SQL error: {msg}")
+            record(name, err=f"oracle SQL error: {msg}")
             n_fail += 1
             continue
         # dtype drift (e.g. DuckDB window-sum HUGEINT) breaks the
@@ -61,6 +86,8 @@ def main(sf_dir, out_dir):
                      if gtypes.get(k) != etypes.get(k)}
             if tdiff:
                 print(f"FAIL {name}: dtypes differ {tdiff}")
+                record(name, err=f"dtypes differ {tdiff}",
+                       rows=len(got_rows))
                 n_fail += 1
                 continue
         except Exception:
@@ -69,10 +96,12 @@ def main(sf_dir, out_dir):
         ec, er = frame(exp_rows, exp_cols)
         if gc != ec:
             print(f"FAIL {name}: columns differ spark={gc} oracle={ec}")
+            record(name, rows=len(gr))
             n_fail += 1
             continue
         if len(gr) != len(er):
             print(f"FAIL {name}: rowcount spark={len(gr)} oracle={len(er)}")
+            record(name, rows=len(gr), schema_match=True)
             n_fail += 1
             continue
         bad = [i for i, (a, b) in enumerate(zip(gr, er)) if a != b]
@@ -82,13 +111,25 @@ def main(sf_dir, out_dir):
             print(f"   cols : {gc}")
             print(f"   spark: {gr[i]}")
             print(f"   duck : {er[i]}")
+            record(name, rows=len(gr), rows_match=True, schema_match=True)
             n_fail += 1
             continue
         print(f"PASS {name} ({len(gr)} rows)")
+        record(name, rows=len(gr), rows_match=True, schema_match=True,
+               hash_match=True)
         n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], json_out, tuple(argv[2:])))
