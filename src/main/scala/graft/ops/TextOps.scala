@@ -1548,10 +1548,13 @@ object TextOps {
     // One iteration of byte-pair-encoding vocabulary training: count
     // adjacent CHARACTER pairs within every word across the corpus and
     // rank the merge candidates (top-20, ties by pair). Scale shape:
-    // per-row char-pair explode (bounded by text length) -> one
-    // map-side-combinable hash agg to an alphabet²-sized relation ->
-    // top-k over that tiny relation. Production iterates: apply the
-    // winning merge, recount — each step is exactly this query.
+    // per-document pair counts pre-combined INSIDE the scan by a
+    // native expression (CharPairCountsExpr — one code-point pass per
+    // document, no per-character substr allocations, rows shrink from
+    // total-chars to distinct-pairs-per-doc) -> one map-side-combinable
+    // hash agg to an alphabet²-sized relation -> top-k over that tiny
+    // relation. Production iterates: apply the winning merge, recount —
+    // each step is exactly this query.
     Q("text_bpe_pair_step",
       """WITH w AS (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
@@ -1564,15 +1567,13 @@ object TextOps {
         |    row_number() OVER (ORDER BY n DESC, c1, c2) AS rk
         |  FROM c) r
         |WHERE rk <= 20""".stripMargin) { (s, dir) =>
-      val pairs = transform(sequence(lit(1), length(col("w")) - 1), i =>
-        struct(col("w").substr(i, lit(1)).as("c1"),
-          col("w").substr(i + 1, lit(1)).as("c2")))
+      val pairCounts = org.apache.spark.sql.GraftColumnShim.column(
+        graft.functions.CharPairCountsExpr(
+          org.apache.spark.sql.GraftColumnShim.expression(col("text"))))
       val c = docs(s, dir)
-        .select(explode(tokens(col("text"))).as("w"))
-        .filter(length(col("w")) >= 2)
-        .select(explode(pairs).as("p"))
-        .select(col("p.c1"), col("p.c2"))
-        .groupBy("c1", "c2").agg(count(lit(1)).as("n"))
+        .select(explode(pairCounts).as("p"))
+        .select(col("p.c1"), col("p.c2"), col("p.n"))
+        .groupBy("c1", "c2").agg(sum("n").as("n"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("n").desc, col("c1"), col("c2"))
       c.withColumn("rk", row_number().over(w).cast(LongType))
