@@ -1236,12 +1236,17 @@ object RelationalOps {
     // Parts that co-occur in the same order more than independence
     // predicts: support-filtered part pairs ranked by lift =
     // P(ab) / (P(a)·P(b)) = n_ab·n_orders / (n_a·n_b) — association
-    // mining's core operator. Scale shape: the pair generator is a
-    // self-join keyed on l_orderkey, bounded by order SIZE (squared
-    // per order, never corpus-squared); item counts attach by part-key
-    // hash joins; the 1-row order total is an O(1) broadcast. Exact
-    // integer counts; lift is one fixed double expression, ties break
-    // on the pair.
+    // mining's core operator. Scale shape: ONE hash agg groups each
+    // order's distinct parts into a sorted set (collect_set dedups
+    // in-agg, so the raw scan shuffles once), and pairs explode
+    // straight out of the grouped sets via a native expression
+    // (OrderedPairsExpr) — the self-join formulation paid two more
+    // full hash-clusterings of the (order, part) relation for the
+    // same pair stream. Pair volume stays bounded by order SIZE
+    // (squared per order, never corpus-squared); item counts and the
+    // 1-row order total derive from the same persisted sets; the
+    // total attaches as an O(1) broadcast. Exact integer counts; lift
+    // is one fixed double expression, ties break on the pair.
     Q("q_basket_lift",
       """WITH lines AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -1263,13 +1268,18 @@ object RelationalOps {
         |            JOIN item ib ON pair.pb = ib.l_partkey
         |            CROSS JOIN n_ord) t
         |WHERE rk <= 10""".stripMargin) { (s, dir) =>
-      val lines = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct().persist()
-      val nOrd = lines.agg(countDistinct("l_orderkey").as("n_orders"))
-      val item = lines.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
-      val pair = lines.select(col("l_orderkey"), col("l_partkey").as("pa"))
-        .join(lines.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
-        .filter(col("pa") < col("pb"))
+      val sets = Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .persist()
+      val nOrd = sets.agg(count(lit(1)).as("n_orders"))
+      val item = sets.select(explode(col("parts")).as("l_partkey"))
+        .groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+      val pairsCol = org.apache.spark.sql.GraftColumnShim.column(
+        graft.functions.OrderedPairsExpr(
+          org.apache.spark.sql.GraftColumnShim.expression(col("parts"))))
+      val pair = sets.select(explode(pairsCol).as("p"))
+        .select(col("p.pa"), col("p.pb"))
         .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 3)
       val lift = (col("n_ab") * col("n_orders")).cast(DoubleType) /
