@@ -535,35 +535,10 @@ object SimilarityOps {
     * upsert+serve path the row actually certifies.
     */
   private[graft] def ensureBaseIvfIndex(s: SparkSession, dir: String,
-      root: String, pred: Column): Unit = {
-    import java.nio.file.{Files, Paths}
-    val marker = Paths.get(s"$root/_base_fingerprint")
-    val fp = sourceFingerprint(dir)
-    val fresh = Files.exists(marker) &&
-      new String(Files.readAllBytes(marker), "UTF-8") == fp
-    if (!fresh) {
+      root: String, pred: Column): Unit =
+    Staging.ensureStaged(root, Staging.sourceFingerprint(dir, Seq("embeddings"))) {
       buildIvfIndex(s, dir, root, pred)
-      Files.createDirectories(marker.getParent)
-      Files.write(marker, fp.getBytes("UTF-8"))
     }
-  }
-
-  /** File-metadata fingerprint of the embeddings fixture under `dir` —
-    * sorted (path, length, mtime) triples, md5'd. Metadata-only on
-    * purpose: the driver regenerates fixtures in place, so any content
-    * change moves a length or mtime without this ever scanning data.
-    */
-  private def sourceFingerprint(dir: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
-      else Seq(f)
-    val desc = walk(new java.io.File(s"$dir/embeddings.parquet"))
-      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
-      .sorted.mkString("\n")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
 
   /** Serve a query batch from the persisted index at `root`: reload
     * quantizer + postings, assign queries, probe nprobe=1 — one

@@ -88,7 +88,7 @@ class SimIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(centMtimes() === built, "matching fingerprint must skip the rebuild")
     // a lost/corrupt marker (crash between build and marker) must rebuild
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$root/_base_fingerprint"), "stale".getBytes)
+      java.nio.file.Paths.get(s"$root/_staged_fingerprint"), "stale".getBytes)
     Thread.sleep(1100) // mtime granularity can be 1s on some filesystems
     ops.SimilarityOps.ensureBaseIvfIndex(spark, dir, root, pred)
     assert(centMtimes() !== built, "stale fingerprint must force a rebuild")
