@@ -293,15 +293,15 @@ object TextOps {
          |        t -> length(t))), 0) AS BIGINT) AS n_chars_tokenized
          |FROM documents""".stripMargin
     }) { (s, dir) =>
-      val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
-      val toks = regexp_extract_all(col("text"), lit(pat), lit(0))
-      docs(s, dir).select(
-        col("doc_id"),
-        size(toks).cast(LongType).as("n_bpe"),
-        size(filter(toks, t => t.rlike("^[A-Za-z]+$"))).cast(LongType).as("n_word"),
-        size(filter(toks, t => t.rlike("^[0-9]+$"))).cast(LongType).as("n_num"),
-        aggregate(transform(toks, t => length(t).cast(LongType)),
-          lit(0L), (acc, x) => acc + x).as("n_chars_tokenized"))
+      // one-pass native scan (BpeTokenStatsExpr) — the composed
+      // regexp_extract_all + three interpreted HOF lambdas
+      // materialized the token array four expressions deep
+      val st = org.apache.spark.sql.GraftColumnShim.column(
+        graft.functions.BpeTokenStatsExpr(
+          org.apache.spark.sql.GraftColumnShim.expression(col("text"))))
+      docs(s, dir).select(col("doc_id"), st.as("st"))
+        .select(col("doc_id"), col("st.n_bpe"), col("st.n_word"),
+          col("st.n_num"), col("st.n_chars_tokenized"))
     },
 
     // ── edit-distance similarity on planted near-duplicate pairs ────
