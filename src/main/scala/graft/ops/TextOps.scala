@@ -1139,8 +1139,11 @@ object TextOps {
     // ── repetition ratios (Gopher-style quality signals) ────────────
     // Per-doc modal-bigram share and duplicate-token ratio — the
     // repetition filters of Gopher/C4-class curation. Scale shape:
-    // explode to (doc, bigram) -> one hash agg (map-side combinable)
-    // -> one per-doc agg; never a per-row O(n^2) scan.
+    // all three counters are per-row pure functions of the token
+    // array, so ONE native scan pass (RepetitionStatsExpr: tokens
+    // interned to dense ids, bigrams counted in a long-keyed map)
+    // computes them with no explode, no aggregation, and no join —
+    // per-row memory bounded by document length, never O(n^2).
     // top_share = modal bigram occurrences / bigram slots (n_tokens-1),
     // bounded in (0, 1] even for overlapping repeats like "a a a a";
     // dup_ratio = 1 - distinct/total tokens. Integer counts + one
@@ -1161,21 +1164,18 @@ object TextOps {
          |  CAST(top_cnt AS DOUBLE) / (n_tokens - 1) AS top_share,
          |  1.0 - CAST(n_uniq AS DOUBLE) / n_tokens AS dup_ratio
          |FROM st JOIN top ON st.doc_id = top.doc_id""".stripMargin) { (s, dir) =>
-      val t = docs(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("tokens"))
-        .filter(size(col("tokens")) >= 2)
-        .persist()
-      val bg = t.select(col("doc_id"), explode(bigramPairs(col("tokens"))).as("p"))
-        .select(col("doc_id"), col("p.w1"), col("p.w2"))
-      val top = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("top_cnt"))
-      t.select(col("doc_id"),
-        size(col("tokens")).cast(LongType).as("n_tokens"),
-        size(array_distinct(col("tokens"))).cast(LongType).as("n_uniq"))
-        .join(top, "doc_id")
-        .select(col("doc_id"), col("n_tokens"), col("top_cnt"),
-          (col("top_cnt").cast(DoubleType) / (col("n_tokens") - 1)).as("top_share"),
-          (lit(1.0) - col("n_uniq").cast(DoubleType) / col("n_tokens")).as("dup_ratio"))
+      val st = org.apache.spark.sql.GraftColumnShim.column(
+        graft.functions.RepetitionStatsExpr(
+          org.apache.spark.sql.GraftColumnShim.expression(tokens(col("text")))))
+      docs(s, dir)
+        .select(col("doc_id"), st.as("st"))
+        .filter(col("st.n_tokens") >= 2)
+        .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
+          col("st.top_cnt").as("top_cnt"),
+          (col("st.top_cnt").cast(DoubleType) / (col("st.n_tokens") - 1))
+            .as("top_share"),
+          (lit(1.0) - col("st.n_uniq").cast(DoubleType) / col("st.n_tokens"))
+            .as("dup_ratio"))
     },
 
     // ── Gopher-style composite document filter ──────────────────────
