@@ -346,4 +346,41 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
         }
       }
   }
+
+  // ── round-11 kernel plan pins ─────────────────────────────────────
+  // The native-kernel reshapes are load-bearing plan SHAPES, not just
+  // faster constants: these pins fail if a refactor reintroduces the
+  // relational formulation they replaced.
+
+  test("basket pairs explode from grouped sets — no self-join, no sort-merge") {
+    val plan = planOf("q_basket_lift")
+    assert(plan.contains("graft_ordered_pairs"),
+      s"pair generation lost the grouped-set kernel:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_basket_lift re-grew a shuffled self-join:\n$plan")
+  }
+
+  test("per-row text kernels run inside the scan stage, shuffle-free") {
+    // pure per-row projections: any exchange means the per-document
+    // statistic leaked back into a relational formulation
+    Seq("text_tokens_bpe" -> "graft_bpe_token_stats",
+      "text_rep_ratio" -> "graft_repetition_stats").foreach { case (name, fn) =>
+      val plan = planOf(name)
+      withClue(s"$name:") {
+        assert(plan.contains(fn), s"$name lost its native kernel:\n$plan")
+        val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+        assert(shuffles === 0,
+          s"$name should be a scan-stage projection, got $shuffles shuffles:\n$plan")
+      }
+    }
+  }
+
+  test("BPE pair counts pre-combine in the scan; one alphabet-sized shuffle") {
+    val plan = planOf("text_bpe_pair_step")
+    assert(plan.contains("graft_char_pair_counts"),
+      s"text_bpe_pair_step lost its per-document pre-combine kernel:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles === 1,
+      s"expected exactly the alphabet-squared agg shuffle, got $shuffles:\n$plan")
+  }
 }
