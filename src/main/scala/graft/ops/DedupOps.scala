@@ -1182,13 +1182,17 @@ object DedupOps {
     // training: word-5-grams appearing in >= 3 DISTINCT documents are
     // boilerplate candidates (headers, disclaimers, templates), and
     // the top-20 by document reach is the removal worklist. Scale
-    // shape: the native graft_shingles UDTF streams n-gram rows
-    // inside the scan stage (no per-doc shingle array materialized);
-    // the distinct-doc count is one hash aggregation on the shingle
-    // key (map-side partials first); the top-20 is a distributed
-    // orderBy+limit (per-partition heads, 20-row driver merge) and
-    // only the 20-row head is re-ranked — no global sort, no
-    // unpartitioned window over the aggregate.
+    // shape: per-document DISTINCT shingles emit from the scan stage
+    // (DistinctShinglesExpr — uniqueness guaranteed by a per-row
+    // hash-set probe), so the document-reach count is a plain
+    // map-side-combinable count(*) with ONE exchange of partial
+    // counts — the count(DISTINCT doc_id) formulation expanded and
+    // shuffled the full (shingle, doc) stream twice; the top-20 is a
+    // distributed orderBy+limit (per-partition heads, 20-row driver
+    // merge) and only the 20-row head is re-ranked — no global sort,
+    // no unpartitioned window over the aggregate. (The UDTF streaming
+    // surface this row previously exercised keeps its own oracle row,
+    // dedup_shingle_udtf.)
     Q("text_boilerplate", {
       val cat = (0 until 5).map(j => s"tokens[i+$j]").mkString(" || ' ' || ")
       s"""WITH sh AS (
@@ -1205,14 +1209,14 @@ object DedupOps {
          |  FROM agg) r
          |WHERE rk <= 20""".stripMargin
     }) { (s, dir) =>
-      ensureShingleUdtf(s)
-      Tables.load(s, dir, "documents").createOrReplaceTempView("bp_docs")
-      val agg = s.sql(
-        """SELECT s.shingle, count(DISTINCT doc_id) AS n_docs
-          |FROM bp_docs
-          |LATERAL VIEW graft_shingles(split(text, ' '), 5) s AS pos, shingle
-          |GROUP BY s.shingle
-          |HAVING count(DISTINCT doc_id) >= 3""".stripMargin)
+      val sh5 = org.apache.spark.sql.GraftColumnShim.column(
+        graft.functions.DistinctShinglesExpr(
+          org.apache.spark.sql.GraftColumnShim.expression(
+            split(col("text"), " ")), 5))
+      val agg = Tables.load(s, dir, "documents")
+        .select(explode(sh5).as("shingle"))
+        .groupBy("shingle").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 3)
       val top = agg.orderBy(col("n_docs").desc, col("shingle")).limit(20)
       val wr = org.apache.spark.sql.expressions.Window
         .orderBy(col("n_docs").desc, col("shingle"))
