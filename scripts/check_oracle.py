@@ -96,7 +96,8 @@ def main(sf_dir, out_dir, json_out=None, only=()):
         ec, er = frame(exp_rows, exp_cols)
         if gc != ec:
             print(f"FAIL {name}: columns differ spark={gc} oracle={ec}")
-            record(name, rows=len(gr))
+            record(name, err=f"columns differ spark={gc} oracle={ec}",
+                   rows=len(gr))
             n_fail += 1
             continue
         if len(gr) != len(er):
@@ -125,11 +126,22 @@ def main(sf_dir, out_dir, json_out=None, only=()):
     return 1 if n_fail else 0
 
 
+def usage():
+    print("usage: check_oracle.py <sf_dir> <out_dir> [--json ARTIFACT] "
+          "[name ...]", file=sys.stderr)
+    sys.exit(2)
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("error: --json requires an output path", file=sys.stderr)
+            usage()
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    if len(argv) < 2:
+        usage()
     sys.exit(main(argv[0], argv[1], json_out, tuple(argv[2:])))

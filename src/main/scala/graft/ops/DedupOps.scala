@@ -817,15 +817,18 @@ object DedupOps {
     // its offsets action) and then sorted by them; sorting by the pair
     // directly removes that whole job at identical output (AllPairsSpec
     // re-proves exactness against brute force at every threshold).
-    // df and the token's posting ride ONE tok-keyed aggregation — the
-    // previous separate df relation joined back onto the exploded
-    // token stream shuffled that stream twice (df agg + join) where
-    // one grouped pass suffices; postings are bounded by the largest
-    // document frequency (boilerplate shingles), which does not grow
-    // with corpus replication.
-    val tr = sh.groupBy("tok")
-      .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("docs"))
-      .select(col("tok"), col("df"), explode(col("docs")).as("doc_id"))
+    // df rides the SAME tok-keyed shuffle as the postings (the r7
+    // separate df relation joined back onto the exploded token stream
+    // shuffled that stream twice — df agg + join — where one pass
+    // suffices), but as an unbounded-frame window count rather than a
+    // collect_list postings array: a high-df (boilerplate) token's
+    // whole group then streams through WindowExec's spillable row
+    // buffer instead of concentrating into one in-memory array whose
+    // size grows with max df — the skew/OOM hazard an aggregation
+    // buffer has and a spill-backed window does not.
+    val tr = sh.select(col("tok"), col("doc_id"),
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("tok")).as("df"))
     val ranked = tr.groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("rt"))
       .withColumn("n", size(col("rt")).cast(LongType))

@@ -321,7 +321,13 @@ object EventOps {
           .getOrElse(sys.error(s"no part file under $tmp"))
         val dst = new java.io.File(srcDir, s"$name.parquet")
         java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(tminMs + i * 10000L); ()
+        // the mtime ladder IS the processing-order contract (the file
+        // source orders by modification time): a filesystem that
+        // refuses setLastModified would silently fall back to
+        // move-time mtimes and coarse-granularity ties — fail instead
+        if (!dst.setLastModified(tminMs + i * 10000L))
+          sys.error(s"setLastModified failed for $dst; " +
+            "cannot guarantee time-monotone stream arrival order")
       }
 
       val out = s"$root/out"
@@ -340,7 +346,12 @@ object EventOps {
         }
         .start()
       try { q.processAllAvailable() } finally { q.stop() }
-      s.read.parquet(out)
+      // explicit schema: a zero-row stream result leaves `out` with no
+      // parquet footer to infer from — an empty result should be an
+      // empty DataFrame, not a schema-inference error
+      s.read.schema(org.apache.spark.sql.Encoders
+          .product[graft.streaming.StatefulOps.AsOfMatch].schema)
+        .parquet(out)
         .select(col("event_id"), col("user_id"), col("ts"),
           col("purchase_id"), col("purchase_ts"))
     },

@@ -220,8 +220,19 @@ private[plans] object AsOfSearch {
   * postings-index + 1).
   */
 final class AsOfLongMap(n: Int) {
-  private val cap = math.max(8,
-    java.lang.Integer.highestOneBit(math.max(1, n) * 4 - 1) << 1)
+  // capacity math in Long: for n past ~2^29, the int form overflows,
+  // highestOneBit(negative) << 1 yields 0, cap silently collapses to 8
+  // and put() spins forever on the 9th key — fail loudly instead (a
+  // build side that large has no business being broadcast anyway)
+  private val cap = {
+    val c = math.max(8L,
+      java.lang.Long.highestOneBit(math.max(1L, n.toLong) * 4L - 1L) << 1)
+    require(c <= (1L << 30),
+      s"as-of broadcast index: $n distinct keys needs a $c-slot table " +
+        "(> 2^30); the build side is too large to broadcast — use the " +
+        "sort-merge as-of path")
+    c.toInt
+  }
   private val mask = cap - 1
   private val keys = new Array[Long](cap)
   private val slots = new Array[Int](cap)

@@ -55,6 +55,16 @@ class AsOfLongMapSpec extends AnyFunSuite {
     assert(m.get(5L) === 3)
   }
 
+  test("oversized key count fails loudly instead of collapsing capacity") {
+    // for n past ~2^29 the old int capacity math overflowed,
+    // highestOneBit(negative) << 1 yielded 0, cap collapsed to the
+    // 8-slot floor, and put() span forever on the 9th key — the Long
+    // form must instead reject construction before allocating
+    val e = intercept[IllegalArgumentException](new AsOfLongMap(600000000))
+    assert(e.getMessage.contains("too large to broadcast"))
+    intercept[IllegalArgumentException](new AsOfLongMap(Int.MaxValue))
+  }
+
   test("pseudo-random fuzz vs HashMap reference") {
     // fixed-seed xorshift so the case is deterministic
     var s = 0x9e3779b97f4a7c15L
