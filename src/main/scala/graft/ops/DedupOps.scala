@@ -973,6 +973,23 @@ object DedupOps {
        |WHERE hamming <= 3""".stripMargin
   }
 
+  /** DuckDB twin of [[simhashPairsAuto]] — the corpus-adaptive family
+    * selection. Both family twins guarded by the SAME count arithmetic
+    * the Spark side uses (count(documents) + count//10 + 1, the
+    * docsAug upper bound), so the gate certifies the crossing rule at
+    * whatever scale it runs: narrow at the fixture scales, wide past
+    * the [[SimWideKnee]]. Shared by `dedup_simhash_auto` and every row
+    * that analyzes the deployment pair graph (`dedup_triangles`).
+    */
+  private[graft] lazy val simhashPairsAutoOracleSql: String = {
+    val est = "(SELECT count(*) + count(*) // 10 + 1 FROM documents)"
+    s"""SELECT * FROM ($simhashPairsOracleSql) narrow
+       |WHERE $est <= $SimWideKnee
+       |UNION ALL
+       |SELECT * FROM ($simhashPairsWideOracleSql) wide
+       |WHERE $est > $SimWideKnee""".stripMargin
+  }
+
   // ── queries ───────────────────────────────────────────────────────
 
   val queries: Seq[Q] = Seq(
@@ -1387,14 +1404,7 @@ object DedupOps {
     // count//10 + 1, the docsAug upper bound) — so the gate certifies
     // the crossing behavior itself at whatever scale it runs, narrow
     // at the fixture scales, wide past the knee.
-    Q("dedup_simhash_auto", {
-      val est = "(SELECT count(*) + count(*) // 10 + 1 FROM documents)"
-      s"""SELECT * FROM ($simhashPairsOracleSql) narrow
-         |WHERE $est <= $SimWideKnee
-         |UNION ALL
-         |SELECT * FROM ($simhashPairsWideOracleSql) wide
-         |WHERE $est > $SimWideKnee""".stripMargin
-    }) { (s, dir) =>
+    Q("dedup_simhash_auto", simhashPairsAutoOracleSql) { (s, dir) =>
       val nDocs = Tables.load(s, dir, "documents").count()
       simhashPairsAuto(s, dir, nDocs + nDocs / 10 + 1)
     },
@@ -1709,12 +1719,19 @@ object DedupOps {
     // Scale shape: adjacency build is one hash agg on u (lists bounded
     // by the O(√E) orientation, so no group outgrows a task); the two
     // adjacency attaches are equi hash joins on node keys. Runs on the
-    // Hamming <= 1 cut of the SimHash pair graph — the near-identical
-    // "template family" edges, where transitivity is the question; the
-    // full <= 3 graph's looser edges inflate cliques without changing
-    // the family structure. The 1-row stat attach is an O(1) broadcast.
+    // Hamming <= 1 cut of the DEPLOYMENT SimHash pair graph
+    // ([[simhashPairsAuto]] — 60-bit below the 2^16 capacity knee,
+    // 120-bit wide above it, oracle mirroring the same selection):
+    // past the knee the narrow family's bands saturate (sf10: 55M
+    // mostly-spurious candidate pairs vs the wide family's 5.9M), so a
+    // family-pinned narrow analysis would measure band saturation, not
+    // graph structure — and pay ~10x for it. Hamming <= 1 keeps the
+    // near-identical "template family" edges, where transitivity is
+    // the question; the full <= 3 graph's looser edges inflate cliques
+    // without changing the family structure. The 1-row stat attach is
+    // an O(1) broadcast.
     Q("dedup_triangles",
-      s"""WITH p AS ($simhashPairsOracleSql),
+      s"""WITH p AS ($simhashPairsAutoOracleSql),
          |e AS (SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
          |      FROM p WHERE hamming <= 1),
          |deg AS (SELECT node, count(*) AS d
@@ -1739,7 +1756,7 @@ object DedupOps {
          |       3.0 * n_triangles / NULLIF(n_wedges, 0) AS clustering
          |FROM stats""".stripMargin) { (s, dir) =>
       val nDocs = Tables.load(s, dir, "documents").count()
-      val pairs = simhashPairs(s, dir, simBandBits(nDocs + nDocs / 10 + 1))
+      val pairs = simhashPairsAuto(s, dir, nDocs + nDocs / 10 + 1)
       // simhashPairs already emits each pair ONCE with doc_a < doc_b
       // (the core's banded join orders the pair and dedups across
       // bands), so the oracle's DISTINCT least/greatest normalization

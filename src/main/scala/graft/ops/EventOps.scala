@@ -334,18 +334,29 @@ object EventOps {
       val stream = s.readStream.schema(recs.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir.getAbsolutePath)
         .as[graft.streaming.StatefulOps.AsOfRec]
-      val q = graft.streaming.StatefulOps
-        .asofStream(stream, flush = false,
-          watermarkDelay = Some(s"$delayMin minutes"),
-          idleTtlMinutes = Some(ttlMin))
-        .writeStream
-        .option("checkpointLocation", s"$root/ckpt")
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-            graft.streaming.StatefulOps.AsOfMatch], _: Long) =>
-          batch.toDF().write.mode("append").parquet(out); ()
-        }
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      // Size the stateful shuffle to the stream, not the batch default:
+      // state-store instances scale as partitions x micro-batches (each
+      // one a provider init + commit + maintenance file op per batch),
+      // and the checkpoint pins the count at first start — exactly the
+      // per-stream sizing a production stateful job sets. Per-batch
+      // state volume here is far too small to need 32 partitions; 8
+      // cuts the fixed per-batch state-store overhead 4x.
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.StatefulOps
+          .asofStream(stream, flush = false,
+            watermarkDelay = Some(s"$delayMin minutes"),
+            idleTtlMinutes = Some(ttlMin))
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              graft.streaming.StatefulOps.AsOfMatch], _: Long) =>
+            batch.toDF().write.mode("append").parquet(out); ()
+          }
+          .start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       // explicit schema: a zero-row stream result leaves `out` with no
       // parquet footer to infer from — an empty result should be an
       // empty DataFrame, not a schema-inference error

@@ -54,7 +54,10 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("dedup_triangles: stats match a brute-force count over the simhash pair graph") {
-    val edges = SparkEntry.queries("dedup_simhash")(spark, dir).collect()
+    // the query analyzes the DEPLOYMENT (corpus-adaptive) pair graph;
+    // at fixture scale that is the 60-bit family, and the brute force
+    // reads the same adaptive row so the truth tracks the selection
+    val edges = SparkEntry.queries("dedup_simhash_auto")(spark, dir).collect()
       .filter(_.getAs[Long]("hamming") <= 1) // the query's own subgraph cut
       .map(r => (math.min(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
         math.max(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))).toSet
