@@ -47,6 +47,45 @@ object RelationalOps {
   private def pctAtSql(q: String): String =
     s"max(CASE WHEN rn = greatest(1, CAST(ceil($q * cnt) AS BIGINT)) THEN c_acctbal END)"
 
+  /** Ensure the bucketed external tables behind q_bucket_join exist and
+    * are registered, returning (ordersTable, customerTable). The layout
+    * is staged ONCE per source fingerprint: each side is repartitioned
+    * onto its bucket key with numBuckets partitions (repartition's
+    * HashPartitioning is the same Murmur3 pmod as the bucket-id
+    * function, so every write task holds exactly one bucket → one file
+    * per bucket, which is also what lets the scan expose the
+    * bucket-sort order to the join). A FRESH session finds the staged
+    * files and re-registers the DDL (CLUSTERED BY … LOCATION) over
+    * them without touching the data — the catalog entry is
+    * per-session, the layout is not.
+    */
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    val root = s"${Staging.dir(dir)}/bucketed"
+    val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+    val buckets = 8
+    val specs = Seq[(String, String, () => DataFrame)](
+      (s"b_orders_$tag", "o_custkey",
+        () => Tables.load(s, dir, "orders").select("o_custkey", "o_totalprice")),
+      (s"b_customer_$tag", "c_custkey",
+        () => Tables.load(s, dir, "customer").select("c_custkey", "c_mktsegment")))
+    def loc(name: String) = new java.io.File(s"$root/$name").getAbsolutePath
+    Staging.ensureStaged(root, Staging.sourceFingerprint(dir, Seq("orders", "customer"))) {
+      specs.foreach { case (name, key, df) =>
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        df().repartition(buckets, col(key))
+          .write.format("parquet").bucketBy(buckets, key).sortBy(key)
+          .option("path", loc(name)).mode("overwrite").saveAsTable(name)
+      }
+    }
+    specs.foreach { case (name, key, df) =>
+      if (!s.catalog.tableExists(name))
+        s.sql(s"""CREATE TABLE $name (${df().schema.toDDL}) USING parquet
+                 |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+                 |LOCATION '${loc(name)}'""".stripMargin)
+    }
+    (s"b_orders_$tag", s"b_customer_$tag")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── group-by aggregation (TPC-H Q1 flavor) ──────────────────────
@@ -1066,6 +1105,38 @@ object RelationalOps {
         .agg(count(lit(1)).as("n"),
           min(x).as("x_lo"), max(x).as("x_hi"),
           min(y).as("y_lo"), max(y).as("y_hi"))
+    },
+
+    // ── bucketed-table co-located join (zero-exchange fact rollup) ──
+    // The other lakehouse layout lever next to Z-order: pre-bucket the
+    // fact AND dimension on the join key (8 buckets, bucket-sorted, one
+    // file per bucket via a bucket-aligned repartition before write),
+    // then the per-customer order rollup — join + group-by on the same
+    // key — plans with ZERO exchanges: both scans report the bucket
+    // HashPartitioning, the sort-merge join consumes them in place, and
+    // the aggregation inherits the join's partitioning. At 100 TB this
+    // is the difference between shuffling the fact table on every
+    // consuming query and shuffling it ONCE at layout time — the
+    // bucket count (a constant here, sized to the cluster in
+    // production) caps reader parallelism, which is the documented
+    // trade. Staged once per source fingerprint under the staging
+    // root (external tables, so a fresh session re-registers the DDL
+    // over the existing bucket files instead of rewriting them).
+    // BucketJoinSpec pins the zero-exchange plan; the oracle is the
+    // plain join+group-by over the raw fixtures — bucketing is pure
+    // layout and must not change a single row.
+    Q("q_bucket_join",
+      s"""SELECT c_custkey, max(c_mktsegment) AS segment,
+         |  count(*) AS n_orders, ${O.dsum("o_totalprice")} AS total_spent
+         |FROM customer JOIN orders ON o_custkey = c_custkey
+         |GROUP BY c_custkey""".stripMargin) { (s, dir) =>
+      val (ordT, custT) = bucketedTables(s, dir)
+      s.table(custT).hint("merge")
+        .join(s.table(ordT), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(max(col("c_mktsegment")).as("segment"),
+          count(lit(1)).as("n_orders"),
+          Cols.dsum(col("o_totalprice")).as("total_spent"))
     },
 
     // ── weighted sampling without replacement (priority sampling) ───
