@@ -367,6 +367,98 @@ object EventOps {
           col("purchase_id"), col("purchase_ts"))
     },
 
+    // ── stream-stream join (watermarked, time-range condition) ──────
+    // The canonical two-stream correlation a production pipeline runs:
+    // views joined to clicks by the SAME user within the next 60
+    // minutes, both sides genuine file-source streams (one time-ranged
+    // chunk per micro-batch, same staging contract as q_asof_stream_wm)
+    // under 10-minute watermarks. This exercises Spark's symmetric
+    // stateful join exec — each side buffers in the state store and
+    // probes the other's state, and the time-range condition plus BOTH
+    // watermarks bound that state: a view is evicted once the click
+    // watermark passes view_ts + 60min, so state holds one join-window
+    // of data per side regardless of stream length — the property that
+    // makes the operator runnable forever at 100 TB/day. Inner join, so
+    // matches emit the moment the partner arrives (append mode, no
+    // watermark wait on EMISSION); time-monotone chunk arrival means an
+    // evicted row can no longer have an on-time partner, so the
+    // streamed result is row-identical to the batch join — which is
+    // exactly what the DuckDB oracle replays.
+    Q("q_stream_join",
+      """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+        |       v.ts AS view_ts, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = v.user_id
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 60 MINUTE""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir).filter(col("event_type").isin("view", "click"))
+        .select("event_id", "ts", "user_id", "event_type")
+
+      val root = s"${Staging.dir(dir)}/stream_join"
+      val srcDir = new java.io.File(s"$root/src")
+      def rmTree(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree)
+        f.delete(); ()
+      }
+      rmTree(new java.io.File(root)) // fresh run every invocation
+      srcDir.mkdirs()
+
+      val b = ev.agg(min($"ts"), max($"ts")).head()
+      val tminMs = b.getTimestamp(0).getTime
+      val tmaxMs = b.getTimestamp(1).getTime
+      val c1 = tminMs + (tmaxMs - tminMs) / 3
+      val c2 = tminMs + 2L * (tmaxMs - tminMs) / 3
+      val chunks: Seq[(String, DataFrame)] = Seq(
+        "b1" -> ev.filter($"ts" < new java.sql.Timestamp(c1)),
+        "b2" -> ev.filter($"ts" >= new java.sql.Timestamp(c1) &&
+          $"ts" < new java.sql.Timestamp(c2)),
+        "b3" -> ev.filter($"ts" >= new java.sql.Timestamp(c2)))
+      chunks.zipWithIndex.foreach { case ((name, df), i) =>
+        val tmp = s"$root/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        val dst = new java.io.File(srcDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        if (!dst.setLastModified(tminMs + i * 10000L))
+          sys.error(s"setLastModified failed for $dst; " +
+            "cannot guarantee time-monotone stream arrival order")
+      }
+
+      val out = s"$root/out"
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.getAbsolutePath)
+      val views = stream.filter($"event_type" === "view")
+        .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+        .withWatermark("view_ts", "10 minutes")
+      val clicks = stream.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id".as("click_user"),
+          $"ts".as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val joined = views.join(clicks, expr(
+        """user_id = click_user AND
+          |click_ts >= view_ts AND
+          |click_ts <= view_ts + interval 60 minutes""".stripMargin))
+        .select($"view_id", $"click_id", $"user_id", $"view_ts", $"click_ts")
+      val outSchema = joined.schema
+
+      // per-stream shuffle sizing, same rationale as q_asof_stream_wm
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out); ()
+          }
+          .start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      s.read.schema(outSchema).parquet(out)
+    },
+
     // ── as-of join, STRICT dial ─────────────────────────────────────
     // merge_asof's allow_exact_matches=false: the latest purchase
     // STRICTLY before each click (self-exclusion shape — "state as of

@@ -1,60 +1,80 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
-import java.nio.file.Files
-
-/** Stream-stream interval join — the hardest Structured Streaming
-  * surface: both sides are unbounded, so each needs a watermark and the
-  * join condition needs event-time bounds for Spark to know when state
-  * on either side can be evicted. Asserted equal to the identical batch
-  * join over the same data (an available-now run never evicts state
-  * prematurely, so the streaming result must be complete).
+/** The stateful semantics behind q_stream_join that the batch oracle
+  * cannot observe: a match whose two sides arrive in DIFFERENT
+  * micro-batches (the state-store probe), watermark-driven state
+  * eviction (the property that bounds memory on an unbounded stream),
+  * and the inner join's eager emission (no watermark wait on output).
   */
 class StreamStreamJoinSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
-  private lazy val staged: String = {
-    val dir = Files.createTempDirectory("graft-ss-join").toString
-    Tables.load(spark, "/root/testdata/sf0.001", "events")
-      .write.mode("overwrite").parquet(dir)
-    dir
-  }
+  import spark.implicits._
 
-  private def clicks(df: DataFrame): DataFrame =
-    df.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-        col("ts").as("c_ts"))
+  private def minuteTs(m: Int): java.sql.Timestamp =
+    new java.sql.Timestamp(1700000000000L + m * 60000L)
 
-  private def purchases(df: DataFrame): DataFrame =
-    df.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-        col("ts").as("p_ts"))
+  case class V(view_id: Long, user_id: Long, view_ts: java.sql.Timestamp)
+  case class C(click_id: Long, click_user: Long, click_ts: java.sql.Timestamp)
 
-  private def joined(c: DataFrame, p: DataFrame): DataFrame =
-    c.join(p,
-      col("c_user") === col("p_user") &&
-        col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
-        col("p_ts") <= col("c_ts"))
-      .select(col("click_id"), col("purchase_id"), col("c_ts"), col("p_ts"))
+  test("cross-batch match, eager emission, and watermark eviction") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vs = MemoryStream[V]
+    val cs = MemoryStream[C]
+    val joined = vs.toDF().withWatermark("view_ts", "10 minutes")
+      .join(cs.toDF().withWatermark("click_ts", "10 minutes"), expr(
+        """user_id = click_user AND
+          |click_ts >= view_ts AND
+          |click_ts <= view_ts + interval 60 minutes""".stripMargin))
+      .select($"view_id", $"click_id", $"user_id")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      def rows = spark.table("ss_join").as[(Long, Long, Long)].collect().sorted.toSeq
 
-  test("stream-stream interval join == batch join") {
-    val batch = spark.read.parquet(staged)
-    val stream = spark.readStream.schema(batch.schema).parquet(staged)
-    val q = joined(
-      clicks(stream).withWatermark("c_ts", "2 hours"),
-      purchases(stream).withWatermark("p_ts", "2 hours"))
-      .writeStream.format("memory").queryName("ss_join")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    assert(q.awaitTermination(180000), "streaming query timed out")
-    val got = spark.table("ss_join").collect().map(_.toString).sorted
-    val want = joined(clicks(batch), purchases(batch))
-      .collect().map(_.toString).sorted
-    assert(got.nonEmpty, "join produced no rows — vacuous")
-    assert(got === want)
+      // batch 1: a view for user 1 and an unmatched click for user 2
+      vs.addData(V(1L, 1L, minuteTs(0)))
+      cs.addData(C(10L, 2L, minuteTs(0)))
+      q.processAllAvailable()
+      assert(rows === Seq.empty, "nothing should match yet")
+
+      // batch 2: the click arrives 30 minutes later — the view must be
+      // probed OUT OF STATE, and the match emits in this batch (inner
+      // join: no watermark wait on emission)
+      cs.addData(C(11L, 1L, minuteTs(30)))
+      q.processAllAvailable()
+      assert(rows === Seq((1L, 11L, 1L)), "cross-batch match must emit eagerly")
+
+      // batch 3: a far-future in-batch pair advances both watermarks to
+      // minute 290 and must also match (same-batch path)
+      vs.addData(V(2L, 3L, minuteTs(300)))
+      cs.addData(C(12L, 3L, minuteTs(300)))
+      q.processAllAvailable()
+      // batch 4: nudge both streams so the minute-290 watermark is
+      // APPLIED to state cleanup (eviction runs on the batch after the
+      // watermark advances)
+      vs.addData(V(3L, 99L, minuteTs(301)))
+      cs.addData(C(13L, 98L, minuteTs(301)))
+      q.processAllAvailable()
+      assert(rows === Seq((1L, 11L, 1L), (2L, 12L, 3L)))
+
+      // view 1 (window closed at minute 60 << watermark 290) must have
+      // been EVICTED from state, not retained forever
+      val removed = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsRemoved).sum
+      assert(removed > 0L, "watermark never evicted any state rows")
+
+      // batch 5: a click inside view 1's join window but far behind the
+      // watermark is LATE input — dropped, not matched against evicted
+      // state (this is the eviction contract, observed from output)
+      cs.addData(C(14L, 1L, minuteTs(45)))
+      q.processAllAvailable()
+      assert(rows === Seq((1L, 11L, 1L), (2L, 12L, 3L)),
+        "a late click must not resurrect evicted view state")
+    } finally q.stop()
   }
 }
