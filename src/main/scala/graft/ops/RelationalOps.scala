@@ -86,6 +86,65 @@ object RelationalOps {
     (s"b_orders_$tag", s"b_customer_$tag")
   }
 
+  /** The skewed join + rollup behind q_skew_join, factored out so
+    * SkewJoinSpec can execute it under the dials and inspect the final
+    * adaptive plan. 3/4 of lineitem maps to key 0; the dim side is a
+    * 997-key rollup of orders (small here, but the dials model the
+    * 100 TB regime where neither side broadcasts).
+    */
+  private[graft] def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    // Two fixture-only accommodations, each restoring a property real
+    // deployments have and the small fixture lacks:
+    //  - repartition(32) gives the join's shuffle a many-mapper
+    //    upstream (the fixture is ONE parquet row group = one scan
+    //    task, and skew splitting works at map-output granularity —
+    //    with a single mapper there is nothing to split);
+    //  - fp (a full md5 per row) is the incompressible payload column
+    //    real rows carry: the hot partition's constant-key rows
+    //    otherwise compress ~13:1 and the BYTE skew the optimizer
+    //    measures disappears. It is also semantically used — min(fp)
+    //    is the per-bucket content checksum of the rollup.
+    val fact = Tables.load(s, dir, "lineitem").repartition(32).select(
+      when(col("l_orderkey") % 4 === 0, col("l_orderkey") % 997)
+        .otherwise(lit(0L)).as("k"),
+      col("l_quantity"),
+      md5(concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string"))).as("fp"))
+    // the dim is a FILTERED SCAN, not an aggregate: an agg keyed on k
+    // would already satisfy the join's required partitioning, and
+    // OptimizeSkewedJoin only operates when both join children are
+    // plain shuffle stages it is allowed to re-read (an intervening
+    // aggregate pins the partitioning and vetoes the split). The
+    // custkey cap bounds rows-per-key at ~2 independent of scale
+    // factor, so the join fan-out is a constant factor at any SF.
+    val dim = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") <= 1994)
+      .select((col("c_custkey") % 997).as("k"), col("c_acctbal"))
+    fact.join(dim, Seq("k"))
+      .groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        Cols.dsum(col("l_quantity")).as("qty"),
+        Cols.dsum(col("c_acctbal")).as("dim_bal"),
+        min(col("fp")).as("fp_lo"))
+  }
+
+  /** The execution dials q_skew_join runs under (restored afterwards):
+    * broadcast off on both the static and adaptive planners (the
+    * 100 TB regime), skew thresholds scaled to fixture bytes so the
+    * hot partition crosses them, and forceOptimizeSkewedJoin so the
+    * split is not vetoed for introducing the extra exchange the
+    * downstream rollup pays anyway.
+    */
+  private[graft] val skewDials: Seq[String] = Seq(
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin")
+  private[graft] val skewDialValues: Seq[String] =
+    Seq("-1", "-1", "2.0", "8k", "4k", "true")
+
   val queries: Seq[Q] = Seq(
 
     // ── group-by aggregation (TPC-H Q1 flavor) ──────────────────────
@@ -1137,6 +1196,50 @@ object RelationalOps {
         .agg(max(col("c_mktsegment")).as("segment"),
           count(lit(1)).as("n_orders"),
           Cols.dsum(col("o_totalprice")).as("total_spent"))
+    },
+
+    // ── AQE skew-join split (runtime hot-partition surgery) ─────────
+    // The join-side complement of q_skew_salted_agg's hand salting:
+    // when a shuffle join's key distribution is pathological (here 3/4
+    // of the fact lands on ONE key), AQE's OptimizeSkewedJoin splits
+    // the hot partition into advisory-sized chunks at RUNTIME and
+    // replicates the matching build rows — no salting column, no
+    // rewrite, and unlike the salt it adapts to whatever key turns out
+    // hot in production. The dial block below scales the byte
+    // thresholds to fixture size and disables broadcast (at 100 TB
+    // both sides exceed any broadcast threshold on their own); the
+    // split is certified by SkewJoinSpec on the executed plan
+    // (isSkewJoin sort-merge + more shuffle-read partitions than the
+    // static plan). Because those dials must be LIVE at execution
+    // time, the body executes the join under them and returns the
+    // read-back — the q_asof_stream_wm scoping shape. Skew surgery is
+    // a physical rewrite, never a semantic one: the oracle replays the
+    // same join+rollup directly.
+    Q("q_skew_join",
+      s"""WITH fact AS (
+         |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN l_orderkey % 997
+         |              ELSE 0 END AS k, l_quantity,
+         |    md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+         |        CAST(l_linenumber AS VARCHAR)) AS fp
+         |  FROM lineitem),
+         |dim AS (
+         |  SELECT c_custkey % 997 AS k, c_acctbal
+         |  FROM customer WHERE c_custkey <= 1994)
+         |SELECT fact.k % 10 AS bucket, count(*) AS n_rows,
+         |  ${O.dsum("l_quantity")} AS qty, ${O.dsum("c_acctbal")} AS dim_bal,
+         |  min(fp) AS fp_lo
+         |FROM fact JOIN dim ON fact.k = dim.k
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val out = s"${Staging.dir(dir)}/skew_join/out"
+      val result = skewJoin(s, dir)
+      val saved = skewDials.map(k => k -> s.conf.getOption(k)).toMap
+      skewDials.zip(skewDialValues).foreach { case (k, v) => s.conf.set(k, v) }
+      try result.write.mode("overwrite").parquet(out)
+      finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      s.read.schema(result.schema).parquet(out)
     },
 
     // ── weighted sampling without replacement (priority sampling) ───
