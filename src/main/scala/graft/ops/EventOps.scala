@@ -21,6 +21,94 @@ object EventOps {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
+  // ── staged micro-batch stream fixtures ────────────────────────────
+  // Shared by every row that drives a REAL file-source stream
+  // (q_asof_stream_wm, q_stream_join, q_stream_dedup): the fixture is
+  // cut into contiguous time ranges, one parquet file per range, with
+  // an explicit mtime ladder so the file source processes them in
+  // time-monotone order (maxFilesPerTrigger=1 → one range per
+  // micro-batch, nothing ever late). The whole root is wiped per run —
+  // staged (non-rewritten) stream sources measurably degrade
+  // run-over-run (see the round-11 q_asof_stream_wm note in README).
+
+  /** (min ts ms, max ts ms) of `df`'s `ts` column — one bounded
+    * 2-value aggregate row, the scalar-anchor shape.
+    */
+  private def timeBounds(df: DataFrame): (Long, Long) = {
+    val b = df.agg(min(col("ts")), max(col("ts"))).head()
+    (b.getTimestamp(0).getTime, b.getTimestamp(1).getTime)
+  }
+
+  /** Cut `df` into `n` contiguous half-open time ranges over
+    * [tminMs, tmaxMs] (last range closed above by construction).
+    */
+  private def timeChunks(df: DataFrame, n: Int, tminMs: Long, tmaxMs: Long)
+      : Seq[(String, DataFrame)] = {
+    val cuts = (0 to n).map(i => tminMs + i * ((tmaxMs - tminMs) / n + 1))
+    (0 until n).map { i =>
+      s"b${i + 1}" -> df.filter(
+        col("ts") >= new java.sql.Timestamp(cuts(i)) &&
+          col("ts") < new java.sql.Timestamp(cuts(i + 1)))
+    }
+  }
+
+  /** Write each chunk as ONE parquet file under `root/src` with an
+    * mtime ladder starting at `mtime0`; returns the source directory.
+    * Wipes `root` first — fresh staging every run. A filesystem that
+    * refuses setLastModified would silently fall back to move-time
+    * mtimes (coarse-granularity ties) — fail instead.
+    */
+  private def stageChunks(root: String, chunks: Seq[(String, DataFrame)],
+      mtime0: Long): String = {
+    val srcDir = new java.io.File(s"$root/src")
+    def rmTree(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(root))
+    srcDir.mkdirs()
+    chunks.zipWithIndex.foreach { case ((name, df), i) =>
+      val tmp = s"$root/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val dst = new java.io.File(srcDir, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      if (!dst.setLastModified(mtime0 + i * 10000L))
+        sys.error(s"setLastModified failed for $dst; " +
+          "cannot guarantee time-monotone stream arrival order")
+    }
+    srcDir.getAbsolutePath
+  }
+
+  /** Run `streamed` to completion against `root/ckpt`, appending each
+    * micro-batch to `root/out` as parquet (distributed writes, nothing
+    * driver-side), and return the read-back with the stream's own
+    * schema (a zero-row result must be an empty DataFrame, not a
+    * schema-inference error). Sizes the stateful shuffle to the stream
+    * (8 partitions): state-store instances scale as partitions x
+    * micro-batches and the checkpoint pins the count at first start —
+    * the per-stream sizing a production stateful job sets.
+    */
+  private def runStreamAppend(s: SparkSession, root: String,
+      streamed: DataFrame): DataFrame = {
+    val out = s"$root/out"
+    val outSchema = streamed.schema
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = streamed.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out); ()
+        }
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    s.read.schema(outSchema).parquet(out)
+  }
+
   /** Sweep-line peak concurrency over half-open activity intervals
     * [ts, ts + gap) — factored out of `q_interval_overlap` so the
     * property spec can drive it with adversarial timestamp collisions
@@ -279,19 +367,7 @@ object EventOps {
       val recs = p.unionByName(c).as[graft.streaming.StatefulOps.AsOfRec]
 
       val root = s"${Staging.dir(dir)}/asof_stream_wm"
-      val srcDir = new java.io.File(s"$root/src")
-      def rmTree(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree)
-        f.delete(); ()
-      }
-      rmTree(new java.io.File(root)) // fresh run every invocation
-      srcDir.mkdirs()
-
-      // bounds: one 2-value aggregate row — the same bounded scalar
-      // anchor shape RelationalOps' quantile anchor uses
-      val b = recs.agg(min($"ts"), max($"ts")).head()
-      val tminMs = b.getTimestamp(0).getTime
-      val tmaxMs = b.getTimestamp(1).getTime
+      val (tminMs, tmaxMs) = timeBounds(recs.toDF())
       val delayMin = 10L
       // TTL covers the fixture span plus the delay, so no key is
       // evicted while a live probe can still arrive; the sentinel then
@@ -299,70 +375,20 @@ object EventOps {
       // every key at end of stream
       val ttlMin = (tmaxMs - tminMs) / 60000L + delayMin + 10L
       val sentinelMs = tmaxMs + (delayMin + ttlMin + 60L) * 60000L
-      val c1 = tminMs + (tmaxMs - tminMs) / 3
-      val c2 = tminMs + 2L * (tmaxMs - tminMs) / 3
+      val src = stageChunks(root,
+        timeChunks(recs.toDF(), 3, tminMs, tmaxMs) :+
+          ("b4" -> Seq(graft.streaming.StatefulOps.AsOfRec(
+            -1L, new java.sql.Timestamp(sentinelMs), is_right = true, 0L, 0L))
+            .toDF()),
+        tminMs)
 
-      // stage: chunk k holds a contiguous time range, so across-batch
-      // arrival stays time-monotone and nothing is ever late; mtimes
-      // order the file source's processing
-      val chunks: Seq[(String, DataFrame)] = Seq(
-        "b1" -> recs.toDF().filter($"ts" < new java.sql.Timestamp(c1)),
-        "b2" -> recs.toDF().filter($"ts" >= new java.sql.Timestamp(c1) &&
-          $"ts" < new java.sql.Timestamp(c2)),
-        "b3" -> recs.toDF().filter($"ts" >= new java.sql.Timestamp(c2)),
-        "b4" -> Seq(graft.streaming.StatefulOps.AsOfRec(
-          -1L, new java.sql.Timestamp(sentinelMs), is_right = true, 0L, 0L))
-          .toDF())
-      chunks.zipWithIndex.foreach { case ((name, df), i) =>
-        val tmp = s"$root/tmp_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file under $tmp"))
-        val dst = new java.io.File(srcDir, s"$name.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        // the mtime ladder IS the processing-order contract (the file
-        // source orders by modification time): a filesystem that
-        // refuses setLastModified would silently fall back to
-        // move-time mtimes and coarse-granularity ties — fail instead
-        if (!dst.setLastModified(tminMs + i * 10000L))
-          sys.error(s"setLastModified failed for $dst; " +
-            "cannot guarantee time-monotone stream arrival order")
-      }
-
-      val out = s"$root/out"
       val stream = s.readStream.schema(recs.schema)
-        .option("maxFilesPerTrigger", 1).parquet(srcDir.getAbsolutePath)
+        .option("maxFilesPerTrigger", 1).parquet(src)
         .as[graft.streaming.StatefulOps.AsOfRec]
-      // Size the stateful shuffle to the stream, not the batch default:
-      // state-store instances scale as partitions x micro-batches (each
-      // one a provider init + commit + maintenance file op per batch),
-      // and the checkpoint pins the count at first start — exactly the
-      // per-stream sizing a production stateful job sets. Per-batch
-      // state volume here is far too small to need 32 partitions; 8
-      // cuts the fixed per-batch state-store overhead 4x.
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = graft.streaming.StatefulOps
-          .asofStream(stream, flush = false,
-            watermarkDelay = Some(s"$delayMin minutes"),
-            idleTtlMinutes = Some(ttlMin))
-          .writeStream
-          .option("checkpointLocation", s"$root/ckpt")
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-              graft.streaming.StatefulOps.AsOfMatch], _: Long) =>
-            batch.toDF().write.mode("append").parquet(out); ()
-          }
-          .start()
-        try { q.processAllAvailable() } finally { q.stop() }
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
-      // explicit schema: a zero-row stream result leaves `out` with no
-      // parquet footer to infer from — an empty result should be an
-      // empty DataFrame, not a schema-inference error
-      s.read.schema(org.apache.spark.sql.Encoders
-          .product[graft.streaming.StatefulOps.AsOfMatch].schema)
-        .parquet(out)
+      runStreamAppend(s, root, graft.streaming.StatefulOps
+        .asofStream(stream, flush = false,
+          watermarkDelay = Some(s"$delayMin minutes"),
+          idleTtlMinutes = Some(ttlMin)).toDF())
         .select(col("event_id"), col("user_id"), col("ts"),
           col("purchase_id"), col("purchase_ts"))
     },
@@ -394,42 +420,12 @@ object EventOps {
       import s.implicits._
       val ev = events(s, dir).filter(col("event_type").isin("view", "click"))
         .select("event_id", "ts", "user_id", "event_type")
-
       val root = s"${Staging.dir(dir)}/stream_join"
-      val srcDir = new java.io.File(s"$root/src")
-      def rmTree(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree)
-        f.delete(); ()
-      }
-      rmTree(new java.io.File(root)) // fresh run every invocation
-      srcDir.mkdirs()
+      val (tminMs, tmaxMs) = timeBounds(ev)
+      val src = stageChunks(root, timeChunks(ev, 3, tminMs, tmaxMs), tminMs)
 
-      val b = ev.agg(min($"ts"), max($"ts")).head()
-      val tminMs = b.getTimestamp(0).getTime
-      val tmaxMs = b.getTimestamp(1).getTime
-      val c1 = tminMs + (tmaxMs - tminMs) / 3
-      val c2 = tminMs + 2L * (tmaxMs - tminMs) / 3
-      val chunks: Seq[(String, DataFrame)] = Seq(
-        "b1" -> ev.filter($"ts" < new java.sql.Timestamp(c1)),
-        "b2" -> ev.filter($"ts" >= new java.sql.Timestamp(c1) &&
-          $"ts" < new java.sql.Timestamp(c2)),
-        "b3" -> ev.filter($"ts" >= new java.sql.Timestamp(c2)))
-      chunks.zipWithIndex.foreach { case ((name, df), i) =>
-        val tmp = s"$root/tmp_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file under $tmp"))
-        val dst = new java.io.File(srcDir, s"$name.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        if (!dst.setLastModified(tminMs + i * 10000L))
-          sys.error(s"setLastModified failed for $dst; " +
-            "cannot guarantee time-monotone stream arrival order")
-      }
-
-      val out = s"$root/out"
       val stream = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(srcDir.getAbsolutePath)
+        .option("maxFilesPerTrigger", 1).parquet(src)
       val views = stream.filter($"event_type" === "view")
         .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
         .withWatermark("view_ts", "10 minutes")
@@ -442,21 +438,39 @@ object EventOps {
           |click_ts >= view_ts AND
           |click_ts <= view_ts + interval 60 minutes""".stripMargin))
         .select($"view_id", $"click_id", $"user_id", $"view_ts", $"click_ts")
-      val outSchema = joined.schema
+      runStreamAppend(s, root, joined)
+    },
 
-      // per-stream shuffle sizing, same rationale as q_asof_stream_wm
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = joined.writeStream
-          .option("checkpointLocation", s"$root/ckpt")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(out); ()
-          }
-          .start()
-        try { q.processAllAvailable() } finally { q.stop() }
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
-      s.read.schema(outSchema).parquet(out)
+    // ── streaming exact dedup (bounded state) ───────────────────────
+    // The streaming face of dedup_exact: first occurrence per
+    // (user_id, event_type, day) emits, duplicates within the
+    // watermark horizon are dropped, and key state older than the
+    // horizon is EVICTED (dropDuplicatesWithinWatermark) — at
+    // 100 TB/day state holds one entry per key seen within the
+    // horizon, not per key ever seen. The 25-hour delay covers the
+    // widest time span a single day-key can occupy, so with
+    // time-monotone chunk arrival no key is ever evicted while a
+    // duplicate can still arrive on time and the emitted set is
+    // EXACTLY the batch distinct — the DuckDB oracle. Only the key
+    // columns are projected: which physical row survives per key is
+    // arrival-order-dependent and must not leak into the result.
+    Q("q_stream_dedup",
+      """SELECT DISTINCT user_id, event_type,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+        |FROM events""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val root = s"${Staging.dir(dir)}/stream_dedup"
+      val (tminMs, tmaxMs) = timeBounds(ev)
+      val src = stageChunks(root, timeChunks(ev, 3, tminMs, tmaxMs), tminMs)
+
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withColumn("d", date_trunc("day", col("ts")))
+      val deduped = graft.streaming.StatefulOps
+        .dedupWithinWatermark(stream, Seq("user_id", "event_type", "d"),
+          "ts", "25 hours")
+        .select("user_id", "event_type", "d")
+      runStreamAppend(s, root, deduped)
     },
 
     // ── as-of join, STRICT dial ─────────────────────────────────────
