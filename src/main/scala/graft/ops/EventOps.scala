@@ -473,6 +473,42 @@ object EventOps {
       runStreamAppend(s, root, deduped)
     },
 
+    // ── stream-static enrichment join (feature-store lookup) ────────
+    // The online/offline split every feature pipeline runs: a static
+    // per-user profile is computed in BATCH (exact decimal lifetime
+    // spend + event count), then the live purchase stream joins it
+    // per-event — Spark plans a stream-batch join, which is STATELESS
+    // (no watermark, no state store): each micro-batch hash-joins
+    // against the static side, and at scale the profile is the
+    // broadcast/bucketed dimension while the stream stays in motion.
+    // Left join: a first-ever-purchase user has no profile yet and
+    // must flow through with nulls, not vanish. Oracle = the same
+    // join run fully in batch.
+    Q("q_stream_enrich",
+      s"""WITH prof AS (
+         |  SELECT user_id, count(*) AS n_events, ${O.dsum("value")} AS spend
+         |  FROM events GROUP BY user_id)
+         |SELECT e.event_id, e.user_id, e.ts, e.value,
+         |       prof.n_events, prof.spend
+         |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+         |LEFT JOIN prof ON prof.user_id = e.user_id""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val profile = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), graft.Cols.dsum(col("value")).as("spend"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val root = s"${Staging.dir(dir)}/stream_enrich"
+      val (tminMs, tmaxMs) = timeBounds(purchases)
+      val src = stageChunks(root, timeChunks(purchases, 3, tminMs, tmaxMs), tminMs)
+
+      val stream = s.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val enriched = stream.join(profile, Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("n_events"), col("spend"))
+      runStreamAppend(s, root, enriched)
+    },
+
     // ── as-of join, STRICT dial ─────────────────────────────────────
     // merge_asof's allow_exact_matches=false: the latest purchase
     // STRICTLY before each click (self-exclusion shape — "state as of
