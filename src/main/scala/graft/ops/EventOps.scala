@@ -34,7 +34,7 @@ object EventOps {
   /** (min ts ms, max ts ms) of `df`'s `ts` column — one bounded
     * 2-value aggregate row, the scalar-anchor shape.
     */
-  private def timeBounds(df: DataFrame): (Long, Long) = {
+  private[graft] def timeBounds(df: DataFrame): (Long, Long) = {
     val b = df.agg(min(col("ts")), max(col("ts"))).head()
     (b.getTimestamp(0).getTime, b.getTimestamp(1).getTime)
   }
@@ -42,7 +42,7 @@ object EventOps {
   /** Cut `df` into `n` contiguous half-open time ranges over
     * [tminMs, tmaxMs] (last range closed above by construction).
     */
-  private def timeChunks(df: DataFrame, n: Int, tminMs: Long, tmaxMs: Long)
+  private[graft] def timeChunks(df: DataFrame, n: Int, tminMs: Long, tmaxMs: Long)
       : Seq[(String, DataFrame)] = {
     val cuts = (0 to n).map(i => tminMs + i * ((tmaxMs - tminMs) / n + 1))
     (0 until n).map { i =>

@@ -56,6 +56,29 @@ class BucketJoinSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "bucketing changed the result set")
   }
 
+  test("bucket pruning: an equality filter on the bucket column reads 1 of 8 buckets") {
+    // the flip side of the co-located join: the same layout makes
+    // point lookups skip 7/8 of the data before any row is read —
+    // Spark prunes bucket FILES from the scan when the filter is an
+    // equality on the bucket column
+    SparkEntry.queries("q_bucket_join")(spark, dir).collect() // ensure staged+registered
+    val t = spark.catalog.listTables().collect()
+      .map(_.name).find(_.matches("b_orders_.*sf0_001")).get
+    // DisableUnnecessaryBucketedScan reasons only about partitioning
+    // requirements (none here — no join/agg), not about pruning, and
+    // would demote the scan to non-bucketed; hold it off so the
+    // pruning path itself is what's pinned
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val plan = spark.table(t).filter(col("o_custkey") === 42L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected a pruned bucket scan, plan:\n$plan")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("a fresh catalog re-registers DDL over the staged files (no rewrite)") {
     // force the fresh-session path: staged files exist, catalog does not
     SparkEntry.queries("q_bucket_join")(spark, dir).collect()

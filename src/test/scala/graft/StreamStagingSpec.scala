@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The staged-stream fixture contract (EventOps.timeChunks): the
+  * chunks PARTITION the input — every row lands in exactly one chunk
+  * (a dropped or duplicated row would silently corrupt every
+  * stream-vs-batch oracle compare) — and chunk time ranges are
+  * disjoint and ascending (the time-monotone arrival-order premise
+  * all three staged-stream rows' correctness arguments rest on).
+  */
+class StreamStagingSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("timeChunks partitions the input exactly, in ascending time ranges") {
+    val ev = Tables.load(spark, dir, "events").select("event_id", "ts")
+    val (tmin, tmax) = ops.EventOps.timeBounds(ev)
+    for (n <- Seq(1, 3, 7)) {
+      val chunks = ops.EventOps.timeChunks(ev, n, tmin, tmax)
+      assert(chunks.length === n)
+      val counts = chunks.map(_._2.count())
+      assert(counts.sum === ev.count(), s"n=$n: chunks dropped or duplicated rows")
+      // disjoint + ascending: each chunk's max ts < next chunk's min ts
+      val bounds = chunks.map(_._2.agg(min("ts"), max("ts")).head())
+        .filter(!_.isNullAt(0))
+        .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime))
+      bounds.sliding(2).foreach {
+        case Seq((_, aMax), (bMin, _)) =>
+          assert(aMax < bMin, s"n=$n: chunk ranges overlap or are out of order")
+        case _ => ()
+      }
+    }
+  }
+
+  test("every fixture row is on-time under any monotone chunking (boundary rows included)") {
+    // the max-ts row must land in the LAST chunk (the half-open range
+    // arithmetic adds +1 per cut; an off-by-one here would silently
+    // drop the final row into no chunk)
+    val ev = Tables.load(spark, dir, "events").select("event_id", "ts")
+    val (tmin, tmax) = ops.EventOps.timeBounds(ev)
+    val last = ops.EventOps.timeChunks(ev, 3, tmin, tmax).last._2
+    val lastMax = last.agg(max("ts")).head().getTimestamp(0).getTime
+    assert(lastMax === tmax, "the max-timestamp row fell outside every chunk")
+  }
+}
