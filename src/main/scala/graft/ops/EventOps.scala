@@ -58,7 +58,7 @@ object EventOps {
     * refuses setLastModified would silently fall back to move-time
     * mtimes (coarse-granularity ties) — fail instead.
     */
-  private def stageChunks(root: String, chunks: Seq[(String, DataFrame)],
+  private[graft] def stageChunks(root: String, chunks: Seq[(String, DataFrame)],
       mtime0: Long): String = {
     val srcDir = new java.io.File(s"$root/src")
     def rmTree(f: java.io.File): Unit = {
@@ -91,7 +91,7 @@ object EventOps {
     * micro-batches and the checkpoint pins the count at first start —
     * the per-stream sizing a production stateful job sets.
     */
-  private def runStreamAppend(s: SparkSession, root: String,
+  private[graft] def runStreamAppend(s: SparkSession, root: String,
       streamed: DataFrame): DataFrame = {
     val out = s"$root/out"
     val outSchema = streamed.schema
@@ -493,8 +493,16 @@ object EventOps {
          |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
          |LEFT JOIN prof ON prof.user_id = e.user_id""".stripMargin) { (s, dir) =>
       val ev = events(s, dir)
+      // persist + materialize the profile BEFORE the stream starts: a
+      // static side is re-evaluated per micro-batch, so an unpinned
+      // aggregate would be recomputed on every trigger — and, worse,
+      // would let the "static" features drift mid-stream if the
+      // underlying table changed. Pinning the snapshot is both the
+      // performance fix and the feature-store consistency contract.
       val profile = ev.groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), graft.Cols.dsum(col("value")).as("spend"))
+        .persist()
+      profile.count()
       val purchases = ev.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts", "value")
       val root = s"${Staging.dir(dir)}/stream_enrich"
@@ -506,7 +514,8 @@ object EventOps {
       val enriched = stream.join(profile, Seq("user_id"), "left")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"),
           col("n_events"), col("spend"))
-      runStreamAppend(s, root, enriched)
+      try runStreamAppend(s, root, enriched)
+      finally profile.unpersist()
     },
 
     // ── as-of join, STRICT dial ─────────────────────────────────────

@@ -34,6 +34,24 @@ class StreamStagingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("a zero-row stream result reads back as an EMPTY DataFrame, not an inference error") {
+    // the failure mode: foreachBatch never appends, the out dir has no
+    // parquet footer, and a schema-inferring read would throw instead
+    // of returning the empty result an empty stream legitimately has
+    val ev = Tables.load(spark, dir, "events")
+      .select("event_id", "ts").limit(50)
+    val root = "target/staging/test_empty_stream"
+    val (tmin, tmax) = ops.EventOps.timeBounds(ev)
+    val src = ops.EventOps.stageChunks(root,
+      ops.EventOps.timeChunks(ev, 2, tmin, tmax), tmin)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .filter(col("event_id") < 0) // nothing survives
+    val out = ops.EventOps.runStreamAppend(spark, root, stream)
+    assert(out.schema === ev.schema)
+    assert(out.count() === 0L)
+  }
+
   test("every fixture row is on-time under any monotone chunking (boundary rows included)") {
     // the max-ts row must land in the LAST chunk (the half-open range
     // arithmetic adds +1 per cut; an off-by-one here would silently
