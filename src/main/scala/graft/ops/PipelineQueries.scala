@@ -266,10 +266,65 @@ object PipelineQueries {
        |  CAST(sum(CAST(floor(s_acctbal * 10000.0) AS BIGINT)) AS BIGINT) AS bal_digest
        |FROM supplier GROUP BY s_nationkey""".stripMargin
 
+  // ── malformed-record quarantine (PERMISSIVE parse + split) ────────
+  // What a 100 TB ingest meets on day one and the reference's pandas
+  // parse simply dies on: malformed lines inside the feed. The staged
+  // fixture serializes orders to JSONL and deterministically corrupts
+  // every o_orderkey % 37 == 0 line; the engine reads it PERMISSIVE
+  // with an explicit corrupt-record column (line-oriented JSONL, so
+  // the parse is split-distributed — never multiLine for bulk
+  // ingest), splits clean rows from quarantined ones, and reports the
+  // clean rollup plus the quarantine count. The oracle replays the
+  // SAME corruption rule directly on the orders table, so the gate
+  // certifies the full serialize → corrupt → permissive-parse →
+  // split round-trip: every uncorrupted row recovered exactly (JSON
+  // shortest-repr doubles round-trip bit-exact), every corrupted line
+  // quarantined, none dropped.
+  private def runJsonQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val root = s"${Staging.dir(dir)}/quarantine"
+    val src = s"$root/orders_jsonl"
+    val base = graft.Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    Staging.ensureStaged(root, Staging.sourceFingerprint(dir, Seq("orders"))) {
+      val js = to_json(struct(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderstatus")))
+      base.select(
+        when(col("o_orderkey") % 37 === 0, concat(lit("{corrupt! "), js))
+          .otherwise(js).as("value"))
+        .repartition(4) // multiple line-split files: the parse stays distributed
+        .write.mode("overwrite").text(src)
+    }
+    val schema = StructType(base.schema.fields :+
+      StructField("_corrupt_record", StringType, nullable = true))
+    val parsed = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(src)
+    parsed.agg(
+      sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+        .cast(org.apache.spark.sql.types.LongType).as("n_clean"),
+      sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+        .cast(org.apache.spark.sql.types.LongType).as("n_quarantined"),
+      graft.Cols.dsum(when(col("_corrupt_record").isNull, col("o_totalprice")))
+        .as("clean_total"),
+      max(when(col("_corrupt_record").isNull, col("o_orderkey"))).as("max_clean_key"))
+  }
+
+  private val jsonQuarantineOracle: String =
+    s"""SELECT
+       |  CAST(count(CASE WHEN o_orderkey % 37 != 0 THEN 1 END) AS BIGINT) AS n_clean,
+       |  CAST(count(CASE WHEN o_orderkey % 37 = 0 THEN 1 END) AS BIGINT) AS n_quarantined,
+       |  ${graft.OracleSql.dsum("CASE WHEN o_orderkey % 37 != 0 THEN o_totalprice END")} AS clean_total,
+       |  max(CASE WHEN o_orderkey % 37 != 0 THEN o_orderkey END) AS max_clean_key
+       |FROM orders""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("pipeline_e2e", MergeQueries.coalesceOracle)(runE2e),
     Q("q_orc_mirror", orcMirrorOracle)(runOrcMirror),
     Q("q_partition_prune", partitionPruneOracle)(runPartitionPrune),
     Q("q_jdbc_mirror", jdbcMirrorOracle)(runJdbcMirror),
-    Q("q_jdbc_pushdown", jdbcPushdownOracle)(runJdbcPushdown))
+    Q("q_jdbc_pushdown", jdbcPushdownOracle)(runJdbcPushdown),
+    Q("q_json_quarantine", jsonQuarantineOracle)(runJsonQuarantine))
 }
