@@ -36,6 +36,8 @@ object EventOps {
     */
   private[graft] def timeBounds(df: DataFrame): (Long, Long) = {
     val b = df.agg(min(col("ts")), max(col("ts"))).head()
+    require(!b.isNullAt(0) && !b.isNullAt(1),
+      "timeBounds: source has no non-null `ts` rows — cannot stage an empty stream")
     (b.getTimestamp(0).getTime, b.getTimestamp(1).getTime)
   }
 
@@ -95,7 +97,10 @@ object EventOps {
       streamed: DataFrame): DataFrame = {
     val out = s"$root/out"
     val outSchema = streamed.schema
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    // getOption/unset (not get/set): get() resolves the session default
+    // when the key was never set, and restoring THAT would pin the
+    // default explicitly — same restore pattern as the q_skew_join dials.
+    val savedParts = s.conf.getOption("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q = streamed.writeStream
@@ -105,7 +110,10 @@ object EventOps {
         }
         .start()
       try { q.processAllAvailable() } finally { q.stop() }
-    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    } finally savedParts match {
+      case Some(v) => s.conf.set("spark.sql.shuffle.partitions", v)
+      case None    => s.conf.unset("spark.sql.shuffle.partitions")
+    }
     s.read.schema(outSchema).parquet(out)
   }
 

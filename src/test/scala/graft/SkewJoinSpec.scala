@@ -16,7 +16,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class SkewJoinSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   // sf0.01: ~60k lineitem rows, 3/4 of them on key 0 — enough bytes to
-  // cross the fixture-scaled 256k skew threshold
+  // cross the fixture-scaled skew dials (8k skewedPartitionThresholdInBytes,
+  // 4k advisoryPartitionSizeInBytes; see RelationalOps.skewDials)
   private val dir = "/root/testdata/sf0.01"
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {

@@ -38,8 +38,11 @@ class StreamStagingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // the failure mode: foreachBatch never appends, the out dir has no
     // parquet footer, and a schema-inferring read would throw instead
     // of returning the empty result an empty stream legitimately has
+    // deterministic sample: an unordered limit(50) could pick a
+    // different 50 rows each re-execution (timeBounds and every chunk
+    // re-run the plan), so the chunks might not partition the sample
     val ev = Tables.load(spark, dir, "events")
-      .select("event_id", "ts").limit(50)
+      .select("event_id", "ts").filter(col("event_id") < 50)
     val root = "target/staging/test_empty_stream"
     val (tmin, tmax) = ops.EventOps.timeBounds(ev)
     val src = ops.EventOps.stageChunks(root,
