@@ -6,14 +6,22 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 /** Multimodal-column plumbing: media payloads are opaque BINARY columns
-  * with typed metadata. The container has no image/audio codecs, so the
-  * decode step is a clearly-marked deterministic STUB
-  * ([[StubCodec.decodeMeta]]); everything Spark-side — binary schema,
-  * partition-parallel decode via mapPartitions over a typed Dataset,
-  * frame addressing, stride sampling — is real and tested.
+  * with typed metadata, decoded partition-parallel via mapPartitions
+  * over typed Datasets.
   *
-  * Fixture media: each document's text bytes act as the payload (same
-  * synthesis in the oracle SQL via encode()), framed in 16-byte chunks.
+  * The IMAGE path is a real codec: [[ImageCodec]] encodes deterministic
+  * PNGs with `javax.imageio` (in the JDK — no external library) and
+  * decodes real pixels back; `mm_decode` oracle-checks per-channel sums
+  * of the DECODED raster against DuckDB's closed-form pixel formula, so
+  * a fake decode cannot pass (the values ride through actual zlib/PNG
+  * filter compression). The audio/video frame path has no JDK codec, so
+  * its decode step remains a clearly-marked deterministic STUB
+  * ([[StubCodec.decodeMeta]]) with the Spark-side plumbing — binary
+  * schema, frame addressing, stride sampling — real and tested.
+  *
+  * Fixture media: each document's text bytes act as the frame payload
+  * (same synthesis in the oracle SQL via encode()), framed in 16-byte
+  * chunks; the PNG fixtures are synthesized per doc_id.
   */
 object MultimodalOps {
 
@@ -46,6 +54,101 @@ object MultimodalOps {
         (i.toLong, off, math.min(FrameBytes.toLong, content.length - off))
       }
     }
+  }
+
+  /** An encoded PNG payload row and its decoded raster statistics. */
+  final case class PngRow(doc_id: Long, png: Array[Byte])
+  final case class DecodedRow(doc_id: Long, width: Long, height: Long,
+      n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL image codec over `javax.imageio` (ships in the JDK): encodes
+    * a deterministic RGB raster to an actual PNG byte stream and decodes
+    * it back pixel-by-pixel. PNG is lossless, so the decoded channel
+    * values are bit-identical to [[pixel]] — which is what lets DuckDB
+    * replay the expected statistics closed-form without any codec.
+    */
+  object ImageCodec {
+    /** Channel value at (x, y): deterministic on (doc_id, x, y, channel),
+      * mirrored verbatim in the mm_decode oracle SQL.
+      */
+    def pixel(docId: Long, x: Int, y: Int, channel: Int): Int =
+      ((docId * 31 + x.toLong * 7 + y.toLong * 13 + channel.toLong * 97) % 256).toInt
+
+    def synthPng(docId: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            (pixel(docId, x, y, 0) << 16) | (pixel(docId, x, y, 1) << 8) |
+              pixel(docId, x, y, 2))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", bos),
+        "no PNG ImageWriter available in this JVM")
+      bos.toByteArray
+    }
+
+    final case class ImgStats(width: Int, height: Int,
+        sumR: Long, sumG: Long, sumB: Long)
+
+    /** Decode a real image payload and fold per-channel sums over the
+      * raster. Throws (with the doc-naming message supplied by callers)
+      * on undecodable bytes — corrupt media is a quarantine concern, not
+      * a silent zero.
+      */
+    def decodeStats(png: Array[Byte]): ImgStats = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      require(img != null, "payload is not a decodable image")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      ImgStats(img.getWidth, img.getHeight, sr, sg, sb)
+    }
+  }
+
+  /** PNG fixture synthesis: one real PNG per document, dims a small
+    * deterministic function of doc_id (4–15 × 3–11 px keeps the oracle's
+    * pixel-expansion cross join bounded at any SF). Partition-parallel —
+    * encoding never leaves the executor.
+    */
+  def encodePngs(s: SparkSession, dir: String): Dataset[PngRow] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        PngRow(id, ImageCodec.synthPng(id, (id % 12 + 4).toInt, (id % 9 + 3).toInt))
+      })
+  }
+
+  /** Partition-parallel REAL decode: width/height/channel sums computed
+    * from the pixels `ImageIO.read` returns, never from the generating
+    * formula.
+    */
+  def decodePngs(pngs: Dataset[PngRow]): Dataset[DecodedRow] = {
+    import pngs.sparkSession.implicits._
+    pngs.mapPartitions(_.map { p =>
+      val st =
+        try ImageCodec.decodeStats(p.png)
+        catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(s"doc ${p.doc_id}: ${e.getMessage}", e)
+        }
+      DecodedRow(p.doc_id, st.width.toLong, st.height.toLong,
+        st.width.toLong * st.height, st.sumR, st.sumG, st.sumB)
+    })
   }
 
   /** documents.text -> BINARY payload column (the multimodal schema). */
@@ -177,6 +280,36 @@ object MultimodalOps {
         .select(col("doc_id"), col("frame_idx"), col("shard"),
           floor((col("rn") - 1) / lit(32.0)).cast(LongType).as("batch_id"),
           ((col("rn") - 1) % 32).as("batch_pos"))
+    },
+
+    // REAL image decode roundtrip: a deterministic PNG is encoded per
+    // document with javax.imageio, then a SEPARATE partition-parallel
+    // stage decodes the actual PNG bytes and reports width/height and
+    // per-channel pixel sums read from the decoded raster. The oracle
+    // replays the generating pixel formula closed-form (one
+    // range-unnest per doc, dims capped at 15x11) — a match proves the
+    // values survived real zlib/PNG-filter compression, i.e. the codec
+    // slot is genuinely exercised, not stubbed.
+    Q("mm_decode",
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 12 + 4 AS w, doc_id % 9 + 3 AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, w, h, unnest(range(0, w*h)) AS i FROM d),
+        |v AS (
+        |  SELECT doc_id, w, h,
+        |    (doc_id*31 + (i % w)*7 + (i // w)*13) % 256 AS r,
+        |    (doc_id*31 + (i % w)*7 + (i // w)*13 + 97) % 256 AS g,
+        |    (doc_id*31 + (i % w)*7 + (i // w)*13 + 194) % 256 AS b
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+        |  count(*) AS n_px,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM v GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      decodePngs(encodePngs(s, dir)).toDF()
     },
 
     // Frame sampling: every 4th 16-byte frame of each payload, exploded

@@ -41,6 +41,41 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(viaCodec.nonEmpty)
   }
 
+  test("ImageCodec emits genuine PNG bytes and the decode is a lossless roundtrip") {
+    val png = MultimodalOps.ImageCodec.synthPng(42L, 7, 5)
+    // PNG magic: 89 50 4E 47 0D 0A 1A 0A
+    assert(png.take(8).map(_ & 0xff).toSeq ===
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    val st = MultimodalOps.ImageCodec.decodeStats(png)
+    assert((st.width, st.height) === (7, 5))
+    var er = 0L; var eg = 0L; var eb = 0L
+    for (y <- 0 until 5; x <- 0 until 7) {
+      er += MultimodalOps.ImageCodec.pixel(42L, x, y, 0)
+      eg += MultimodalOps.ImageCodec.pixel(42L, x, y, 1)
+      eb += MultimodalOps.ImageCodec.pixel(42L, x, y, 2)
+    }
+    assert((st.sumR, st.sumG, st.sumB) === (er, eg, eb))
+  }
+
+  test("ImageCodec.decodeStats rejects undecodable payloads loudly") {
+    val e = intercept[IllegalArgumentException] {
+      MultimodalOps.ImageCodec.decodeStats("not a png".getBytes)
+    }
+    assert(e.getMessage.contains("not a decodable image"))
+  }
+
+  test("mm_decode computes from decoded pixels, distributed") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("mm_decode")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, w, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(w === id % 12 + 4)
+      assert(h === id % 9 + 3)
+      assert(r.getLong(3) === w * h)
+    }
+  }
+
   test("stub codec dims are deterministic on payload bytes") {
     val (w1, h1) = MultimodalOps.StubCodec.decodeMeta("abc".getBytes)
     val (w2, h2) = MultimodalOps.StubCodec.decodeMeta("abc".getBytes)
