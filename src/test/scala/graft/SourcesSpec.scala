@@ -249,6 +249,39 @@ class SourcesSpec extends AnyFunSuite with SparkSessionTestWrapper {
       new MetadataBuilder()) === Some(TimestampType))
   }
 
+  test("MySQL dialect: write-side DDL type mapping (getJDBCType)") {
+    // The inverse path of the read-side pins above: when the pipeline
+    // WRITES a frame back to the reference's MySQL-protocol database
+    // (df.write.format(\"jdbc\")), CREATE TABLE column types come from
+    // the dialect's getJDBCType. Pin the MySQL-specific choices so a
+    // dialect change can't silently produce a lossy DDL:
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import java.sql.Types
+    val d = JdbcDialects.get("jdbc:mysql://db:3306/enrich")
+
+    def ddl(t: DataType): Option[(String, Int)] =
+      d.getJDBCType(t).map(j => (j.databaseTypeDefinition, j.jdbcNullType))
+    // Strings must be LONGTEXT (unbounded) — MySQL's default TEXT caps
+    // at 64 KiB and would truncate document-scale payloads
+    assert(ddl(StringType) === Some(("LONGTEXT", Types.LONGVARCHAR)))
+    // Instant timestamps -> TIMESTAMP (server-zone-normalized);
+    // wall-clock NTZ -> DATETIME (MySQL's zoneless type) — swapping
+    // these corrupts every value by the session-zone offset
+    assert(ddl(TimestampType) === Some(("TIMESTAMP", Types.TIMESTAMP)))
+    assert(ddl(TimestampNTZType) === Some(("DATETIME", Types.TIMESTAMP)))
+    // Booleans -> BIT(1), the shape the read-side TINYINT(1)/BIT pin
+    // above maps back to BooleanType — a lossless round trip
+    assert(ddl(BooleanType) === Some(("BIT(1)", Types.BIT)))
+    // REAL is a DOUBLE synonym in MySQL by default (no REAL_AS_FLOAT):
+    // the dialect must emit FLOAT for FloatType or precision silently
+    // doubles on write and narrows on read-back
+    assert(ddl(FloatType) === Some(("FLOAT", Types.FLOAT)))
+    assert(ddl(DoubleType) === Some(("DOUBLE PRECISION", Types.DOUBLE)))
+    // Binary payloads (the multimodal column) -> BLOB
+    assert(ddl(BinaryType) === Some(("BLOB", Types.BLOB)))
+    assert(ddl(ByteType) === Some(("TINYINT", Types.TINYINT)))
+  }
+
   test("pipeline runs with mixed source formats (jsonl primary, orc secondary)") {
     sample.write.mode("overwrite").json(s"$root/p-lines")
     val sec = spark.createDataFrame(Seq(
