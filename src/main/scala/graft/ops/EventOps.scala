@@ -117,6 +117,28 @@ object EventOps {
     s.read.schema(outSchema).parquet(out)
   }
 
+  /** The symmetric stateful view->click join of q_stream_join, factored
+    * so StreamStreamJoinSpec's checkpoint-restart case drives the EXACT
+    * production operator (same watermarks, same time-range condition).
+    * Input: a streaming DataFrame of (event_id, ts, user_id, event_type).
+    */
+  private[graft] def viewClickStreamJoin(stream: DataFrame): DataFrame = {
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    views.join(clicks, expr(
+      """user_id = click_user AND
+        |click_ts >= view_ts AND
+        |click_ts <= view_ts + interval 60 minutes""".stripMargin))
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Sweep-line peak concurrency over half-open activity intervals
     * [ts, ts + gap) — factored out of `q_interval_overlap` so the
     * property spec can drive it with adversarial timestamp collisions
@@ -434,19 +456,7 @@ object EventOps {
 
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
-      val views = stream.filter($"event_type" === "view")
-        .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
-        .withWatermark("view_ts", "10 minutes")
-      val clicks = stream.filter($"event_type" === "click")
-        .select($"event_id".as("click_id"), $"user_id".as("click_user"),
-          $"ts".as("click_ts"))
-        .withWatermark("click_ts", "10 minutes")
-      val joined = views.join(clicks, expr(
-        """user_id = click_user AND
-          |click_ts >= view_ts AND
-          |click_ts <= view_ts + interval 60 minutes""".stripMargin))
-        .select($"view_id", $"click_id", $"user_id", $"view_ts", $"click_ts")
-      runStreamAppend(s, root, joined)
+      runStreamAppend(s, root, viewClickStreamJoin(stream))
     },
 
     // ── streaming exact dedup (bounded state) ───────────────────────
