@@ -720,7 +720,11 @@ object DedupOps {
     sh.select(col("doc_id"), sig.as("sig"))
   }
 
-  private[graft] def minhashPairsOverSets(sh: DataFrame): DataFrame = {
+  /** The band-candidate pair set of the minhash family, BEFORE exact
+    * verification — factored out so dedup_lsh_recall can intersect raw
+    * candidates with the exact truth set instead of re-verifying them.
+    */
+  private[graft] def minhashCandPairsOverSets(sh: DataFrame): DataFrame = {
     val mh = minhashSigs(sh)
     // 60-bit band keys — see minhashCoreCtes: the banded join carries
     // 8-byte ints instead of 32-char md5 strings
@@ -737,11 +741,15 @@ object DedupOps {
     // shuffled bytes than the exchange it saves, and it forces that
     // exchange even when AQE broadcasts the verification join (A/B
     // measured slower at sf0.1).
-    val pairs = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  private[graft] def minhashPairsOverSets(sh: DataFrame): DataFrame = {
+    val pairs = minhashCandPairsOverSets(sh)
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -832,12 +840,18 @@ object DedupOps {
     val ranked = tr.groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("rt"))
       .withColumn("n", size(col("rt")).cast(LongType))
+    // persist: the candidate join reads `pre` on BOTH sides, and AQE
+    // does NOT reuse the exchange across them (verified on the executed
+    // sf10 plan: two independent window+agg+explode chains, no
+    // ReusedExchange node) — without the cache the whole prefix
+    // pipeline, including the 50M-row token window, runs twice
     val pre = ranked
       .select(col("doc_id"), col("n"),
         posexplode(expr(s"slice(rt, 1, cast(n - ($p * n + ${q - 1}) div $q + 1 as int))"))
           .as(Seq("pi", "p")))
       .select(col("doc_id"), col("p.tok").as("tok"),
         (col("pi") + 1).cast(LongType).as("pos"), col("n"))
+      .persist()
     val cand = pre.select(col("doc_id").as("doc_a"), col("tok"),
         col("pos").as("pos_a"), col("n").as("n_a"))
       .join(pre.select(col("doc_id").as("doc_b"), col("tok"),
@@ -1181,20 +1195,28 @@ object DedupOps {
       (s, dir) =>
       // ONE persisted shingle-set scan feeds both sides: the banded
       // generator under test and the exact ground truth read the same
-      // sets, so the corpus is tokenized/shingled once, not twice
+      // sets, so the corpus is tokenized/shingled once, not twice.
       val sets = shingleSets(docsAug(s, dir)).persist()
-      val lsh = minhashPairsOverSets(sets)
-        .select(col("doc_a"), col("doc_b"), lit(1).as("in_l"))
+      // A VERIFIED lsh pair (candidate with exact J >= 1/2) is BY
+      // DEFINITION a member of the exact truth set (all pairs with
+      // J >= 1/2 over the same shingle sets; the double >= 0.5 compare
+      // and the integer 2*inter >= union cross-multiply agree exactly
+      // for int operands < 2^53). So instead of re-running the exact
+      // Jaccard verification joins on the lsh side, intersect the RAW
+      // band candidates with the truth set: n_lsh = n_hit =
+      // |candidates ∩ truth| — identical numbers, one full verification
+      // pass instead of two (the lsh verification was ~40% of this
+      // query's sf10 cost). The oracle still computes both sides
+      // independently, so a regression in this subset argument would
+      // hash-mismatch, not silently pass.
       val truth = allPairsOverSets(sets, 1, 2)
-        .select(col("doc_a"), col("doc_b"), lit(1).as("in_t"))
-      truth.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
-        .select(coalesce(col("in_t"), lit(0)).as("in_t"),
-          coalesce(col("in_l"), lit(0)).as("in_l"))
-        .agg(sum(col("in_t")).cast(LongType).as("n_truth"),
-          sum(col("in_l")).cast(LongType).as("n_lsh"),
-          sum(col("in_t") * col("in_l")).cast(LongType).as("n_hit"),
-          (sum(col("in_t") * col("in_l")).cast(DoubleType) /
-            sum(col("in_t"))).as("recall"))
+        .select(col("doc_a"), col("doc_b")).persist()
+      val hits = minhashCandPairsOverSets(sets)
+        .join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      truth.agg(count(lit(1)).cast(LongType).as("n_truth"))
+        .crossJoin(hits.agg(count(lit(1)).cast(LongType).as("hit")))
+        .select(col("n_truth"), col("hit").as("n_lsh"), col("hit").as("n_hit"),
+          (col("hit").cast(DoubleType) / col("n_truth")).as("recall"))
     },
 
     // ── cross-document boilerplate detection ────────────────────────
