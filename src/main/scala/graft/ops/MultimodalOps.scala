@@ -151,6 +151,68 @@ object MultimodalOps {
     })
   }
 
+  /** Decoded thumbnail statistics (mm_resize) and the decode-or-route
+    * record (mm_decode_quarantine).
+    */
+  final case class ResizedRow(doc_id: Long, width: Long, height: Long,
+      t_sum_r: Long, t_sum_g: Long, t_sum_b: Long)
+  final case class RoutedRow(doc_id: Long, status: String,
+      n_px: Option[Long])
+
+  /** Thumbnail geometry: fixed 4x3 nearest-neighbor downsample; source
+    * coordinate = floor(dst * src_extent / dst_extent) — pure integer
+    * math, mirrored verbatim in the mm_resize oracle.
+    */
+  val ThumbW = 4
+  val ThumbH = 3
+
+  /** Partition-parallel REAL resize: decode the PNG, then sample the
+    * decoded raster at the 12 thumbnail coordinates. The sums are over
+    * pixels `ImageIO.read` returned — a decode or addressing bug
+    * desyncs from the closed-form oracle immediately.
+    */
+  def resizePngs(pngs: Dataset[PngRow]): Dataset[ResizedRow] = {
+    import pngs.sparkSession.implicits._
+    pngs.mapPartitions(_.map { p =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p.png))
+      require(img != null, s"doc ${p.doc_id}: payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var ty = 0
+      while (ty < ThumbH) {
+        var tx = 0
+        while (tx < ThumbW) {
+          val rgb = img.getRGB(tx * w / ThumbW, ty * h / ThumbH)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          tx += 1
+        }
+        ty += 1
+      }
+      ResizedRow(p.doc_id, w.toLong, h.toLong, sr, sg, sb)
+    })
+  }
+
+  /** Decode-or-route: the binary-payload twin of q_json_quarantine.
+    * Undecodable media rows route to a 'quarantined' status per row on
+    * the executor (no driver involvement, no job failure); clean rows
+    * carry their decoded pixel count.
+    */
+  def routeDecodes(pngs: Dataset[PngRow]): Dataset[RoutedRow] = {
+    import pngs.sparkSession.implicits._
+    pngs.mapPartitions(_.map { p =>
+      try {
+        val st = ImageCodec.decodeStats(p.png)
+        RoutedRow(p.doc_id, "ok", Some(st.width.toLong * st.height))
+      } catch {
+        // ImageIO surfaces corruption as either a null image (our
+        // IllegalArgumentException) or an IIOException mid-stream —
+        // both are data defects, not engine faults: quarantine the row
+        case scala.util.control.NonFatal(_) =>
+          RoutedRow(p.doc_id, "quarantined", None)
+      }
+    })
+  }
+
   /** documents.text -> BINARY payload column (the multimodal schema). */
   def pack(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -310,6 +372,55 @@ object MultimodalOps {
         |  CAST(sum(b) AS BIGINT) AS sum_b
         |FROM v GROUP BY doc_id""".stripMargin) { (s, dir) =>
       decodePngs(encodePngs(s, dir)).toDF()
+    },
+
+    // REAL nearest-neighbor resize: decode the PNG, sample the decoded
+    // raster at the fixed 4x3 thumbnail grid (src = floor(dst *
+    // src_extent / dst_extent) — all integer), report per-channel
+    // thumbnail sums. The oracle replays the generating formula at the
+    // same 12 source coordinates; agreement proves the resize reads
+    // the right decoded pixels, not just that decode works.
+    Q("mm_resize",
+      s"""WITH d AS (
+        |  SELECT doc_id, doc_id % 12 + 4 AS w, doc_id % 9 + 3 AS h
+        |  FROM documents),
+        |t AS (SELECT doc_id, w, h, unnest(range(0, ${ThumbW * ThumbH})) AS i FROM d),
+        |s AS (SELECT doc_id, w, h,
+        |        ((i % $ThumbW) * w) // $ThumbW AS sx,
+        |        ((i // $ThumbW) * h) // $ThumbH AS sy
+        |      FROM t),
+        |v AS (SELECT doc_id, w, h,
+        |        (doc_id*31 + sx*7 + sy*13) % 256 AS r,
+        |        (doc_id*31 + sx*7 + sy*13 + 97) % 256 AS g,
+        |        (doc_id*31 + sx*7 + sy*13 + 194) % 256 AS b
+        |      FROM s)
+        |SELECT doc_id,
+        |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+        |  CAST(sum(r) AS BIGINT) AS t_sum_r,
+        |  CAST(sum(g) AS BIGINT) AS t_sum_g,
+        |  CAST(sum(b) AS BIGINT) AS t_sum_b
+        |FROM v GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      resizePngs(encodePngs(s, dir)).toDF()
+    },
+
+    // Corrupt-media routing: the binary twin of q_json_quarantine.
+    // Every 97th payload is truncated mid-stream (undecodable); the
+    // decode stage routes those rows to 'quarantined' per row on the
+    // executor — no driver involvement, no job failure — while clean
+    // rows carry their decoded pixel count. The split is
+    // oracle-certified against the generating rule.
+    Q("mm_decode_quarantine",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 97 = 0 THEN 'quarantined' ELSE 'ok' END AS status,
+        |  CASE WHEN doc_id % 97 = 0 THEN NULL
+        |       ELSE CAST((doc_id % 12 + 4) * (doc_id % 9 + 3) AS BIGINT)
+        |  END AS n_px
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val corrupted = encodePngs(s, dir).map { p =>
+        if (p.doc_id % 97 == 0) PngRow(p.doc_id, p.png.take(8)) else p
+      }
+      routeDecodes(corrupted).toDF()
     },
 
     // Frame sampling: every 4th 16-byte frame of each payload, exploded

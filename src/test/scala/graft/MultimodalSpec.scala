@@ -76,6 +76,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("resizePngs samples the decoded raster at the thumbnail grid") {
+    import spark.implicits._
+    val png = MultimodalOps.ImageCodec.synthPng(7L, 9, 6)
+    val out = MultimodalOps.resizePngs(Seq(MultimodalOps.PngRow(7L, png)).toDS())
+      .collect().head
+    assert((out.width, out.height) === (9L, 6L))
+    var er = 0L; var eg = 0L; var eb = 0L
+    for (ty <- 0 until MultimodalOps.ThumbH; tx <- 0 until MultimodalOps.ThumbW) {
+      val (sx, sy) = (tx * 9 / MultimodalOps.ThumbW, ty * 6 / MultimodalOps.ThumbH)
+      er += MultimodalOps.ImageCodec.pixel(7L, sx, sy, 0)
+      eg += MultimodalOps.ImageCodec.pixel(7L, sx, sy, 1)
+      eb += MultimodalOps.ImageCodec.pixel(7L, sx, sy, 2)
+    }
+    assert((out.t_sum_r, out.t_sum_g, out.t_sum_b) === (er, eg, eb))
+  }
+
+  test("routeDecodes quarantines corrupt payloads per row without failing the job") {
+    import spark.implicits._
+    val good = MultimodalOps.PngRow(1L, MultimodalOps.ImageCodec.synthPng(1L, 5, 4))
+    val bad = MultimodalOps.PngRow(2L,
+      MultimodalOps.ImageCodec.synthPng(2L, 5, 4).take(8)) // magic only
+    val out = MultimodalOps.routeDecodes(Seq(good, bad).toDS())
+      .collect().sortBy(_.doc_id)
+    assert(out(0) === MultimodalOps.RoutedRow(1L, "ok", Some(20L)))
+    assert(out(1) === MultimodalOps.RoutedRow(2L, "quarantined", None))
+  }
+
   test("stub codec dims are deterministic on payload bytes") {
     val (w1, h1) = MultimodalOps.StubCodec.decodeMeta("abc".getBytes)
     val (w2, h2) = MultimodalOps.StubCodec.decodeMeta("abc".getBytes)
