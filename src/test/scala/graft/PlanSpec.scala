@@ -109,7 +109,11 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
                              // folded into the degree-table aggregate)
     "q_events_decay" -> 1,   // 1-row anchor-timestamp attach
     "q_basket_lift" -> 1,    // 1-row order-total attach
-    "q_tombstone_sweep" -> 3) // three 1-row x 1-row count attaches
+    "q_tombstone_sweep" -> 3, // three 1-row x 1-row count attaches
+    // 1-row truth-count x 1-row hit-count summary attach (r13: the lsh
+    // side intersects raw band candidates with the truth set and the
+    // two scalar aggregates meet in one bounded cross join)
+    "dedup_lsh_recall" -> 1)
 
   private val planOnly =
     SparkEntry.queries.keySet - "pipeline_e2e" -- nljBudget.keySet
