@@ -121,8 +121,12 @@ object EventOps {
     * so StreamStreamJoinSpec's checkpoint-restart case drives the EXACT
     * production operator (same watermarks, same time-range condition).
     * Input: a streaming DataFrame of (event_id, ts, user_id, event_type).
+    * `joinType` is "inner" (q_stream_join: matches emit on arrival) or
+    * "leftOuter" (q_stream_join_outer: unmatched views additionally
+    * null-emit, gated on the click watermark passing their join window).
     */
-  private[graft] def viewClickStreamJoin(stream: DataFrame): DataFrame = {
+  private[graft] def viewClickStreamJoin(stream: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val views = stream.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"),
         col("ts").as("view_ts"))
@@ -134,7 +138,7 @@ object EventOps {
     views.join(clicks, expr(
       """user_id = click_user AND
         |click_ts >= view_ts AND
-        |click_ts <= view_ts + interval 60 minutes""".stripMargin))
+        |click_ts <= view_ts + interval 60 minutes""".stripMargin), joinType)
       .select(col("view_id"), col("click_id"), col("user_id"),
         col("view_ts"), col("click_ts"))
   }
@@ -459,6 +463,52 @@ object EventOps {
       runStreamAppend(s, root, viewClickStreamJoin(stream))
     },
 
+    // ── stream-stream LEFT OUTER join (eviction-driven null emission) ─
+    // The outer face of q_stream_join: a view with NO click in its
+    // 60-minute window must still emit, null-padded — but only once it
+    // provably cannot match, i.e. when the click-side watermark passes
+    // view_ts + 60min and the state store evicts it. That emission is
+    // eviction-DRIVEN, so results inside the final watermark horizon
+    // would stay buffered forever at end-of-stream; a sentinel chunk
+    // (one far-future view + click on their own negative user ids,
+    // matching nothing) advances BOTH watermarks past every real
+    // view's window, forcing the terminal eviction sweep. The sentinel
+    // rows are excluded from the READ-BACK, not the streaming plan: a
+    // filter inside the plan is pushed below the watermark operators
+    // by Catalyst (user_id is not the event-time column), which would
+    // drop the sentinels before they can advance the watermark and
+    // silently suppress every null emission. (The sentinel view never
+    // evicts anyway — the watermark stops 10min short of its own ts —
+    // and an unmatched click emits nothing under a LEFT join.)
+    // Time-monotone chunk arrival makes the emitted set exactly the
+    // batch LEFT JOIN: once a view is evicted, every future click is
+    // past its window.
+    Q("q_stream_join_outer",
+      """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+        |       v.ts AS view_ts, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = v.user_id
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 60 MINUTE""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir).filter(col("event_type").isin("view", "click"))
+        .select("event_id", "ts", "user_id", "event_type")
+      val root = s"${Staging.dir(dir)}/stream_join_outer"
+      val (tminMs, tmaxMs) = timeBounds(ev)
+      val sentinelMs = tmaxMs + 3L * 3600 * 1000
+      val sentinel = Seq(
+        (-1L, new java.sql.Timestamp(sentinelMs), -1L, "view"),
+        (-2L, new java.sql.Timestamp(sentinelMs), -2L, "click"))
+        .toDF("event_id", "ts", "user_id", "event_type")
+      val src = stageChunks(root,
+        timeChunks(ev, 3, tminMs, tmaxMs) :+ ("b4" -> sentinel), tminMs)
+
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      runStreamAppend(s, root, viewClickStreamJoin(stream, joinType = "leftOuter"))
+        .filter(col("user_id") >= 0)
+    },
+
     // ── streaming exact dedup (bounded state) ───────────────────────
     // The streaming face of dedup_exact: first occurrence per
     // (user_id, event_type, day) emits, duplicates within the
@@ -489,6 +539,46 @@ object EventOps {
           "ts", "25 hours")
         .select("user_id", "event_type", "d")
       runStreamAppend(s, root, deduped)
+    },
+
+    // ── streaming windowed aggregation (append mode, bounded state) ──
+    // The production face of q_events_tumbling: the SAME EventWindows
+    // transform run as a watermarked stream in APPEND mode — a window
+    // emits exactly once, when the watermark passes its end, and its
+    // state is then EVICTED, so the state store holds roughly one
+    // watermark horizon of open windows instead of the stream's whole
+    // history (the runnable-forever shape at 100 TB/day; the
+    // StreamingEquivalenceSpec complete-mode memory sink, by contrast,
+    // keeps every window ever seen resident). A far-future sentinel
+    // row closes every real window at end-of-stream; the sentinel's
+    // OWN window can never close — any event's window ends after the
+    // event, and the watermark (max ts minus delay) always stops short
+    // of that — and is additionally excluded by a w_start bound on the
+    // READ-BACK (not inside the streaming plan, where Catalyst could
+    // rewrite it onto ts and push it below the watermark, dropping the
+    // sentinel before it advances anything — the q_stream_join_outer
+    // pushdown trap). Time-monotone chunks mean nothing is ever late,
+    // so the emitted set is exactly the batch aggregation the DuckDB
+    // oracle replays.
+    Q("q_stream_window",
+      s"""SELECT date_trunc('hour', ts) AS w_start, event_type,
+         |  count(*) AS n, ${O.dsum("value")} AS total
+         |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir).select("ts", "event_type", "value")
+      val root = s"${Staging.dir(dir)}/stream_window"
+      val (tminMs, tmaxMs) = timeBounds(ev)
+      val sentinelMs = tmaxMs + 3L * 3600 * 1000
+      val sentinel = Seq((new java.sql.Timestamp(sentinelMs), "sentinel", 0.0))
+        .toDF("ts", "event_type", "value")
+      val src = stageChunks(root,
+        timeChunks(ev, 3, tminMs, tmaxMs) :+ ("b4" -> sentinel), tminMs)
+
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withWatermark("ts", "10 minutes")
+      runStreamAppend(s, root, graft.streaming.EventWindows.tumbling(stream))
+        .filter(col("w_start") <= new java.sql.Timestamp(tmaxMs))
     },
 
     // ── stream-static enrichment join (feature-store lookup) ────────

@@ -60,4 +60,40 @@ class StreamStreamJoinSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got === Seq((1L, 3L), (4L, 5L)),
       "restart lost the buffered view-side join state")
   }
+
+  // The LEFT OUTER variant's null emission is eviction-driven: an
+  // unmatched view emits (view, null) only after the click watermark
+  // passes view_ts + 60min. Batch 1 leaves user 1's view unmatched
+  // (user 2's click is a different user); the batch-2 sentinels push
+  // both watermarks past its window, so the terminal eviction sweep
+  // (the no-data micro-batch after the sentinels) must null-emit
+  // exactly that view — and ONLY it: the unmatched click must not
+  // emit under a left join, and the sentinel view (never evicted, the
+  // watermark stops short of its own ts) is excluded on the read-back.
+  // The exclusion MUST stay outside the streaming plan: an in-plan
+  // filter on user_id is pushed below the watermark operators and
+  // drops the sentinels before they advance anything — asserted here
+  // so the pushdown trap can't silently regress the Q row.
+  test("left-outer join null-emits an unmatched view after watermark passage") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-ssjoin-outer").toString
+    val b1 = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, Timestamp.valueOf("2024-01-01 10:05:00"), 2L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val sentinel = Seq(
+      (-1L, Timestamp.valueOf("2024-01-01 20:00:00"), -1L, "view"),
+      (-2L, Timestamp.valueOf("2024-01-01 20:00:00"), -2L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val src = ops.EventOps.stageChunks(root, Seq("b1" -> b1, "b2" -> sentinel), 0L)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val got = ops.EventOps.runStreamAppend(spark, root,
+      ops.EventOps.viewClickStreamJoin(stream, joinType = "leftOuter"))
+      .filter(col("user_id") >= 0)
+      .collect()
+    assert(got.length === 1, s"expected exactly the null-padded view, got ${got.toSeq}")
+    assert(got.head.getLong(0) === 1L && got.head.isNullAt(1),
+      "the unmatched view must emit with a null click side")
+  }
 }
