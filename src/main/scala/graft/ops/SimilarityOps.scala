@@ -42,6 +42,13 @@ object SimilarityOps {
 
   // SemDeDup keep/drop cosine threshold (within-cluster near-dup cut)
   private val SemTau = 0.3
+  // SemDeDup target cluster size: the within-cluster all-pairs cost is
+  // Σ|cluster|² ≈ N·target when k = N/target clusters — LINEAR in the
+  // corpus — where a fixed k would make it N²/k, quadratic (measured:
+  // the fixed-k=8 formulation read 84x its sf1 time at 10x the data).
+  // k is floored at NumCentroids so the gate-scale (sf0.01) corpus,
+  // which sits below 8·target, keeps the original 8-cell layout.
+  private val SemClusterTarget = 1024L
 
   private def vectors(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings").select(
@@ -171,6 +178,18 @@ object SimilarityOps {
     assign(n, "vec_id", cents(n))
   }
 
+  /** [[clusteredVectors]] with the corpus-adaptive SemDeDup centroid
+    * count (see [[semCents]]) — used by the rows whose downstream is
+    * the within-cluster all-pairs join (dedup_semantic,
+    * curate_semantic), where cluster granularity IS the scale lever.
+    * The count() is one bounded scalar anchor (the same pattern as
+    * timeBounds); the centroid table stays an O(k) broadcast.
+    */
+  private[graft] def semClusteredVectors(s: SparkSession, dir: String): DataFrame = {
+    val n = vectors(s, dir).withColumn("nsq", normSq(col("emb")))
+    assignSem(n, semCents(n, n.count()))
+  }
+
   /** Vectors with a SMALLER-id near-twin (cosine > SemTau) in their own
     * cluster — the SemDeDup drop set. One cluster-key self-join.
     */
@@ -192,8 +211,8 @@ object SimilarityOps {
   private[graft] def semanticDroppedSql: String =
     s"""WITH v AS ($vectorsSql),
        |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
-       |cents AS ($centsSql),
-       |cl AS (${assignSql("n", "vec_id")})
+       |cents AS ($semCentsSql),
+       |cl AS ($assignSemSql)
        |SELECT DISTINCT b.vec_id
        |FROM cl a JOIN cl b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
        |WHERE ${sqlCosine(sqlDot("a.emb", "b.emb"), "a.nsq", "b.nsq")} > CAST($SemTau AS DOUBLE)""".stripMargin
@@ -201,6 +220,63 @@ object SimilarityOps {
   private def cents(n: DataFrame): DataFrame =
     n.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"), col("nsq").as("c_nsq"))
+
+  /** CORPUS-ADAPTIVE centroid table for the SemDeDup family:
+    * k = max(NumCentroids, N / SemClusterTarget) seed centroids (the
+    * first k vectors, the same seeding convention as `cents`). Keeping
+    * k proportional to N holds the within-cluster pair volume at
+    * ~N·SemClusterTarget — the linear scale shape SemDeDup exists for
+    * (Abbas et al. 2023 run k ≈ N/target on the real corpus; at
+    * extreme scale the flat argmin assignment would itself move to a
+    * hierarchical coarse quantizer, but its N·k cost is the standard
+    * IVF/k-means assignment stage and stays far below the pair join).
+    * SQL twin: [[semCentsSql]] — both engines derive k from the same
+    * count, so the cut cannot drift.
+    */
+  private def semCents(n: DataFrame, count: Long): DataFrame =
+    n.filter(col("vec_id") < math.max(NumCentroids.toLong, count / SemClusterTarget))
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"), col("nsq").as("c_nsq"))
+
+  private val semCentsSql =
+    s"""SELECT vec_id AS c_id, emb AS c_emb, nsq AS c_nsq FROM n
+       |WHERE vec_id < (SELECT GREATEST($NumCentroids, count(*) // $SemClusterTarget) FROM n)""".stripMargin
+
+  /** Memory-lean nearest-centroid assignment for the adaptive-k
+    * SemDeDup path: the scored cross join is projected down to
+    * (vec_id, c_id, cosv) SCALARS before the argmax, and the
+    * embedding/norm ride back via one hash join on vec_id. The plain
+    * [[assignK]]/[[assignKSql]] carry the full embedding array through
+    * their row_number sort — fine at k=8 centroids, but ~20 GB of
+    * window payload at k≈200 and 200k vectors (sf10), where DuckDB's
+    * replay actually ran out of memory. Spark side: max_by over a
+    * (cosv, -c_id) ordering struct — a hash aggregate with map-side
+    * combine, so the N·k scored rows never shuffle at all; ties break
+    * to the smaller c_id exactly like the row_number formulation.
+    */
+  private def assignSem(n: DataFrame, centsDf: DataFrame): DataFrame = {
+    val scored = n.crossJoin(broadcast(centsDf))
+      .select(col("vec_id"), col("c_id"),
+        cosine(dot(col("emb"), col("c_emb")), col("nsq"), col("c_nsq")).as("cosv"))
+    val best = scored.groupBy("vec_id")
+      .agg(max_by(col("c_id"), struct(col("cosv"), (-col("c_id")).as("nc"))).as("c_id"))
+    n.join(best, "vec_id").select(col("vec_id"), col("emb"), col("nsq"), col("c_id"))
+  }
+
+  /** SQL twin of [[assignSem]] (row_number over the scalar-projected
+    * scores — bit-identical pick to max_by's (cosv, -c_id) ordering).
+    */
+  private def assignSemSql: String =
+    s"""SELECT n2.vec_id, n2.emb, n2.nsq, z.c_id
+       |FROM (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT s.vec_id, s.c_id,
+       |      row_number() OVER (PARTITION BY s.vec_id ORDER BY s.cosv DESC, s.c_id) AS crn
+       |    FROM (
+       |      SELECT t.vec_id, c.c_id,
+       |        ${sqlCosine(sqlDot("t.emb", "c.c_emb"), "t.nsq", "c.c_nsq")} AS cosv
+       |      FROM n t CROSS JOIN cents c) s) y
+       |  WHERE crn = 1) z
+       |JOIN n n2 ON n2.vec_id = z.vec_id""".stripMargin
 
   // ── product-quantization building blocks ──────────────────────────
 
@@ -918,17 +994,20 @@ object SimilarityOps {
     // cluster — the SemDeDup recipe (Abbas et al. 2023): restricting
     // the near-dup search to within-cluster pairs turns an O(N²)
     // all-pairs problem into Σ|cluster|², controlled by cluster
-    // granularity (production runs k ≈ N/target_size; the fixture's 8
-    // stand-in centroids exercise the identical plan). Scale shape:
-    // one broadcast assign map stage, one hash-shuffle self-join on
-    // the cluster key, one distinct, one left anti-style flag join —
-    // nothing global. Output: every vector with its cluster and
-    // kept/dropped verdict (kept = no smaller-id twin above SemTau).
+    // granularity — which is why k MUST scale with the corpus:
+    // k = max(8, N/SemClusterTarget) holds the pair volume at
+    // ~N·target (linear), where round 12's fixed k=8 made it N²/8
+    // (measured 84x time at 10x data in the first full sf10 bench).
+    // Scale shape: one bounded count anchor, one broadcast assign map
+    // stage, one hash-shuffle self-join on the cluster key, one
+    // distinct, one left anti-style flag join — nothing global.
+    // Output: every vector with its cluster and kept/dropped verdict
+    // (kept = no smaller-id twin above SemTau).
     Q("dedup_semantic",
       s"""WITH v AS ($vectorsSql),
          |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
-         |cents AS ($centsSql),
-         |cl AS (${assignSql("n", "vec_id")}),
+         |cents AS ($semCentsSql),
+         |cl AS ($assignSemSql),
          |dropped AS (
          |  SELECT DISTINCT b.vec_id
          |  FROM cl a JOIN cl b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
@@ -937,7 +1016,7 @@ object SimilarityOps {
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM cl c LEFT JOIN dropped d ON c.vec_id = d.vec_id""".stripMargin) {
       (s, dir) =>
-      val cl = clusteredVectors(s, dir).persist()
+      val cl = semClusteredVectors(s, dir).persist()
       val dropped = semanticDropped(cl)
       cl.join(dropped.withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
         .select(col("vec_id"), col("c_id"),

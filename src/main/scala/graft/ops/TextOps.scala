@@ -970,7 +970,9 @@ object TextOps {
     // composition a multimodal corpus actually runs: text features
     // gate quality, embedding geometry gates redundancy. Scale shape:
     // the drop set arrives via one hash anti-join on doc_id; the
-    // SemDeDup machinery keeps its Σ|cluster|² bound.
+    // SemDeDup machinery keeps its Σ|cluster|² bound via the
+    // corpus-adaptive k (semClusteredVectors — see the dedup_semantic
+    // design note; the fixed-k formulation measured 52x at 10x data).
     Q("curate_semantic",
       s"""WITH sem AS (${graft.ops.SimilarityOps.semanticDroppedSql}),
          |q AS (
@@ -981,7 +983,7 @@ object TextOps {
          |  WHERE NOT EXISTS (SELECT 1 FROM sem WHERE sem.vec_id = d.doc_id))
          |SELECT doc_id, n_tokens, quality, ${splitSql("doc_id")} AS split
          |FROM q WHERE quality >= $QualityMin""".stripMargin) { (s, dir) =>
-      val cl = graft.ops.SimilarityOps.clusteredVectors(s, dir).persist()
+      val cl = graft.ops.SimilarityOps.semClusteredVectors(s, dir).persist()
       val dropped = graft.ops.SimilarityOps.semanticDropped(cl)
         .withColumnRenamed("vec_id", "doc_id")
       docs(s, dir)
