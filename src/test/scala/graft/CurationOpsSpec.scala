@@ -38,6 +38,37 @@ class CurationOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(rows.map(r => (r._1, r._2)).distinct.length === rows.length)
   }
 
+  // The SemDeDup adaptive-k contract (the round-13 sf10 quadratic fix):
+  // below 8·SemClusterTarget vectors the floor keeps the original
+  // 8-centroid layout — the property that held the sf0.01 gate results
+  // bit-stable across the fix — and past that knee k grows with the
+  // corpus (k = N/1024), which is what bounds the within-cluster
+  // all-pairs volume to ~1024·N instead of N²/8.
+  test("semClusteredVectors: k floors at 8 on the fixture, scales past the knee") {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val fx = graft.ops.SimilarityOps.semClusteredVectors(spark, dir)
+      .select("vec_id", "c_id").as[(Long, Long)].collect().toSet
+    val base = graft.ops.SimilarityOps.clusteredVectors(spark, dir)
+      .select("vec_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(fx === base,
+      "below the knee the adaptive k must reproduce the 8-centroid assignment")
+
+    val n = 16384L // 16·SemClusterTarget -> k must be 16
+    val tmp = java.nio.file.Files.createTempDirectory("graft-semk").toString
+    spark.range(n).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), " +
+          "j -> CAST(((id*31 + j*7) % 97 - 48) / 48.0 AS FLOAT))").as("embedding"),
+        lit("x").as("label"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val big = graft.ops.SimilarityOps.semClusteredVectors(spark, tmp)
+      .select("vec_id", "c_id").as[(Long, Long)].collect()
+    assert(big.length.toLong === n) // every vector assigned exactly once
+    assert(big.map(_._1).distinct.length.toLong === n)
+    val cIds = big.map(_._2).distinct.sorted.toSeq
+    assert(cIds === (0L until 16L).toSeq,
+      s"expected the 16 seed centroids past the knee, got $cIds")
+  }
+
   test("dedup_semantic: verdict covers the corpus and both classes occur") {
     val rows = run("dedup_semantic")
       .select("vec_id", "kept").as[(Long, Long)].collect()
