@@ -14,10 +14,16 @@ import org.apache.spark.sql.types.LongType
   * decodes real pixels back; `mm_decode` oracle-checks per-channel sums
   * of the DECODED raster against DuckDB's closed-form pixel formula, so
   * a fake decode cannot pass (the values ride through actual zlib/PNG
-  * filter compression). The audio/video frame path has no JDK codec, so
-  * its decode step remains a clearly-marked deterministic STUB
-  * ([[StubCodec.decodeMeta]]) with the Spark-side plumbing — binary
-  * schema, frame addressing, stride sampling — real and tested.
+  * filter compression). The AUDIO path is likewise real:
+  * [[AudioCodec]] encodes deterministic 16-bit stereo PCM through
+  * `javax.sound.sampled` (also in the JDK) and `mm_audio_decode`
+  * oracle-checks per-channel sample sums/extrema of the DECODED frames
+  * against the closed-form generating formula — the samples ride
+  * through an actual RIFF/WAVE container round-trip. Only VIDEO has no
+  * JDK codec, so the frame-decode slot of the video path remains a
+  * clearly-marked deterministic STUB ([[StubCodec.decodeMeta]]) with
+  * the Spark-side plumbing — binary schema, frame addressing, stride
+  * sampling — real and tested.
   *
   * Fixture media: each document's text bytes act as the frame payload
   * (same synthesis in the oracle SQL via encode()), framed in 16-byte
@@ -34,9 +40,11 @@ object MultimodalOps {
   /** Extracted per-frame record. */
   final case class Frame(doc_id: Long, frame_idx: Long, frame_off: Long, frame_len: Long)
 
-  /** STUB codec: stands in for an image/audio decoder. Deterministic on
-    * the payload bytes only — a real deployment swaps this object for a
-    * JNI/library-backed implementation with the same signature.
+  /** STUB codec: stands in for a VIDEO decoder — the one modality with
+    * no JDK codec (images decode for real via [[ImageCodec]], audio via
+    * [[AudioCodec]]). Deterministic on the payload bytes only — a real
+    * deployment swaps this object for a JNI/library-backed
+    * implementation with the same signature.
     */
   object StubCodec {
     def decodeMeta(content: Array[Byte]): (Long, Long) = {
@@ -209,6 +217,148 @@ object MultimodalOps {
         // both are data defects, not engine faults: quarantine the row
         case scala.util.control.NonFatal(_) =>
           RoutedRow(p.doc_id, "quarantined", None)
+      }
+    })
+  }
+
+  /** An encoded WAV payload row and its decoded per-channel statistics. */
+  final case class WavRow(doc_id: Long, wav: Array[Byte])
+  final case class AudioRow(doc_id: Long, n_frames: Long,
+      sum_l: Long, sum_r: Long, min_l: Long, max_r: Long)
+  final case class AudioRoutedRow(doc_id: Long, status: String,
+      n_frames: Option[Long])
+
+  /** REAL audio codec over `javax.sound.sampled` (ships in every JDK):
+    * encodes a deterministic 16-bit signed little-endian stereo PCM
+    * raster into an actual RIFF/WAVE byte stream and decodes it back
+    * frame-by-frame. PCM-in-WAV is lossless, so the decoded sample
+    * values are bit-identical to [[sample]] — which is what lets DuckDB
+    * replay the expected statistics closed-form without any codec
+    * (the mm_decode pattern, transferred to audio).
+    */
+  object AudioCodec {
+    /** Frames per document: small and deterministic (8–47), keeping the
+      * oracle's range-unnest bounded at any SF (same sizing argument as
+      * the PNG dims).
+      */
+    def nFrames(docId: Long): Int = (docId % 40 + 8).toInt
+
+    /** Sample value at (frame i, channel ch): a signed 16-bit value,
+      * deterministic on (doc_id, i, ch), mirrored verbatim in the
+      * mm_audio_decode oracle SQL. All-integer math — bit-identical
+      * cross-engine.
+      */
+    def sample(docId: Long, i: Int, ch: Int): Int =
+      ((docId * 31 + i.toLong * 7 + ch.toLong * 97) % 65536).toInt - 32768
+
+    private def pcmFormat = new javax.sound.sampled.AudioFormat(
+      8000f, 16, 2, true, false) // 16-bit signed PCM, stereo, little-endian
+
+    def synthWav(docId: Long): Array[Byte] = {
+      val n = nFrames(docId)
+      val bytes = new Array[Byte](n * 4) // 2 ch x 2 bytes, interleaved
+      var i = 0
+      while (i < n) {
+        var ch = 0
+        while (ch < 2) {
+          val v = sample(docId, i, ch)
+          bytes(i * 4 + ch * 2) = (v & 0xff).toByte
+          bytes(i * 4 + ch * 2 + 1) = ((v >> 8) & 0xff).toByte
+          ch += 1
+        }
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), pcmFormat, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    final case class WavStats(nFrames: Long,
+        sumL: Long, sumR: Long, minL: Long, maxR: Long)
+
+    /** Decode a real WAV payload and fold per-channel sample sums and
+      * extrema over the frames `AudioSystem` returns — never from the
+      * generating formula. Throws on undecodable bytes (corrupt media
+      * is a quarantine concern, not a silent zero). The decoder honors
+      * the CONTAINER's declared layout (bit depth, channel count,
+      * endianness) rather than assuming the writer's — a header/payload
+      * mismatch desyncs from the oracle immediately.
+      */
+    def decodeStats(wav: Array[Byte]): WavStats = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val f = ais.getFormat
+      require(f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        f.getSampleSizeInBits == 16 && f.getChannels == 2,
+        s"unsupported audio layout: $f")
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 4
+      var sl = 0L; var sr = 0L
+      var mnl = Long.MaxValue; var mxr = Long.MinValue
+      var i = 0
+      while (i < n) {
+        var ch = 0
+        while (ch < 2) {
+          val off = i * 4 + ch * 2
+          val v =
+            if (f.isBigEndian) (bytes(off) << 8) | (bytes(off + 1) & 0xff)
+            else (bytes(off + 1) << 8) | (bytes(off) & 0xff)
+          if (ch == 0) { sl += v; if (v < mnl) mnl = v }
+          else { sr += v; if (v > mxr) mxr = v }
+          ch += 1
+        }
+        i += 1
+      }
+      require(n > 0, "payload decodes to zero frames")
+      WavStats(n.toLong, sl, sr, mnl, mxr)
+    }
+  }
+
+  /** WAV fixture synthesis: one real RIFF/WAVE stream per document.
+    * Partition-parallel — encoding never leaves the executor.
+    */
+  def encodeWavs(s: SparkSession, dir: String): Dataset[WavRow] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => WavRow(id, AudioCodec.synthWav(id))))
+  }
+
+  /** Partition-parallel REAL audio decode: frame counts and per-channel
+    * statistics computed from the frames `AudioSystem` returns, never
+    * from the generating formula.
+    */
+  def decodeWavs(wavs: Dataset[WavRow]): Dataset[AudioRow] = {
+    import wavs.sparkSession.implicits._
+    wavs.mapPartitions(_.map { w =>
+      val st =
+        try AudioCodec.decodeStats(w.wav)
+        catch {
+          case e: Exception =>
+            throw new IllegalArgumentException(s"doc ${w.doc_id}: ${e.getMessage}", e)
+        }
+      AudioRow(w.doc_id, st.nFrames, st.sumL, st.sumR, st.minL, st.maxR)
+    })
+  }
+
+  /** Decode-or-route for audio: the WAV twin of [[routeDecodes]].
+    * Undecodable payloads route to 'quarantined' per row on the
+    * executor; clean rows carry their decoded frame count.
+    */
+  def routeWavDecodes(wavs: Dataset[WavRow]): Dataset[AudioRoutedRow] = {
+    import wavs.sparkSession.implicits._
+    wavs.mapPartitions(_.map { w =>
+      try {
+        val st = AudioCodec.decodeStats(w.wav)
+        AudioRoutedRow(w.doc_id, "ok", Some(st.nFrames))
+      } catch {
+        // AudioSystem surfaces corruption as UnsupportedAudioFileException
+        // (unreadable header) or IOException/short-read artifacts — all
+        // data defects, not engine faults: quarantine the row
+        case scala.util.control.NonFatal(_) =>
+          AudioRoutedRow(w.doc_id, "quarantined", None)
       }
     })
   }
@@ -421,6 +571,49 @@ object MultimodalOps {
         if (p.doc_id % 97 == 0) PngRow(p.doc_id, p.png.take(8)) else p
       }
       routeDecodes(corrupted).toDF()
+    },
+
+    // REAL audio decode roundtrip: a deterministic 16-bit stereo PCM
+    // WAV is encoded per document with javax.sound.sampled, then a
+    // SEPARATE partition-parallel stage decodes the actual RIFF/WAVE
+    // bytes and reports the frame count plus per-channel sample sums
+    // and extrema read from the decoded frames. The oracle replays the
+    // generating sample formula closed-form (one range-unnest per doc,
+    // frames capped at 47) — a match proves the values survived a real
+    // container round-trip through the JDK audio stack, i.e. the audio
+    // codec slot is genuinely exercised, not stubbed.
+    Q("mm_audio_decode",
+      """WITH d AS (SELECT doc_id, doc_id % 40 + 8 AS n FROM documents),
+        |f AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+        |v AS (SELECT doc_id, n,
+        |    (doc_id*31 + i*7) % 65536 - 32768 AS l,
+        |    (doc_id*31 + i*7 + 97) % 65536 - 32768 AS r
+        |  FROM f)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_frames,
+        |  CAST(sum(l) AS BIGINT) AS sum_l, CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(min(l) AS BIGINT) AS min_l, CAST(max(r) AS BIGINT) AS max_r
+        |FROM v GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      decodeWavs(encodeWavs(s, dir)).toDF()
+    },
+
+    // Corrupt-audio routing: the WAV twin of mm_decode_quarantine.
+    // Every 97th payload is truncated to its first 8 bytes (an
+    // unreadable RIFF header); the decode stage routes those rows to
+    // 'quarantined' per row on the executor while clean rows carry
+    // their decoded frame count, oracle-certified against the
+    // generating rule.
+    Q("mm_audio_quarantine",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 97 = 0 THEN 'quarantined' ELSE 'ok' END AS status,
+        |  CASE WHEN doc_id % 97 = 0 THEN NULL
+        |       ELSE CAST(doc_id % 40 + 8 AS BIGINT)
+        |  END AS n_frames
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val corrupted = encodeWavs(s, dir).map { w =>
+        if (w.doc_id % 97 == 0) WavRow(w.doc_id, w.wav.take(8)) else w
+      }
+      routeWavDecodes(corrupted).toDF()
     },
 
     // Frame sampling: every 4th 16-byte frame of each payload, exploded

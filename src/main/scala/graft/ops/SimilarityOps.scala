@@ -184,10 +184,23 @@ object SimilarityOps {
     * curate_semantic), where cluster granularity IS the scale lever.
     * The count() is one bounded scalar anchor (the same pattern as
     * timeBounds); the centroid table stays an O(k) broadcast.
+    *
+    * `n` is persisted for the duration of the assignment: it feeds
+    * the count anchor, the semCents filter, the assignSem scoring
+    * cross join, and the join-back — four consumers that would each
+    * rescan the embeddings parquet unpersisted. The returned
+    * assignment is materialized (persist + count) BEFORE n is
+    * unpersisted, so callers never re-trigger the embeddings scan;
+    * callers' own `.persist()` on the result is an idempotent no-op
+    * (same storage level).
     */
   private[graft] def semClusteredVectors(s: SparkSession, dir: String): DataFrame = {
-    val n = vectors(s, dir).withColumn("nsq", normSq(col("emb")))
-    assignSem(n, semCents(n, n.count()))
+    val n = vectors(s, dir).withColumn("nsq", normSq(col("emb"))).persist()
+    try {
+      val cl = assignSem(n, semCents(n, n.count())).persist()
+      cl.count()
+      cl
+    } finally n.unpersist()
   }
 
   /** Vectors with a SMALLER-id near-twin (cosine > SemTau) in their own

@@ -54,19 +54,27 @@ class CurationOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "below the knee the adaptive k must reproduce the 8-centroid assignment")
 
     val n = 16384L // 16·SemClusterTarget -> k must be 16
-    val tmp = java.nio.file.Files.createTempDirectory("graft-semk").toString
-    spark.range(n).select(col("id").as("vec_id"),
-        expr("transform(sequence(0, 63), " +
-          "j -> CAST(((id*31 + j*7) % 97 - 48) / 48.0 AS FLOAT))").as("embedding"),
-        lit("x").as("label"))
-      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    val big = graft.ops.SimilarityOps.semClusteredVectors(spark, tmp)
-      .select("vec_id", "c_id").as[(Long, Long)].collect()
-    assert(big.length.toLong === n) // every vector assigned exactly once
-    assert(big.map(_._1).distinct.length.toLong === n)
-    val cIds = big.map(_._2).distinct.sorted.toSeq
-    assert(cIds === (0L until 16L).toSeq,
-      s"expected the 16 seed centroids past the knee, got $cIds")
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft-semk")
+    val tmp = tmpPath.toString
+    try {
+      spark.range(n).select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), " +
+            "j -> CAST(((id*31 + j*7) % 97 - 48) / 48.0 AS FLOAT))").as("embedding"),
+          lit("x").as("label"))
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val big = graft.ops.SimilarityOps.semClusteredVectors(spark, tmp)
+        .select("vec_id", "c_id").as[(Long, Long)].collect()
+      assert(big.length.toLong === n) // every vector assigned exactly once
+      assert(big.map(_._1).distinct.length.toLong === n)
+      val cIds = big.map(_._2).distinct.sorted.toSeq
+      assert(cIds === (0L until 16L).toSeq,
+        s"expected the 16 seed centroids past the knee, got $cIds")
+    } finally {
+      // the multi-MB fixture must not leak a temp tree per suite run
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("dedup_semantic: verdict covers the corpus and both classes occur") {

@@ -57,6 +57,44 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert((st.sumR, st.sumG, st.sumB) === (er, eg, eb))
   }
 
+  test("AudioCodec emits genuine RIFF/WAVE bytes and the decode is a lossless roundtrip") {
+    val wav = MultimodalOps.AudioCodec.synthWav(42L)
+    // RIFF container magic + WAVE form type
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val st = MultimodalOps.AudioCodec.decodeStats(wav)
+    val n = MultimodalOps.AudioCodec.nFrames(42L)
+    assert(st.nFrames === n.toLong)
+    var sl = 0L; var sr = 0L
+    var mnl = Long.MaxValue; var mxr = Long.MinValue
+    for (i <- 0 until n) {
+      val l = MultimodalOps.AudioCodec.sample(42L, i, 0)
+      val r = MultimodalOps.AudioCodec.sample(42L, i, 1)
+      sl += l; sr += r
+      mnl = math.min(mnl, l); mxr = math.max(mxr, r)
+    }
+    assert((st.sumL, st.sumR, st.minL, st.maxR) === (sl, sr, mnl, mxr))
+  }
+
+  test("AudioCodec.decodeStats rejects undecodable payloads loudly") {
+    val truncated = MultimodalOps.AudioCodec.synthWav(7L).take(8)
+    intercept[Exception] {
+      MultimodalOps.AudioCodec.decodeStats(truncated)
+    }
+  }
+
+  test("routeWavDecodes quarantines corrupt payloads per row without failing the job") {
+    import MultimodalOps.WavRow
+    val rows = Seq(
+      WavRow(1L, MultimodalOps.AudioCodec.synthWav(1L)),
+      WavRow(97L, MultimodalOps.AudioCodec.synthWav(97L).take(8))).toDS()
+    val routed = MultimodalOps.routeWavDecodes(rows).collect().sortBy(_.doc_id)
+    assert(routed.map(r => (r.doc_id, r.status)).toSeq ===
+      Seq((1L, "ok"), (97L, "quarantined")))
+    assert(routed.head.n_frames === Some(MultimodalOps.AudioCodec.nFrames(1L).toLong))
+    assert(routed.last.n_frames === None)
+  }
+
   test("ImageCodec.decodeStats rejects undecodable payloads loudly") {
     val e = intercept[IllegalArgumentException] {
       MultimodalOps.ImageCodec.decodeStats("not a png".getBytes)
