@@ -32,12 +32,30 @@ object EventOps {
   // run-over-run (see the round-11 q_asof_stream_wm note in README).
 
   /** (min ts ms, max ts ms) of `df`'s `ts` column — one bounded
-    * 2-value aggregate row, the scalar-anchor shape.
+    * aggregate row, the scalar-anchor shape.
+    *
+    * `sentinelKeys`: rows whose exclusion-on-read-back relies on the
+    * negative-id sentinel convention (q_stream_join_outer,
+    * q_stream_session) pass their key columns here, and the SAME
+    * anchor row asserts min(key) >= 0 over the real fixture — so a
+    * future fixture that legitimately uses negative ids fails loudly
+    * at staging time instead of surfacing as an opaque oracle
+    * row-count mismatch after the read-back filter silently drops
+    * real rows.
     */
-  private[graft] def timeBounds(df: DataFrame): (Long, Long) = {
-    val b = df.agg(min(col("ts")), max(col("ts"))).head()
+  private[graft] def timeBounds(df: DataFrame,
+      sentinelKeys: Seq[String] = Nil): (Long, Long) = {
+    val aggs = Seq(min(col("ts")), max(col("ts"))) ++
+      sentinelKeys.map(k => min(col(k)))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
     require(!b.isNullAt(0) && !b.isNullAt(1),
       "timeBounds: source has no non-null `ts` rows — cannot stage an empty stream")
+    sentinelKeys.zipWithIndex.foreach { case (k, i) =>
+      require(b.isNullAt(2 + i) || b.getLong(2 + i) >= 0L,
+        s"timeBounds: fixture has negative `$k` (min=${b.getLong(2 + i)}) — " +
+          "collides with the negative-id sentinel convention; the " +
+          "read-back sentinel filter would drop real rows")
+    }
     (b.getTimestamp(0).getTime, b.getTimestamp(1).getTime)
   }
 
@@ -115,6 +133,67 @@ object EventOps {
       case None    => s.conf.unset("spark.sql.shuffle.partitions")
     }
     s.read.schema(outSchema).parquet(out)
+  }
+
+  /** Number of hash-bucket partitions of the q_stream_upsert keyed
+    * table — sized for the fixture; a production table sizes buckets
+    * so one bucket ≈ one comfortable rewrite unit.
+    */
+  private[graft] val UpsertBuckets = 16
+
+  /** One last-write-wins MERGE of `batch` (event rows: event_id, ts,
+    * user_id, value) into the keyed parquet table at `table`
+    * (user_id, last_ts, last_event_id, last_value, partitioned by
+    * bucket = user_id % UpsertBuckets) — the foreachBatch body of
+    * q_stream_upsert, factored so StreamingUpsertSpec can drive the
+    * EXACT production merge with a replayed batch.
+    *
+    * Scale shape: the current state is read PARTITION-PRUNED to the
+    * buckets the batch touches, merged with the batch's per-key
+    * winners (max_by (ts, event_id) — a hash agg with map-side
+    * combine), and written back with DYNAMIC partition overwrite, so
+    * a batch touching k of the table's buckets rewrites k partitions
+    * and never opens the rest. Idempotent by construction: max_by
+    * over (ts, event_id) is order-independent and duplicate-stable,
+    * so at-least-once re-delivery (a replayed micro-batch after
+    * restart) re-derives identical partition content.
+    *
+    * The existing slice is localCheckpoint'ed (materialized, lineage
+    * cut) before the overwrite — Spark refuses a write whose plan
+    * still reads the destination path. A real deployment gets this
+    * read-your-own-table atomicity from a table format's snapshot
+    * isolation (Delta/Iceberg MERGE); the layout machinery this
+    * certifies — bucket pruning, touched-partition-only rewrite — is
+    * the same there.
+    */
+  private[graft] def upsertEventsBatch(table: String, batch: DataFrame): Unit = {
+    if (batch.isEmpty) return
+    val s = batch.sparkSession
+    val bucketOf = (c: Column) => c % UpsertBuckets
+    val asEvents = (df: DataFrame) => df.select(
+      col("user_id"), col("last_ts").as("ts"),
+      col("last_event_id").as("event_id"), col("last_value").as("value"))
+    val existing =
+      if (new java.io.File(table).exists()) {
+        val touched = batch.select(bucketOf(col("user_id")).as("b"))
+          .distinct().collect().map(_.getLong(0)) // bounded: <= UpsertBuckets
+        Some(asEvents(s.read.parquet(table)
+          .filter(col("bucket").isin(touched.toSeq: _*)))
+          .localCheckpoint(true))
+      } else None
+    val all = existing.map(_.unionByName(
+        batch.select("user_id", "ts", "event_id", "value")))
+      .getOrElse(batch.select("user_id", "ts", "event_id", "value"))
+    all.groupBy("user_id")
+      .agg(max_by(struct(col("ts"), col("event_id"), col("value")),
+        struct(col("ts"), col("event_id"))).as("w"))
+      .select(col("user_id"), col("w.ts").as("last_ts"),
+        col("w.event_id").as("last_event_id"), col("w.value").as("last_value"),
+        bucketOf(col("user_id")).as("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(table)
   }
 
   /** The symmetric stateful view->click join of q_stream_join, factored
@@ -494,7 +573,7 @@ object EventOps {
       val ev = events(s, dir).filter(col("event_type").isin("view", "click"))
         .select("event_id", "ts", "user_id", "event_type")
       val root = s"${Staging.dir(dir)}/stream_join_outer"
-      val (tminMs, tmaxMs) = timeBounds(ev)
+      val (tminMs, tmaxMs) = timeBounds(ev, sentinelKeys = Seq("user_id"))
       val sentinelMs = tmaxMs + 3L * 3600 * 1000
       val sentinel = Seq(
         (-1L, new java.sql.Timestamp(sentinelMs), -1L, "view"),
@@ -581,6 +660,49 @@ object EventOps {
         .filter(col("w_start") <= new java.sql.Timestamp(tmaxMs))
     },
 
+    // ── streaming session windows (append mode, bounded state) ──────
+    // The production face of q_events_session: the SAME
+    // EventWindows.session transform run as a watermarked stream in
+    // APPEND mode. session_window is the stateful-merge operator —
+    // events extend or MERGE open sessions in the state store — and in
+    // append mode a session emits exactly once, when the watermark
+    // passes its end (last ts + 30min gap), and its state is then
+    // EVICTED: the store holds roughly one watermark horizon of OPEN
+    // sessions, i.e. concurrent users, not history (the
+    // runnable-forever shape; the batch q_events_session by contrast
+    // holds the whole corpus in one shuffle). Time-monotone chunk
+    // arrival guarantees no emitted session could still be extended:
+    // extension needs an event within 30min of the session's last
+    // event, but emission required the watermark (chunk max - 10min)
+    // to pass last+30min, and every later chunk's events are >= that
+    // max — 40min past the last event. A far-future sentinel on a
+    // NEGATIVE user id closes every real session at end-of-stream; its
+    // own session never emits (the watermark stops 10min short of its
+    // ts), and it is additionally excluded on the batch READ-BACK —
+    // never inside the streaming plan, where Catalyst would push the
+    // user_id filter below the watermark operator and drop the
+    // sentinel before it advances anything (the q_stream_join_outer
+    // pushdown trap). timeBounds asserts min(user_id) >= 0 over the
+    // real fixture, so the negative-id sentinel convention fails
+    // loudly if the fixture ever changes.
+    Q("q_stream_session", sessionSql) { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir).select("user_id", "ts", "value")
+      val root = s"${Staging.dir(dir)}/stream_session"
+      val (tminMs, tmaxMs) = timeBounds(ev, sentinelKeys = Seq("user_id"))
+      val sentinelMs = tmaxMs + 3L * 3600 * 1000
+      val sentinel = Seq((-1L, new java.sql.Timestamp(sentinelMs), 0.0))
+        .toDF("user_id", "ts", "value")
+      val src = stageChunks(root,
+        timeChunks(ev, 3, tminMs, tmaxMs) :+ ("b4" -> sentinel), tminMs)
+
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withWatermark("ts", "10 minutes")
+      runStreamAppend(s, root, graft.streaming.EventWindows.session(stream))
+        .filter(col("user_id") >= 0)
+    },
+
     // ── stream-static enrichment join (feature-store lookup) ────────
     // The online/offline split every feature pipeline runs: a static
     // per-user profile is computed in BATCH (exact decimal lifetime
@@ -624,6 +746,50 @@ object EventOps {
           col("n_events"), col("spend"))
       try runStreamAppend(s, root, enriched)
       finally profile.unpersist()
+    },
+
+    // ── streaming CDC upsert (keyed MERGE-shaped sink) ──────────────
+    // The production face of q_agg_delta_merge's maintenance story: a
+    // keyed table (latest event per user) continuously upserted from
+    // the stream, one last-write-wins MERGE per micro-batch via
+    // foreachBatch — the sink shape every CDC/feature-store pipeline
+    // runs. The table is laid out in 16 hash-bucket partitions and
+    // each batch rewrites ONLY the buckets its keys touch (partition-
+    // pruned read of the current state + dynamic partition overwrite)
+    // — at 100 TB the untouched partitions are never opened, which is
+    // what makes per-batch maintenance batch-cost, not table-cost.
+    // The merge is idempotent by construction: the winner per key is
+    // max_by (ts, event_id), so a REPLAYED batch (foreachBatch's
+    // at-least-once contract after a restart) re-derives the identical
+    // partition content — StreamingUpsertSpec applies the same batch
+    // twice and pins table equality. Oracle = the batch last-write-
+    // wins query over the same events.
+    Q("q_stream_upsert",
+      """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |       value AS last_value
+        |FROM (SELECT user_id, ts, event_id, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir).select("event_id", "ts", "user_id", "value")
+      val root = s"${Staging.dir(dir)}/stream_upsert"
+      val (tminMs, tmaxMs) = timeBounds(ev)
+      val src = stageChunks(root, timeChunks(ev, 3, tminMs, tmaxMs), tminMs)
+
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val table = s"$root/table"
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          upsertEventsBatch(table, batch); ()
+        }
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.read.parquet(table)
+        .select(col("user_id"), col("last_ts"), col("last_event_id"),
+          col("last_value"))
     },
 
     // ── as-of join, STRICT dial ─────────────────────────────────────
