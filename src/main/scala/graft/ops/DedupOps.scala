@@ -710,15 +710,31 @@ object DedupOps {
     * identical, see the expression's doc + MinHashSigSpec's
     * equivalence pin).
     */
-  private[graft] def minhashSigs(sh: DataFrame): DataFrame = {
-    val sig = org.apache.spark.sql.GraftColumnShim.column(
+  private[graft] def minhashSigs(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), minhashSigCol(col("shingles")).as("sig"))
+
+  /** The signature column itself, usable inside ANY plan over a
+    * `shingles` array — the streaming near-dup screen computes it
+    * inside a streaming plan, where the DataFrame-in/DataFrame-out
+    * [[minhashSigs]] shape doesn't compose.
+    */
+  private[graft] def minhashSigCol(shingles: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
       graft.functions.MinHashSigExpr(
-        org.apache.spark.sql.GraftColumnShim.expression(col("shingles")),
+        org.apache.spark.sql.GraftColumnShim.expression(shingles),
         MinhashP,
         (0 until MinhashK).map(MinhashA),
         (0 until MinhashK).map(MinhashB)))
-    sh.select(col("doc_id"), sig.as("sig"))
-  }
+
+  /** The Bands-element 60-bit band-key array over a signature — ONE
+    * definition shared by the batch candidate join and the streaming
+    * screen, so the bucket layout cannot drift between them (the
+    * minhashCoreCtes convention, Spark side).
+    */
+  private[graft] def bandKeysCol(sig: Column): Column =
+    array((0 until Bands).map(b =>
+      Cols.hex60(concat(lit(s"$b~"), element_at(sig, 2 * b + 1).cast("string"),
+        lit("|"), element_at(sig, 2 * b + 2).cast("string")))): _*)
 
   /** The band-candidate pair set of the minhash family, BEFORE exact
     * verification — factored out so dedup_lsh_recall can intersect raw
@@ -728,10 +744,8 @@ object DedupOps {
     val mh = minhashSigs(sh)
     // 60-bit band keys — see minhashCoreCtes: the banded join carries
     // 8-byte ints instead of 32-char md5 strings
-    val bandKeys = array((0 until Bands).map(b =>
-      Cols.hex60(concat(lit(s"$b~"), element_at(col("sig"), 2 * b + 1).cast("string"),
-        lit("|"), element_at(col("sig"), 2 * b + 2).cast("string")))): _*)
-    val bands = mh.select(col("doc_id"), explode(bandKeys).as("band_key")).persist()
+    val bands = mh.select(col("doc_id"),
+      explode(bandKeysCol(col("sig"))).as("band_key")).persist()
     // Candidate dedup via plain distinct(), NOT repartition(doc_a) +
     // dropDuplicates: partitioning on doc_a alone would let the pair
     // set flow into the doc_a verification join with no further
@@ -1720,6 +1734,68 @@ object DedupOps {
           when(coalesce(col("exact_hit"), lit(false)) ||
             coalesce(col("near_hit"), lit(false)), "drop")
             .otherwise("keep").as("decision"))
+    },
+
+    // ── streaming near-dup screen (MinHash bands, bounded state) ────
+    // The streaming tier's missing near-dup face: exact streaming
+    // dedup exists (q_stream_dedup), this adds the MinHash-band screen
+    // a continuous ingest runs BEFORE admitting a document — cheap
+    // (signature + band hash per doc, no pair join, no text rescan)
+    // and one-sided (a shared band means "probable near-dup, reject /
+    // divert to the expensive verify path"). The documents arrive as a
+    // genuine file-source stream in doc_id-monotone event-time order
+    // (ts = epoch + doc_id — the staging contract); the SAME
+    // MinHashSigExpr signature and 60-bit band keys as the batch
+    // family are computed INSIDE the streaming plan (codegen'd
+    // expressions compose with micro-batch execution), exploded to
+    // per-band arrivals, and folded by StatefulOps.bandFirstScreen —
+    // state is two longs per band bucket, TTL-evicted when idle past
+    // the horizon. A doc whose every band bucket names it the minimum
+    // passes the screen; the bool-and reduction runs on the batch
+    // READ-BACK (the verdicts are the stream's append output). With
+    // monotone arrival and a TTL covering the run, the kept set
+    // equals the batch rule the oracle replays: doc_id = min of every
+    // band bucket it occupies. Recall relative to the verified batch
+    // family: every dedup_minhash_lsh near-dup pair shares a band by
+    // construction, so no true near-dup passes the screen — the
+    // screen's false POSITIVES (band collisions without Jaccard>=0.5)
+    // are the documented trade for never touching text twice.
+    Q("q_stream_neardup",
+      s"""WITH ${minhashCoreCtes("SELECT doc_id, text FROM documents")},
+         |bmin AS (SELECT band_key, min(doc_id) AS m FROM bands GROUP BY band_key)
+         |SELECT b.doc_id FROM bands b JOIN bmin ON b.band_key = bmin.band_key
+         |GROUP BY b.doc_id
+         |HAVING min(CASE WHEN b.doc_id = bmin.m THEN 1 ELSE 0 END) = 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+      val root = s"${Staging.dir(dir)}/stream_neardup"
+      val (tminMs, tmaxMs) = EventOps.timeBounds(docs)
+      val src = EventOps.stageChunks(root,
+        EventOps.timeChunks(docs, 3, tminMs, tmaxMs), tminMs)
+      // TTL covers the staged span plus the delay: no bucket is evicted
+      // while the run is still arriving, so the oracle sees the full-
+      // corpus screen; a production deployment sets its real horizon
+      val delayMin = 10L
+      val ttlMin = (tmaxMs - tminMs) / 60000L + delayMin + 10L
+
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val arrivals = stream
+        .select(col("doc_id"), col("ts"), split(col("text"), " ").as("tokens"))
+        .filter(size(col("tokens")) >= 3)
+        .select(col("doc_id"), col("ts"),
+          explode(bandKeysCol(minhashSigCol(hashedShingles(col("tokens"), 3))))
+            .as("band_key"))
+        .as[graft.streaming.StatefulOps.BandArrival]
+      val verdicts = graft.streaming.StatefulOps.bandFirstScreen(arrivals,
+        watermarkDelay = Some(s"$delayMin minutes"),
+        idleTtlMinutes = Some(ttlMin))
+      EventOps.runStreamAppend(s, root, verdicts.toDF())
+        .groupBy("doc_id")
+        .agg(min(when(col("first_in_band"), 1L).otherwise(0L)).as("__all_first"))
+        .filter(col("__all_first") === 1L)
+        .select("doc_id")
     },
 
     // ── triangle count + clustering coefficient of the near-dup graph ─

@@ -84,6 +84,43 @@ object PipelineQueries {
       .csv(result.csvPath.toString)
   }
 
+  /** The AT-SCALE sink twin of [[runE2e]]: the identical read -> merge
+    * pipeline over the SAME staged fixtures, but the result lands as
+    * PARTITIONED PARQUET written in parallel — the deployment shape
+    * the CsvSink header documents as "drop the single-object contract
+    * at scale", here executed and oracle-certified rather than
+    * asserted in a comment. The layout is hive-partitioned by
+    * `priority` (5 values — per-priority consumers prune to their
+    * directory) with the write parallelism left to the engine (no
+    * repartition(1) anywhere), and the read-back + oracle compare
+    * certify the partitioned round-trip preserved every row and
+    * column of the merge. Benchable against pipeline_e2e: the sf10
+    * gap between the two rows IS the measured cost of the
+    * single-object contract.
+    */
+  def runE2eParallel(s: SparkSession, dir: String): DataFrame = {
+    val root = stagingDir(dir)
+    val p = MergeQueries.primary(s, dir)
+    // same fingerprint-guarded fixtures as pipeline_e2e (Verify/Bench
+    // run queries sequentially, so sharing the staged inputs is safe
+    // and skips a second driver-streamed JSON serialization)
+    Staging.ensureStaged(root,
+      Staging.sourceFingerprint(dir, Seq("orders", "customer"))) {
+      writeJsonArrayFixture(p, s"$root/primary.json")
+      MergeQueries.secondary(s, dir)
+        .write.mode("overwrite").parquet(s"$root/secondary.parquet")
+    }
+    val primary = JsonArraySource(s"$root/primary.json", Some(p.schema)).load(s)
+    val secondary = ParquetSource(s"$root/secondary.parquet").load(s)
+    val merged = MergeOps.coalesceMerge(primary, secondary, "id")
+    val out = s"$root/out_parallel"
+    merged.write.mode("overwrite").partitionBy("priority").parquet(out)
+    // partition columns come back at the END of the inferred schema —
+    // reorder to the merge's own column order (the O12 contract the
+    // oracle's sorted-by-name compare doesn't see but consumers do)
+    s.read.parquet(out).select(merged.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+  }
+
   /** ORC round-trip certified by the oracle: the parquet `documents`
     * fixture is mirrored to ORC (staging under target/, like the e2e
     * fixtures), read back through [[graft.io.OrcSource]], and reduced
@@ -322,6 +359,7 @@ object PipelineQueries {
 
   val queries: Seq[Q] = Seq(
     Q("pipeline_e2e", MergeQueries.coalesceOracle)(runE2e),
+    Q("pipeline_e2e_parallel", MergeQueries.coalesceOracle)(runE2eParallel),
     Q("q_orc_mirror", orcMirrorOracle)(runOrcMirror),
     Q("q_partition_prune", partitionPruneOracle)(runPartitionPrune),
     Q("q_jdbc_mirror", jdbcMirrorOracle)(runJdbcMirror),

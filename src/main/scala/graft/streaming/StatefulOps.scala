@@ -675,6 +675,82 @@ object StatefulOps extends Serializable {
     }
   }
 
+  /** One LSH band arrival of the streaming near-dup screen: a document
+    * observed under one of its minhash band keys.
+    */
+  final case class BandArrival(band_key: Long, doc_id: Long, ts: Timestamp)
+
+  /** One per-band verdict: whether the document is the first (lowest
+    * doc_id) its band bucket has seen.
+    */
+  final case class BandVerdict(doc_id: Long, band_key: Long, first_in_band: Boolean)
+
+  /** Streaming MinHash-band near-dup screen — the ingestion-time face
+    * of the batch minhash/LSH family (`dedup_minhash_lsh`): each
+    * arriving document is checked, per band bucket, against the
+    * bucket's remembered minimum doc_id; a document whose EVERY band
+    * says "first" has no earlier near-dup candidate and passes the
+    * screen (the caller reduces the per-band verdicts with bool-and by
+    * doc). This is the screen semantics — a shared band is treated as
+    * a near-dup hit without the exact-Jaccard verify, the standard
+    * cheap first line an ingest pipeline runs before admitting a
+    * document to the expensive path.
+    *
+    * State per band bucket is TWO longs (min doc_id, last event-time
+    * seen). Verdicts emit on ARRIVAL (append mode, no watermark wait);
+    * the watermark exists to bound state: with `idleTtlMinutes`, a
+    * bucket idle past the TTL on the event-time clock is EVICTED, so
+    * state tracks buckets touched within the horizon, not buckets ever
+    * seen — a document arriving after its bucket's eviction re-admits
+    * as "first", the same within-horizon trade dedupWithinWatermark
+    * documents. Determinism: each trigger slice is sorted on doc_id
+    * (the transitionStream discipline), and the verdict is
+    * `doc_id == min-after-folding` — idempotent under replay (a
+    * re-delivered document re-derives its own verdict rather than
+    * demoting itself), so at-least-once delivery cannot corrupt the
+    * kept set. With time-monotone (doc_id-ordered) arrival and no
+    * eviction mid-run, the kept set equals the batch rule "doc is the
+    * minimum of every band bucket it occupies" — the DuckDB oracle of
+    * q_stream_neardup.
+    */
+  def bandFirstScreen(bands: Dataset[BandArrival],
+      watermarkDelay: Option[String] = None,
+      idleTtlMinutes: Option[Long] = None): Dataset[BandVerdict] = {
+    import bands.sparkSession.implicits._
+    val src = watermarkDelay
+      .map(d => bands.withWatermark("ts", d).as[BandArrival])
+      .getOrElse(bands)
+    val timeoutConf =
+      if (watermarkDelay.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src.groupByKey(_.band_key).flatMapGroupsWithState(
+      OutputMode.Append(), timeoutConf) {
+      (band: Long, it: Iterator[BandArrival], state: GroupState[(Long, Long)]) =>
+        if (state.hasTimedOut) {
+          // idle past the TTL: evict — state stays bounded by buckets
+          // ACTIVE within the horizon
+          state.remove()
+          Iterator.empty
+        } else {
+          var (m, lastSeen) = state.getOption.getOrElse((Long.MaxValue, 0L))
+          val out = it.toIndexedSeq.sortBy(_.doc_id).map { a =>
+            if (a.doc_id < m) m = a.doc_id
+            lastSeen = math.max(lastSeen, micros(a.ts))
+            BandVerdict(a.doc_id, band, a.doc_id == m)
+          }
+          state.update((m, lastSeen))
+          if (watermarkDelay.isDefined) idleTtlMinutes.foreach { ttl =>
+            // rounded UP to millis; always strictly past the current
+            // watermark as the API requires (the asofStream convention)
+            val deadline = (lastSeen + ttl * 60L * 1000000L + 999L) / 1000L
+            state.setTimeoutTimestamp(
+              math.max(deadline, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+        }
+    }
+  }
+
   /** Streaming exact dedup with BOUNDED state: first occurrence per key
     * combination is emitted; duplicate arrivals within the watermark
     * horizon are dropped, and key state older than the watermark is

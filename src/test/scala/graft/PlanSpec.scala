@@ -76,9 +76,15 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "sim_ann_recall_ivfpq" -> 3, // ground truth + 2 centroid assignments
     "sim_ann_recall_ivfpq_np2" -> 3, // same shape, wider query-side probe
     // ONE centroid-assignment cross join, stringified once per
-    // reference to the persisted clustered relation (cl, a, b)
-    "dedup_semantic" -> 3,
-    "curate_semantic" -> 2,    // same, referenced twice (a, b)
+    // reference to the persisted clustered relation (cl, a, b) — and
+    // TWICE per reference since round 14: semClusteredVectors
+    // materializes the assignment at build time (bounding the
+    // embeddings scan to one pass), so each reference prints the
+    // cached relation's FINALIZED AQE plan, which renders both the
+    // "Initial Plan" and the final plan. Still one executed cross
+    // join; 3 refs x 2 prints = 6.
+    "dedup_semantic" -> 6,
+    "curate_semantic" -> 4,    // same, referenced twice (a, b) x 2 prints
     // ONE O(|event_types|²) pair-dimension non-equi self-join (ta <
     // tb), stringified once per reference to the persisted pair
     // relation (exact + sketch membership, two union branches each)
