@@ -3,12 +3,22 @@
 output against the DuckDB oracle SQL it dumped, compare per query
 (sorted columns by name, sorted rows, exact values).
 
-Usage: check_oracle.py <sf_dir> <out_dir> [--json ARTIFACT] [name ...]
+Usage: check_oracle.py <sf_dir> <out_dir> [--json ARTIFACT] [--indb] [name ...]
 
 Trailing names restrict the compare to that subset (matching
 graft.Verify's own trailing-args contract); --json additionally dumps
 the per-query result map in the CORRECTNESS artifact shape
 ({name: {err, hash_match, rows, rows_match, schema_match}}).
+
+--indb keeps the row compare INSIDE DuckDB (counts + symmetric
+EXCEPT ALL over name-ordered columns, memory-limited and
+disk-spilling) instead of materializing both result sets as Python
+tuples — the default path sorts every row in the interpreter, which
+at sf100 (a 150M-row pipeline_e2e result) exceeds physical RAM. Both
+sides of the in-DB compare are evaluated by DuckDB (it reads the
+Spark parquet AND runs the oracle), so value normalization is
+engine-uniform; NaNs compare equal under DuckDB's hash semantics,
+matching the default path's repr() equality.
 """
 import json, sys, math
 import duckdb
@@ -31,8 +41,14 @@ def frame(rows, cols):
     return [cols[i] for i in order], out
 
 
-def main(sf_dir, out_dir, json_out=None, only=()):
+def main(sf_dir, out_dir, json_out=None, only=(), indb=False):
     con = duckdb.connect()
+    if indb:
+        # bounded + spillable: the sf100 compares join/hash hundreds of
+        # millions of rows — cap the engine well under physical RAM and
+        # let it spill instead of getting OOM-killed
+        con.execute("SET memory_limit='48GB'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -53,6 +69,62 @@ def main(sf_dir, out_dir, json_out=None, only=()):
                          "schema_match": schema_match}
 
     for name, sql in sorted(oracle.items()):
+        if indb:
+            spark_rel = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
+            try:
+                gt = con.execute(f"DESCRIBE {spark_rel}").fetchall()
+            except Exception as e:
+                print(f"FAIL {name}: spark output unreadable: {e}")
+                record(name, err=f"spark output unreadable: {e}")
+                n_fail += 1
+                continue
+            try:
+                et = con.execute(f"DESCRIBE {sql}").fetchall()
+            except Exception as e:
+                msg = str(e).splitlines()[0]
+                print(f"FAIL {name}: oracle SQL error: {msg}")
+                record(name, err=f"oracle SQL error: {msg}")
+                n_fail += 1
+                continue
+            gtypes = {r[0]: r[1] for r in gt}
+            etypes = {r[0]: r[1] for r in et}
+            if gtypes != etypes:
+                tdiff = {k: (gtypes.get(k), etypes.get(k))
+                         for k in set(gtypes) | set(etypes)
+                         if gtypes.get(k) != etypes.get(k)}
+                print(f"FAIL {name}: schema differs {tdiff}")
+                record(name, err=f"schema differs {tdiff}")
+                n_fail += 1
+                continue
+            cols = ", ".join(f'"{c}"' for c in sorted(gtypes))
+            try:
+                n_spark = con.execute(
+                    f"SELECT count(*) FROM ({spark_rel})").fetchone()[0]
+                n_diff = con.execute(
+                    f"SELECT count(*) FROM ("
+                    f"(SELECT {cols} FROM ({spark_rel}) "
+                    f" EXCEPT ALL SELECT {cols} FROM ({sql}))"
+                    f" UNION ALL "
+                    f"(SELECT {cols} FROM ({sql}) "
+                    f" EXCEPT ALL SELECT {cols} FROM ({spark_rel})))"
+                ).fetchone()[0]
+            except Exception as e:
+                msg = str(e).splitlines()[0]
+                print(f"FAIL {name}: in-db compare error: {msg}")
+                record(name, err=f"in-db compare error: {msg}")
+                n_fail += 1
+                continue
+            if n_diff:
+                print(f"FAIL {name}: {n_diff} asymmetric rows "
+                      f"(spark rows: {n_spark})")
+                record(name, rows=n_spark, schema_match=True)
+                n_fail += 1
+                continue
+            print(f"PASS {name} ({n_spark} rows)")
+            record(name, rows=n_spark, rows_match=True, schema_match=True,
+                   hash_match=True)
+            n_pass += 1
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -128,13 +200,17 @@ def main(sf_dir, out_dir, json_out=None, only=()):
 
 def usage():
     print("usage: check_oracle.py <sf_dir> <out_dir> [--json ARTIFACT] "
-          "[name ...]", file=sys.stderr)
+          "[--indb] [name ...]", file=sys.stderr)
     sys.exit(2)
 
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
     json_out = None
+    indb = False
+    if "--indb" in argv:
+        indb = True
+        argv.remove("--indb")
     if "--json" in argv:
         i = argv.index("--json")
         if i + 1 >= len(argv):
@@ -144,4 +220,4 @@ if __name__ == "__main__":
         argv = argv[:i] + argv[i + 2:]
     if len(argv) < 2:
         usage()
-    sys.exit(main(argv[0], argv[1], json_out, tuple(argv[2:])))
+    sys.exit(main(argv[0], argv[1], json_out, tuple(argv[2:]), indb=indb))

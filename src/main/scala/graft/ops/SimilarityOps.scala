@@ -261,22 +261,44 @@ object SimilarityOps {
     * [[assignK]]/[[assignKSql]] carry the full embedding array through
     * their row_number sort — fine at k=8 centroids, but ~20 GB of
     * window payload at k≈200 and 200k vectors (sf10), where DuckDB's
-    * replay actually ran out of memory. Spark side: max_by over a
-    * (cosv, -c_id) ordering struct — a hash aggregate with map-side
-    * combine, so the N·k scored rows never shuffle at all; ties break
-    * to the smaller c_id exactly like the row_number formulation.
+    * replay actually ran out of memory.
+    *
+    * The argmax itself is a TWO-PASS hash formulation (round 14): the
+    * round-13 `max_by(c_id, struct(cosv, -c_id))` was written for its
+    * map-side combine, but a struct-ordered max_by has a non-primitive
+    * aggregation buffer, so Spark plans it as a partial
+    * SORT-aggregate — which SORTS all N·k scored rows per task before
+    * combining. At sf100 (2M vectors, adaptive k≈1953) that sort
+    * spilled 44+ GB to disk and died; the per-vector reduction was
+    * hiding a full materialization of the scored relation. Instead:
+    * pass 1 hash-aggregates max(cosv) per vector (primitive buffer —
+    * a genuine HashAggregate with map-side combine; only N rows reach
+    * the exchange), the N-row max table rides back onto the vectors
+    * via one hash join, and pass 2 RE-SCORES the same broadcast cross
+    * join, keeps rows achieving the max bitwise (same codegen'd
+    * expression over the same inputs — deterministic IEEE, exact
+    * equality), and hash-aggregates min(c_id) — the identical
+    * smaller-c_id tie-break as the row_number formulation. The N·k
+    * dot products run twice; at every scale that trade beats sorting
+    * N·k rows on disk (the assignment stays one codegen stage per
+    * pass, nothing materializes).
     */
   private def assignSem(n: DataFrame, centsDf: DataFrame): DataFrame = {
-    val scored = n.crossJoin(broadcast(centsDf))
-      .select(col("vec_id"), col("c_id"),
-        cosine(dot(col("emb"), col("c_emb")), col("nsq"), col("c_nsq")).as("cosv"))
-    val best = scored.groupBy("vec_id")
-      .agg(max_by(col("c_id"), struct(col("cosv"), (-col("c_id")).as("nc"))).as("c_id"))
-    n.join(best, "vec_id").select(col("vec_id"), col("emb"), col("nsq"), col("c_id"))
+    val score = cosine(dot(col("emb"), col("c_emb")), col("nsq"), col("c_nsq"))
+    val best = n.crossJoin(broadcast(centsDf))
+      .select(col("vec_id"), score.as("cosv"))
+      .groupBy("vec_id").agg(max(col("cosv")).as("best_cos"))
+    n.join(best, "vec_id")
+      .crossJoin(broadcast(centsDf))
+      .filter(score === col("best_cos"))
+      .groupBy("vec_id").agg(min(col("c_id")).as("c_id"))
+      .join(n, "vec_id")
+      .select(col("vec_id"), col("emb"), col("nsq"), col("c_id"))
   }
 
   /** SQL twin of [[assignSem]] (row_number over the scalar-projected
-    * scores — bit-identical pick to max_by's (cosv, -c_id) ordering).
+    * scores — bit-identical pick to the two-pass max/min-achiever
+    * argmax: highest cosv, ties to the smaller c_id).
     */
   private def assignSemSql: String =
     s"""SELECT n2.vec_id, n2.emb, n2.nsq, z.c_id

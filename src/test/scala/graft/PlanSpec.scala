@@ -75,16 +75,19 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "sim_ann_recall_pq" -> 1,  // brute-force ground-truth side
     "sim_ann_recall_ivfpq" -> 3, // ground truth + 2 centroid assignments
     "sim_ann_recall_ivfpq_np2" -> 3, // same shape, wider query-side probe
-    // ONE centroid-assignment cross join, stringified once per
-    // reference to the persisted clustered relation (cl, a, b) — and
-    // TWICE per reference since round 14: semClusteredVectors
-    // materializes the assignment at build time (bounding the
-    // embeddings scan to one pass), so each reference prints the
-    // cached relation's FINALIZED AQE plan, which renders both the
-    // "Initial Plan" and the final plan. Still one executed cross
-    // join; 3 refs x 2 prints = 6.
-    "dedup_semantic" -> 6,
-    "curate_semantic" -> 4,    // same, referenced twice (a, b) x 2 prints
+    // TWO centroid-assignment cross joins per build since round 14
+    // (assignSem's two-pass hash argmax: score-max pass + re-score
+    // pass — the struct-ordered max_by it replaced planned as a
+    // partial SORT-aggregate and spilled 44 GB sorting the N·k scored
+    // rows at sf100), stringified TWICE per reference to the
+    // persisted clustered relation: semClusteredVectors materializes
+    // the assignment at build time (bounding the embeddings scan to
+    // one pass), so each reference prints the cached relation's
+    // FINALIZED AQE plan, which renders both the "Initial Plan" and
+    // the final plan. Still two executed broadcast cross joins;
+    // 3 refs x 2 prints x 2 joins = 12.
+    "dedup_semantic" -> 12,
+    "curate_semantic" -> 8,  // same, referenced twice (a, b) x 2 x 2
     // ONE O(|event_types|²) pair-dimension non-equi self-join (ta <
     // tb), stringified once per reference to the persisted pair
     // relation (exact + sketch membership, two union branches each)
