@@ -98,16 +98,24 @@ def main(sf_dir, out_dir, json_out=None, only=(), indb=False):
                 continue
             cols = ", ".join(f'"{c}"' for c in sorted(gtypes))
             try:
+                # materialize each side ONCE (heavy oracles replay the
+                # full minhash/simhash machinery — evaluating them per
+                # EXCEPT side would double that cost); temp tables obey
+                # memory_limit and spill to temp_directory
+                con.execute(f"CREATE OR REPLACE TEMP TABLE __g AS "
+                            f"SELECT {cols} FROM ({spark_rel})")
+                con.execute(f"CREATE OR REPLACE TEMP TABLE __e AS "
+                            f"SELECT {cols} FROM ({sql})")
                 n_spark = con.execute(
-                    f"SELECT count(*) FROM ({spark_rel})").fetchone()[0]
+                    "SELECT count(*) FROM __g").fetchone()[0]
                 n_diff = con.execute(
-                    f"SELECT count(*) FROM ("
-                    f"(SELECT {cols} FROM ({spark_rel}) "
-                    f" EXCEPT ALL SELECT {cols} FROM ({sql}))"
-                    f" UNION ALL "
-                    f"(SELECT {cols} FROM ({sql}) "
-                    f" EXCEPT ALL SELECT {cols} FROM ({spark_rel})))"
+                    "SELECT count(*) FROM ("
+                    "(SELECT * FROM __g EXCEPT ALL SELECT * FROM __e)"
+                    " UNION ALL "
+                    "(SELECT * FROM __e EXCEPT ALL SELECT * FROM __g))"
                 ).fetchone()[0]
+                con.execute("DROP TABLE IF EXISTS __g")
+                con.execute("DROP TABLE IF EXISTS __e")
             except Exception as e:
                 msg = str(e).splitlines()[0]
                 print(f"FAIL {name}: in-db compare error: {msg}")
