@@ -46,9 +46,16 @@ def main(sf_dir, out_dir, json_out=None, only=(), indb=False):
     if indb:
         # bounded + spillable: the sf100 compares join/hash hundreds of
         # millions of rows — cap the engine well under physical RAM and
-        # let it spill instead of getting OOM-killed
-        con.execute("SET memory_limit='48GB'")
-        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+        # let it spill instead of getting OOM-killed. Overridable so
+        # several replay workers can share the box without overcommit.
+        import os
+        mem = os.environ.get("CHECK_ORACLE_MEM", "48GB")
+        spill = os.environ.get("CHECK_ORACLE_SPILL", "/tmp/duckdb_spill")
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute(f"SET temp_directory='{spill}'")
+        thr = os.environ.get("CHECK_ORACLE_THREADS")
+        if thr:
+            con.execute(f"SET threads={int(thr)}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -67,6 +74,13 @@ def main(sf_dir, out_dir, json_out=None, only=(), indb=False):
         results[name] = {"err": err, "hash_match": hash_match,
                          "rows": rows, "rows_match": rows_match,
                          "schema_match": schema_match}
+        if indb:
+            # the in-DB path proves multiset equality (counts +
+            # symmetric EXCEPT ALL), not the driver's full-precision
+            # repr() hash — record that honestly so artifact consumers
+            # can tell the two certifications apart
+            results[name]["hash_match"] = None
+            results[name]["mode"] = "indb"
 
     for name, sql in sorted(oracle.items()):
         if indb:

@@ -46,10 +46,13 @@ object EventOps {
   private[graft] def timeBounds(df: DataFrame,
       sentinelKeys: Seq[String] = Nil): (Long, Long) = {
     val aggs = Seq(min(col("ts")), max(col("ts"))) ++
-      sentinelKeys.map(k => min(col(k)))
+      sentinelKeys.map(k => min(col(k).cast("long")))
     val b = df.agg(aggs.head, aggs.tail: _*).head()
     require(!b.isNullAt(0) && !b.isNullAt(1),
       "timeBounds: source has no non-null `ts` rows — cannot stage an empty stream")
+    // key cast to long in the aggregate above, so this guard is
+    // type-agnostic: an IntegerType key fixture still hits the
+    // intended diagnostic, not a ClassCastException from getLong
     sentinelKeys.zipWithIndex.foreach { case (k, i) =>
       require(b.isNullAt(2 + i) || b.getLong(2 + i) >= 0L,
         s"timeBounds: fixture has negative `$k` (min=${b.getLong(2 + i)}) — " +
@@ -158,6 +161,18 @@ object EventOps {
     * so at-least-once re-delivery (a replayed micro-batch after
     * restart) re-derives identical partition content.
     *
+    * The struct-keyed max_by here plans as a partial SORT-aggregate
+    * (non-primitive buffer) — the same shape the round-14 SemDeDup
+    * fix removed from assignSem. It is acceptable HERE because the
+    * aggregate's input is bounded by construction: one micro-batch
+    * plus the state of the buckets it touches, and the bucket count
+    * is sized so one bucket ≈ one comfortable rewrite unit (see
+    * UpsertBuckets above) — the sort never sees more than k rewrite
+    * units of rows, regardless of total table size. If that sizing
+    * invariant is ever relaxed (unbounded per-bucket state), apply
+    * the assignSem two-pass primitive-buffer argmax (max(ts) per key,
+    * join back, break ties on max(event_id)) instead.
+    *
     * The existing slice is localCheckpoint'ed (materialized, lineage
     * cut) before the overwrite — Spark refuses a write whose plan
     * still reads the destination path. A real deployment gets this
@@ -173,8 +188,14 @@ object EventOps {
     val asEvents = (df: DataFrame) => df.select(
       col("user_id"), col("last_ts").as("ts"),
       col("last_event_id").as("event_id"), col("last_value").as("value"))
+    // existence probe through the Hadoop FileSystem of the table's
+    // OWN scheme (file:, hdfs:, s3a:, ...) — a java.io.File probe is
+    // always false off the local FS and would silently drop existing
+    // state on the first batch of a restarted job
+    val tablePath = new org.apache.hadoop.fs.Path(table)
+    val tableFs = tablePath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val existing =
-      if (new java.io.File(table).exists()) {
+      if (tableFs.exists(tablePath)) {
         val touched = batch.select(bucketOf(col("user_id")).as("b"))
           .distinct().collect().map(_.getLong(0)) // bounded: <= UpsertBuckets
         Some(asEvents(s.read.parquet(table)

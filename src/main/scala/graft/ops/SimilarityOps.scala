@@ -197,8 +197,20 @@ object SimilarityOps {
   private[graft] def semClusteredVectors(s: SparkSession, dir: String): DataFrame = {
     val n = vectors(s, dir).withColumn("nsq", normSq(col("emb"))).persist()
     try {
-      val cl = assignSem(n, semCents(n, n.count())).persist()
-      cl.count()
+      val total = n.count()
+      val cl = assignSem(n, semCents(n, total)).persist()
+      // totality invariant on the two-pass argmax: pass 2 keeps rows
+      // via bitwise re-evaluation of the same codegen'd cosine — if a
+      // future Spark change ever broke that exact equality, vectors
+      // would VANISH through the inner joins rather than fail. The
+      // materializing count we already pay doubles as the guard
+      // (SimilaritySpec pins the same invariant on a duplicate-max
+      // fixture).
+      val assigned = cl.count()
+      require(assigned == total,
+        s"assignSem dropped ${total - assigned} of $total vectors — " +
+          "pass-2 bitwise max-achiever filter no longer reproduces " +
+          "pass-1 scores exactly (see assignSem doc)")
       cl
     } finally n.unpersist()
   }

@@ -77,6 +77,43 @@ class CurationOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  // Guards the two-pass argmax's bitwise-equality assumption
+  // (SimilarityOps.assignSem pass 2 keeps rows via score === best_cos
+  // across two executions of the same codegen'd expression): with ALL
+  // EIGHT seed centroids identical, every vector has 8 bitwise-tied
+  // max achievers — the worst case for the re-score filter. Every
+  // vector must still be assigned exactly once, to the min c_id. A
+  // future Spark change that broke exact re-evaluation would drop
+  // vectors here (and trip the semClusteredVectors require) long
+  // before it corrupted a real corpus.
+  test("semClusteredVectors: duplicate-max centroids — every vector assigned once, min c_id wins") {
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft-semtie")
+    val tmp = tmpPath.toString
+    try {
+      // vec_id 0..7 (the seed centroids) share ONE embedding; the rest
+      // vary — so all 8 centroid scores tie bitwise for every vector
+      spark.range(64).select(col("id").as("vec_id"),
+          when(col("id") < 8,
+            expr("transform(sequence(0, 63), j -> CAST(j + 1 AS FLOAT))"))
+            .otherwise(expr("transform(sequence(0, 63), " +
+              "j -> CAST(((id*31 + j*7) % 97 - 48) / 48.0 AS FLOAT))"))
+            .as("embedding"),
+          lit("x").as("label"))
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val cl = graft.ops.SimilarityOps.semClusteredVectors(spark, tmp)
+        .select("vec_id", "c_id").as[(Long, Long)].collect()
+      assert(cl.length === 64, "totality: every vector assigned")
+      assert(cl.map(_._1).distinct.length === 64, "exactly once each")
+      assert(cl.forall(_._2 === 0L),
+        "8-way bitwise tie must break to the smallest c_id")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("dedup_semantic: verdict covers the corpus and both classes occur") {
     val rows = run("dedup_semantic")
       .select("vec_id", "kept").as[(Long, Long)].collect()

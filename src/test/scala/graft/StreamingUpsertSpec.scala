@@ -61,6 +61,29 @@ class StreamingUpsertSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("merge works against a file:-qualified URI (Hadoop FS probe, not java.io.File)") {
+    // a scheme-qualified table path is invisible to java.io.File —
+    // this pins that the existence probe goes through the Hadoop
+    // FileSystem of the table's own scheme, so the second batch MERGES
+    // with the first instead of silently dropping its state
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert-uri")
+    val table = s"file://$root/table"
+    try {
+      graft.ops.EventOps.upsertEventsBatch(table, ev(Seq(
+        (1L, "2024-01-01 10:00:00", 2L, 1.0))))
+      graft.ops.EventOps.upsertEventsBatch(table, ev(Seq(
+        (2L, "2024-01-01 11:00:00", 35L, 2.0))))
+      assert(snapshot(table) === Set(
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0),
+        (35L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2L, 2.0)),
+        "state from batch 1 must survive a batch-2 merge through the URI path")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("a batch rewrites only the bucket partitions its keys touch") {
     val root = java.nio.file.Files.createTempDirectory("graft-upsert-prune")
     val table = s"$root/table"
