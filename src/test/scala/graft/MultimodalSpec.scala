@@ -4,9 +4,10 @@ import graft.ops.MultimodalOps
 import graft.ops.MultimodalOps.{Frame, MediaRow}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Drives the partition-parallel decode path (MultimodalOps.decodeFrames
-  * + StubCodec) and pins it to the expression-level frame math the
-  * mm_frame_sample oracle checks — the two must agree.
+/** Drives the partition-parallel decode paths (MultimodalOps
+  * decodeFrames/byteFrames, the image/audio codecs, and the GVID video
+  * container) and pins byteFrames to the expression-level frame math
+  * the mm_frame_sample oracle checks — the two must agree.
   */
 class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
@@ -141,10 +142,63 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out(1) === MultimodalOps.RoutedRow(2L, "quarantined", None))
   }
 
-  test("stub codec dims are deterministic on payload bytes") {
-    val (w1, h1) = MultimodalOps.StubCodec.decodeMeta("abc".getBytes)
-    val (w2, h2) = MultimodalOps.StubCodec.decodeMeta("abc".getBytes)
-    assert((w1, h1) === (w2, h2))
-    assert(w1 >= 1 && w1 <= 640 && h1 >= 1 && h1 <= 480)
+  test("VideoCodec round-trips: sampled frames decode to the generating pixels") {
+    val video = MultimodalOps.VideoCodec.synthVideo(9L, 6, 5)
+    // doc 9: 9 % 6 + 2 = 5 frames; stride 2 samples 0, 2, 4
+    val frames = MultimodalOps.VideoCodec.decodeSampledFrames(video)
+    assert(frames.map(_._1) === Seq(0L, 2L, 4L))
+    frames.foreach { case (fi, st) =>
+      assert((st.width, st.height) === (6, 5))
+      val key = MultimodalOps.VideoCodec.frameKey(9L, fi.toInt)
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until 5; x <- 0 until 6) {
+        er += MultimodalOps.ImageCodec.pixel(key, x, y, 0)
+        eg += MultimodalOps.ImageCodec.pixel(key, x, y, 1)
+        eb += MultimodalOps.ImageCodec.pixel(key, x, y, 2)
+      }
+      assert((st.sumR, st.sumG, st.sumB) === (er, eg, eb),
+        s"frame $fi decoded sums diverge from the generating formula")
+    }
+  }
+
+  test("VideoCodec decode honors the container's table, not the writer's layout") {
+    // hand-build a container whose table lists frames in REVERSED
+    // payload order: frame index 0's bytes live LAST in the payload. A
+    // decoder assuming the writer's sequential layout reads the wrong
+    // frame; one seeking through the table gets each frame right.
+    val f0 = MultimodalOps.ImageCodec.synthPng(100L, 4, 3)
+    val f1 = MultimodalOps.ImageCodec.synthPng(200L, 4, 3)
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeBytes("GVID"); dos.writeInt(2)
+    val base = (8 + 2 * 12).toLong
+    dos.writeLong(base + f1.length); dos.writeInt(f0.length) // frame 0 AFTER frame 1
+    dos.writeLong(base); dos.writeInt(f1.length)
+    dos.write(f1); dos.write(f0); dos.flush()
+    val frames = MultimodalOps.VideoCodec.decodeSampledFrames(bos.toByteArray, stride = 1)
+    val s0 = MultimodalOps.ImageCodec.decodeStats(f0)
+    val s1 = MultimodalOps.ImageCodec.decodeStats(f1)
+    assert(frames === Seq((0L, s0), (1L, s1)),
+      "frames must be sliced at the table's offsets, not sequentially")
+  }
+
+  test("routeVideoDecodes quarantines truncated containers and bad frames per row") {
+    import spark.implicits._
+    val good = MultimodalOps.VideoRow(1L, MultimodalOps.VideoCodec.synthVideo(1L, 5, 4))
+    val truncated = MultimodalOps.VideoRow(2L,
+      MultimodalOps.VideoCodec.synthVideo(2L, 5, 4).take(8)) // table gone
+    // valid table, undecodable frame bytes: corrupt one sampled frame's
+    // payload region (zero 16 bytes inside frame 0, past its PNG magic)
+    val corrupt = {
+      val v = MultimodalOps.VideoCodec.synthVideo(3L, 5, 4)
+      val headerLen = 8 + MultimodalOps.VideoCodec.nVideoFrames(3L) * 12
+      for (i <- headerLen + 16 until headerLen + 32) v(i) = 0
+      MultimodalOps.VideoRow(3L, v)
+    }
+    val out = MultimodalOps.routeVideoDecodes(Seq(good, truncated, corrupt).toDS())
+      .collect().sortBy(_.doc_id)
+    assert(out(0) === MultimodalOps.VideoRoutedRow(1L, "ok", Some(3L))) // 1 % 6 + 2
+    assert(out(1) === MultimodalOps.VideoRoutedRow(2L, "quarantined", None))
+    assert(out(2) === MultimodalOps.VideoRoutedRow(3L, "quarantined", None))
   }
 }
