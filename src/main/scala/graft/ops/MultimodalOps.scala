@@ -37,6 +37,16 @@ import org.apache.spark.sql.types.LongType
   */
 object MultimodalOps {
 
+  // ImageIO defaults to a DISK-backed scratch cache in java.io.tmpdir
+  // for stream reads — which makes a pure in-memory decode of a
+  // few-KB payload fail (and, in the quarantine paths, silently
+  // misroute a pristine row as corrupt) whenever executor-local /tmp
+  // is full. Decoding a byte array must not touch scratch disk:
+  // measured at sf10, a concurrent disk-spiller quarantined one
+  // healthy mm_video_quarantine row through exactly this path. The
+  // setting is per-JVM static; executors re-run this object init.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val FrameBytes = 16
   val SampleStride = 4
 
