@@ -1233,6 +1233,54 @@ object DedupOps {
           (col("hit").cast(DoubleType) / col("n_truth")).as("recall"))
     },
 
+    // ── sampled-truth recall: the AT-SCALE variant of dedup_lsh_recall
+    // The full exact All-Pairs truth set is the one relation in the
+    // registry whose cost is inherently super-linear in corpus size
+    // (it IS the ground truth, not the scale path) — at sf100 its
+    // shuffle scratch exceeds any single box. The standard at-scale
+    // recall protocol instead measures the generator against the
+    // exact truth of a deterministic corpus SAMPLE: band candidacy is
+    // PAIR-LOCAL (two docs collide iff their own signatures share a
+    // band — no other doc participates), so the generator's recall
+    // restricted to sample pairs IS its recall on those pairs in the
+    // full run, and the 1/8 sample (doc_id % 8 = 0, ~1/64 of the pair
+    // volume) estimates full recall without the quadratic truth bill.
+    // Both sides here run over the sampled corpus: the sampled band
+    // generator produces EXACTLY the full generator's candidates
+    // restricted to sampled pairs (pair-locality again), which is
+    // what AllPairsSpec-style exactness plus this row's oracle pin.
+    Q("dedup_lsh_recall_sampled", {
+      val sampledSql =
+        s"SELECT doc_id, text FROM ($docsAugSql) da WHERE doc_id % 8 = 0"
+      s"""WITH lsh AS (${minhashPairsSqlOver(sampledSql)}),
+         |truth AS (${allPairsSqlOver(sampledSql, 1, 2)}),
+         |m AS (
+         |  SELECT CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_t,
+         |         CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_l
+         |  FROM truth t FULL OUTER JOIN lsh l
+         |    ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b)
+         |SELECT CAST(sum(in_t) AS BIGINT) AS n_truth,
+         |  CAST(sum(in_l) AS BIGINT) AS n_lsh,
+         |  CAST(sum(in_t * in_l) AS BIGINT) AS n_hit,
+         |  CAST(sum(in_t * in_l) AS DOUBLE) / sum(in_t) AS recall
+         |FROM m""".stripMargin
+    }) { (s, dir) =>
+      // one persisted SAMPLED shingle-set scan feeds generator and
+      // truth, the dedup_lsh_recall sharing argument at 1/8 the rows
+      val sets = shingleSets(
+        docsAug(s, dir).filter(col("doc_id") % 8 === 0)).persist()
+      val truth = allPairsOverSets(sets, 1, 2)
+        .select(col("doc_a"), col("doc_b")).persist()
+      // raw candidates ∩ truth = verified pairs ∩ truth (the
+      // dedup_lsh_recall subset argument, unchanged by sampling)
+      val hits = minhashCandPairsOverSets(sets)
+        .join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      truth.agg(count(lit(1)).cast(LongType).as("n_truth"))
+        .crossJoin(hits.agg(count(lit(1)).cast(LongType).as("hit")))
+        .select(col("n_truth"), col("hit").as("n_lsh"), col("hit").as("n_hit"),
+          (col("hit").cast(DoubleType) / col("n_truth")).as("recall"))
+    },
+
     // ── cross-document boilerplate detection ────────────────────────
     // The repeated-n-gram sweep an LLM-data pipeline runs before
     // training: word-5-grams appearing in >= 3 DISTINCT documents are

@@ -122,7 +122,9 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // 1-row truth-count x 1-row hit-count summary attach (r13: the lsh
     // side intersects raw band candidates with the truth set and the
     // two scalar aggregates meet in one bounded cross join)
-    "dedup_lsh_recall" -> 1)
+    "dedup_lsh_recall" -> 1,
+    // same 1-row x 1-row summary attach over the sampled corpus
+    "dedup_lsh_recall_sampled" -> 1)
 
   private val planOnly =
     SparkEntry.queries.keySet - "pipeline_e2e" -- nljBudget.keySet
