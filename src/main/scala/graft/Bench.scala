@@ -146,7 +146,15 @@ object Bench {
     // last pass — two samples bracket the timed window, so a reader
     // can also see whether the host drifted DURING the run
     val calibStart = calibrate()
-    passOver(order, 1, repeats = 2) // consecutive warm pair per query
+    // consecutive warm pair per query by default; SPARK_GRAFT_BENCH_REPEATS=1
+    // drops to single-shot for the very largest fixtures (sf100), where a
+    // second pass doubles hours of wall for timings the growth-ratio
+    // table reads at one significant figure — the artifact records
+    // per-query run counts either way, so a reader can see which
+    // schedule produced it
+    val pairRepeats =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
+    passOver(order, 1, repeats = pairRepeats)
     // slow queries decide the headline total and the judge's regression
     // read: any query whose warm-pair best exceeds 1s gets a third,
     // window-decorrelated sample
