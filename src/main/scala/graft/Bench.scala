@@ -158,8 +158,13 @@ object Bench {
     // slow queries decide the headline total and the judge's regression
     // read: any query whose warm-pair best exceeds 1s gets a third,
     // window-decorrelated sample
-    val slow = order.filter { case (n, _) =>
-      runsAcc(n).nonEmpty && runsAcc(n).min > 1.0 }
+    // single-shot mode means single-shot: at sf100 nearly every row
+    // exceeds the 1s slow cut, so the rescue passes would silently
+    // double the wall the repeat dial was set to halve
+    val slow =
+      if (pairRepeats < 2) Seq.empty
+      else order.filter { case (n, _) =>
+        runsAcc(n).nonEmpty && runsAcc(n).min > 1.0 }
     passOver(slow.reverse, 2)
     // contention rescue: when even the best-of-3 sits far above the
     // band the other runs define (max/min > 2 means SOME run was
