@@ -325,6 +325,107 @@ object SimilarityOps {
        |  WHERE crn = 1) z
        |JOIN n n2 ON n2.vec_id = z.vec_id""".stripMargin
 
+  // ── hierarchical (two-level) SemDeDup assignment ──────────────────
+
+  /** Two-level coarse→fine assignment — the "hierarchical coarse
+    * quantizer" rung the [[semCents]] comment names as the next step
+    * at extreme scale. The flat [[assignSem]] scores every vector
+    * against all k = N/SemClusterTarget fine centroids: N·k dot
+    * products, i.e. N²/target — the one super-linear term left in the
+    * SemDeDup chain (measured 12-13x at 10x data in the sf10→sf100
+    * bench). Routing through kc ≈ ceil(√k) coarse cells first cuts
+    * scoring to ~N·(√k + k/√k) = 2N·√k — at sf100 (k≈1953, kc≈45)
+    * that is ~22x less scoring work — at the cost of the standard IVF
+    * approximation: a vector whose true nearest fine centroid lives
+    * outside its coarse cell is assigned to the best fine centroid
+    * WITHIN its cell instead (the trade every IVF index makes; cluster
+    * assignment feeds a near-dup cut, not an exact-NN contract).
+    *
+    * Scale shape: all three argmax stages reuse the two-pass
+    * primitive-buffer hash formulation of [[assignSem]] (nothing
+    * sorts, nothing materializes N·k rows); the within-cell stage
+    * joins the routed vectors to the O(k) fine-centroid table on the
+    * coarse key as a BROADCAST hash join, so the whole assignment is
+    * map-side — its only exchanges are the per-vector hash aggs with
+    * map-side combine. `v2g` (two longs per vector) is persisted
+    * because pass 2 of the within-cell argmax re-executes its input.
+    *
+    * Totality: every coarse centroid is also a fine centroid
+    * (kc <= k, same seed convention), and with real-valued embeddings
+    * it routes to itself (cosine exactly 1), so every routed-to cell
+    * has a non-empty fine candidate list; the caller's count
+    * invariant ([[semHierClusteredVectors]]) turns any violation of
+    * that argument into a loud error rather than silently dropped
+    * vectors.
+    */
+  private def assignSemHier(n: DataFrame, count: Long): DataFrame = {
+    val k = math.max(NumCentroids.toLong, count / SemClusterTarget)
+    val kc = math.max(NumCentroids.toLong, math.ceil(math.sqrt(k.toDouble)).toLong)
+    val fc = n.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"), col("nsq").as("c_nsq"))
+    val gc = n.filter(col("vec_id") < kc)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"), col("nsq").as("c_nsq"))
+    // fine→coarse routing table: the k fine centroids viewed as
+    // vectors, assigned to their nearest coarse centroid (k·kc dots)
+    val f2g = assignSem(
+        fc.select(col("c_id").as("vec_id"), col("c_emb").as("emb"),
+          col("c_nsq").as("nsq")), gc)
+      .select(col("vec_id").as("f_id"), col("c_id").as("g_id"))
+    // vector→coarse routing (N·kc dots, the first broadcast pass)
+    val v2g = assignSem(n, gc)
+      .select(col("vec_id"), col("c_id").as("g_id")).persist()
+    val fineWithG = fc.join(f2g, fc("c_id") === f2g("f_id"))
+      .select(col("c_id"), col("c_emb"), col("c_nsq"), col("g_id"))
+    val routed = n.join(v2g, "vec_id")
+    def scored = routed.join(broadcast(fineWithG), "g_id")
+    val score = cosine(dot(col("emb"), col("c_emb")), col("nsq"), col("c_nsq"))
+    val best = scored.select(col("vec_id"), score.as("cosv"))
+      .groupBy("vec_id").agg(max(col("cosv")).as("best_cos"))
+    scored.join(best, "vec_id")
+      .filter(score === col("best_cos"))
+      .groupBy("vec_id").agg(min(col("c_id")).as("c_id"))
+      .join(n, "vec_id")
+      .select(col("vec_id"), col("emb"), col("nsq"), col("c_id"))
+  }
+
+  /** [[semClusteredVectors]]' hierarchical twin: same persist/count
+    * anchoring, same totality invariant (which here also guards the
+    * every-cell-non-empty routing argument of [[assignSemHier]]).
+    */
+  private[graft] def semHierClusteredVectors(s: SparkSession, dir: String): DataFrame = {
+    val n = vectors(s, dir).withColumn("nsq", normSq(col("emb"))).persist()
+    try {
+      val total = n.count()
+      val cl = assignSemHier(n, total).persist()
+      val assigned = cl.count()
+      require(assigned == total,
+        s"assignSemHier dropped ${total - assigned} of $total vectors — " +
+          "either pass-2 bitwise equality broke (see assignSem doc) or " +
+          "a coarse cell had no fine centroid (see assignSemHier doc)")
+      cl
+    } finally n.unpersist()
+  }
+
+  /** SQL twin of [[assignSemHier]] (three row_number argmaxes with the
+    * same DESC-score, ASC-id tie-break as every flat twin). Expects
+    * CTEs `n` (vectors+norms) and `kk` (the adaptive k) in scope;
+    * yields a `cl`-shaped relation (vec_id, emb, nsq, c_id).
+    */
+  private def assignSemHierSql: String =
+    s"""SELECT n2.vec_id, n2.emb, n2.nsq, z.c_id
+       |FROM (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT t.vec_id, f.c_id,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${sqlCosine(sqlDot("t.emb", "f.c_emb"), "t.nsq", "f.c_nsq")} DESC, f.c_id) AS crn
+       |    FROM (SELECT nn.*, vg.g_id
+       |          FROM n nn JOIN v2g vg ON vg.vec_id = nn.vec_id) t
+       |    JOIN (SELECT ff.*, fg.g_id
+       |          FROM fc ff JOIN f2g fg ON fg.f_id = ff.c_id) f
+       |      ON f.g_id = t.g_id) y
+       |  WHERE crn = 1) z
+       |JOIN n n2 ON n2.vec_id = z.vec_id""".stripMargin
+
   // ── product-quantization building blocks ──────────────────────────
 
   /** Explode a vector relation into (id, m, sub, snsq) subvector rows —
@@ -1064,6 +1165,51 @@ object SimilarityOps {
          |FROM cl c LEFT JOIN dropped d ON c.vec_id = d.vec_id""".stripMargin) {
       (s, dir) =>
       val cl = semClusteredVectors(s, dir).persist()
+      val dropped = semanticDropped(cl)
+      cl.join(dropped.withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("c_id"),
+          when(col("is_dropped").isNull, 1L).otherwise(0L)
+            .cast(LongType).as("kept"))
+    },
+
+    // ── hierarchical SemDeDup: the extreme-scale assignment rung ────
+    // Same contract and output shape as dedup_semantic, with the flat
+    // N·k nearest-centroid scoring replaced by the two-level
+    // coarse→fine routing of assignSemHier (≈2N√k dots instead of
+    // N·k). The within-cluster drop logic downstream is IDENTICAL —
+    // this row certifies that the hierarchical assignment is exactly
+    // reproducible cross-engine (three chained float argmaxes with
+    // deterministic tie-breaks), not that it equals the flat
+    // assignment (it is an approximation of it by design).
+    Q("dedup_semantic_hier",
+      s"""WITH v AS ($vectorsSql),
+         |n AS (SELECT vec_id, emb, ${sqlNormSq("emb")} AS nsq FROM v),
+         |kk AS (SELECT GREATEST($NumCentroids, count(*) // $SemClusterTarget) AS k FROM n),
+         |fc AS (SELECT vec_id AS c_id, emb AS c_emb, nsq AS c_nsq FROM n
+         |       WHERE vec_id < (SELECT k FROM kk)),
+         |gc AS (SELECT vec_id AS g_id, emb AS g_emb, nsq AS g_nsq FROM n
+         |       WHERE vec_id < (SELECT GREATEST($NumCentroids,
+         |         CAST(ceil(sqrt(k)) AS BIGINT)) FROM kk)),
+         |f2g AS (SELECT f_id, g_id FROM (
+         |    SELECT f.c_id AS f_id, g.g_id,
+         |      row_number() OVER (PARTITION BY f.c_id
+         |        ORDER BY ${sqlCosine(sqlDot("f.c_emb", "g.g_emb"), "f.c_nsq", "g.g_nsq")} DESC, g.g_id) AS rn
+         |    FROM fc f CROSS JOIN gc g) x WHERE rn = 1),
+         |v2g AS (SELECT vec_id, g_id FROM (
+         |    SELECT t.vec_id, g.g_id,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY ${sqlCosine(sqlDot("t.emb", "g.g_emb"), "t.nsq", "g.g_nsq")} DESC, g.g_id) AS rn
+         |    FROM n t CROSS JOIN gc g) x WHERE rn = 1),
+         |cl AS ($assignSemHierSql),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM cl a JOIN cl b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+         |  WHERE ${sqlCosine(sqlDot("a.emb", "b.emb"), "a.nsq", "b.nsq")} > CAST($SemTau AS DOUBLE))
+         |SELECT c.vec_id, c.c_id,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM cl c LEFT JOIN dropped d ON c.vec_id = d.vec_id""".stripMargin) {
+      (s, dir) =>
+      val cl = semHierClusteredVectors(s, dir).persist()
       val dropped = semanticDropped(cl)
       cl.join(dropped.withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
         .select(col("vec_id"), col("c_id"),

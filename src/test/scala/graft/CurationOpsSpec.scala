@@ -114,6 +114,45 @@ class CurationOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  // The hierarchical assignment's degenerate-case contract: below the
+  // adaptive knee kc = k = 8, so fine == coarse centroid sets, each
+  // fine centroid routes to itself (cosine exactly 1), and a vector's
+  // within-cell candidate list is exactly its coarse argmax — the
+  // hierarchical assignment must REPRODUCE the flat one bit-for-bit.
+  // Past the knee it is a genuine approximation (only within-cell
+  // optimality holds, certified by the registry oracle row); here we
+  // pin totality and that every assigned cell is a seed fine centroid.
+  test("semHierClusteredVectors: equals flat below the knee, total past it") {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val hier = graft.ops.SimilarityOps.semHierClusteredVectors(spark, dir)
+      .select("vec_id", "c_id").as[(Long, Long)].collect().toSet
+    val flat = graft.ops.SimilarityOps.semClusteredVectors(spark, dir)
+      .select("vec_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(hier === flat,
+      "below the knee the two-level routing must reproduce the flat assignment")
+
+    val n = 16384L // 16·SemClusterTarget -> k = 16, kc = 8: a real 2-level split
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft-semhier")
+    val tmp = tmpPath.toString
+    try {
+      spark.range(n).select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), " +
+            "j -> CAST(((id*31 + j*7) % 97 - 48) / 48.0 AS FLOAT))").as("embedding"),
+          lit("x").as("label"))
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val big = graft.ops.SimilarityOps.semHierClusteredVectors(spark, tmp)
+        .select("vec_id", "c_id").as[(Long, Long)].collect()
+      assert(big.length.toLong === n, "totality: every vector assigned")
+      assert(big.map(_._1).distinct.length.toLong === n, "exactly once each")
+      assert(big.forall(_._2 < 16L),
+        "every assignment lands on one of the 16 seed fine centroids")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("dedup_semantic: verdict covers the corpus and both classes occur") {
     val rows = run("dedup_semantic")
       .select("vec_id", "kept").as[(Long, Long)].collect()

@@ -124,7 +124,17 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // two scalar aggregates meet in one bounded cross join)
     "dedup_lsh_recall" -> 1,
     // same 1-row x 1-row summary attach over the sampled corpus
-    "dedup_lsh_recall_sampled" -> 1)
+    "dedup_lsh_recall_sampled" -> 1,
+    // FOUR executed broadcast cross joins (assignSem's two-pass argmax
+    // run twice: fine→coarse routing over k×kc rows and vector→coarse
+    // over N×kc — all O(centroid-table) broadcasts, same family as
+    // dedup_semantic's 2), multiplied in the PLAN STRING by the same
+    // stringification fan the dedup_semantic comment documents — 3
+    // refs to the persisted assignment × 2 AQE prints — TIMES the
+    // nested prints of the cached v2g routing relation and the
+    // unpersisted f2g table inside each within-cell pass: 72 printed
+    // occurrences, 4 executions
+    "dedup_semantic_hier" -> 72)
 
   private val planOnly =
     SparkEntry.queries.keySet - "pipeline_e2e" -- nljBudget.keySet
