@@ -903,6 +903,132 @@ object DedupOps {
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
   }
 
+  // ── disk-frugal sliced execution (scratch-bounded certification) ──
+  //
+  // The two exact all-pairs-flavored relations (dedup_shingle_cosine,
+  // dedup_allpairs) are the registry's only rows whose ONE-SHOT
+  // shuffle scratch outgrows a single host's free disk at sf100 (~45+
+  // GB for the postings self-join alone). On a real cluster the same
+  // shuffle spreads over every executor's local disks, so the registry
+  // plans are the right production shape — these sliced twins exist to
+  // CERTIFY those rows' results on a one-disk host: the pair-generating
+  // self-join keys on the shingle/prefix token, so restricting both
+  // sides to one deterministic hash-slice of the key space partitions
+  // the candidate work disjointly; each slice's bounded output lands in
+  // a scratch parquet and the slices' union reduces to the identical
+  // relation (co-occurrence counts sum across slices; candidate sets
+  // union-distinct). Invoked by graft.VerifySliced, never registered —
+  // the oracle replayed against the output is the registry row's own.
+
+  /** [[Q dedup_shingle_cosine]]'s exact relation via `slices`
+    * shingle-hash slices. Identity: the per-pair co-occurrence count
+    * c = Σ_i c_i over slices (each shared shingle lives in exactly one
+    * slice), and norms/df/threshold never touched the slicing. Memory,
+    * not disk, backs the reuse: the capped postings are persisted once
+    * and every slice filters the cache; each slice's only shuffles are
+    * its own 1/K-volume pair join + partial agg, and the scratch the
+    * slice leaves behind is surrendered before the next starts (the
+    * GC nudge lets ContextCleaner drop the finished slice's shuffle
+    * files — without it the K slices' files accumulate and re-create
+    * the very peak this method exists to avoid).
+    */
+  private[graft] def shingleCosineSliced(
+      s: SparkSession, dir: String, slices: Int, scratch: String): DataFrame = {
+    val tok = docsAug(s, dir).select(col("doc_id"), split(col("text"), " ").as("tokens"))
+    val sh = tok.filter(size(col("tokens")) >= 3)
+      .select(col("doc_id"), explode(shingles3(col("tokens"))).as("ss"))
+      .select(col("doc_id"), Cols.hex60(col("ss")).as("s"))
+      .persist()
+    val nsq = sh.groupBy("doc_id").agg(count(lit(1)).as("n")).persist()
+    nsq.count() // materialize norms before sh is released below
+    val dfq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val shc = sh.join(dfq.filter(col("df") <= CosineDfCap).select("s"), "s")
+      .persist()
+    shc.count()
+    sh.unpersist()
+    (0 until slices).foreach { i =>
+      val sl = shc.filter(pmod(xxhash64(col("s")), lit(slices)) === lit(i))
+      sl.as("a")
+        .join(sl.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(scratch)
+      System.gc()
+    }
+    shc.unpersist()
+    val common = s.read.parquet(scratch)
+      .groupBy("doc_a", "doc_b").agg(sum(col("c")).as("c"))
+    common
+      .join(nsq.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(nsq.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast(DoubleType) /
+          sqrt((col("na") * col("nb")).cast(DoubleType))).as("cosine"))
+      .filter(col("cosine") >= 0.5)
+  }
+
+  /** [[allPairsOverSets]]' exact relation via `slices` prefix-token
+    * hash slices over any (doc_id, text) corpus. Identity: a candidate
+    * pair generated by prefix tokens in several slices appears in each
+    * of their outputs — the cross-slice union is DISTINCT'd before the
+    * one verification pass, which is the registry plan's own (two hash
+    * joins against the compact per-doc set arrays + the codegen merge
+    * intersect). Slicing bounds only the candidate join, the scratch
+    * hog; the verification's shuffle is the candidate list + the set
+    * arrays, linear in docs and pairs.
+    */
+  private[graft] def allPairsSliced(
+      s: SparkSession, corpus: DataFrame, p: Int, q: Int,
+      slices: Int, scratch: String): DataFrame = {
+    val ss = shingleSets(corpus).persist()
+    val sh = ss.select(col("doc_id"), explode(col("shingles")).as("tok"))
+    val tr = sh.select(col("tok"), col("doc_id"),
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("tok")).as("df"))
+    val ranked = tr.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("rt"))
+      .withColumn("n", size(col("rt")).cast(LongType))
+    val pre = ranked
+      .select(col("doc_id"), col("n"),
+        posexplode(expr(s"slice(rt, 1, cast(n - ($p * n + ${q - 1}) div $q + 1 as int))"))
+          .as(Seq("pi", "p")))
+      .select(col("doc_id"), col("p.tok").as("tok"),
+        (col("pi") + 1).cast(LongType).as("pos"), col("n"))
+      .persist()
+    pre.count()
+    (0 until slices).foreach { i =>
+      val sl = pre.filter(pmod(xxhash64(col("tok")), lit(slices)) === lit(i))
+      sl.select(col("doc_id").as("doc_a"), col("tok"),
+          col("pos").as("pos_a"), col("n").as("n_a"))
+        .join(sl.select(col("doc_id").as("doc_b"), col("tok"),
+          col("pos").as("pos_b"), col("n").as("n_b")), Seq("tok"))
+        .filter(col("doc_a") < col("doc_b") &&
+          lit(q) * col("n_a") >= lit(p) * col("n_b") &&
+          lit(q) * col("n_b") >= lit(p) * col("n_a") &&
+          lit(1) + least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")) >=
+            expr(s"($p * (n_a + n_b) + ${p + q - 1}) div ${p + q}"))
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(scratch)
+      System.gc()
+    }
+    pre.unpersist()
+    val cand = s.read.parquet(scratch).distinct()
+    val iv = cand
+      .join(ss.select(col("doc_id").as("doc_a"),
+        sort_array(col("shingles")).as("st_a")), Seq("doc_a"))
+      .join(ss.select(col("doc_id").as("doc_b"),
+        sort_array(col("shingles")).as("st_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        sortedIntersectCount(col("st_a"), col("st_b")).as("n_inter"))
+    iv.filter(lit(q) * col("n_inter") >= lit(p) *
+        (col("n_a") + col("n_b") - col("n_inter")))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_inter"),
+        (col("n_inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
+
   /** Per-document cross-corpus duplicated-span fraction over any
     * (doc_id, text) corpus — the Spark body of `dedup_span_frac`,
     * factored out so SpanHardNegSpec can property-test it against a
