@@ -19,6 +19,18 @@ sides of the in-DB compare are evaluated by DuckDB (it reads the
 Spark parquet AND runs the oracle), so value normalization is
 engine-uniform; NaNs compare equal under DuckDB's hash semantics,
 matching the default path's repr() equality.
+
+--slice col:K (with --indb) replays each compare in K disjoint
+congruence slices of the named non-negative integer result column
+(skipped per query when the column is absent, and the row's recorded
+mode says which happened). For oracles whose windows and joins
+partition on that column — the SemDeDup assignment's row_number over
+vec_id is the motivating case — DuckDB pushes the slice filter below
+them, bounding the replay's working set and spill to ~1/K of the
+one-shot evaluation, which at sf100 otherwise outgrows the host's
+free disk. Summed counts + summed EXCEPT ALL diffs across slices
+prove the same multiset equality (the filter partitions both sides
+identically).
 """
 import json, sys, math
 import duckdb
@@ -41,7 +53,8 @@ def frame(rows, cols):
     return [cols[i] for i in order], out
 
 
-def main(sf_dir, out_dir, json_out=None, only=(), indb=False):
+def main(sf_dir, out_dir, json_out=None, only=(), indb=False,
+         slice_spec=None):
     con = duckdb.connect()
     if indb:
         # bounded + spillable: the sf100 compares join/hash hundreds of
@@ -68,6 +81,10 @@ def main(sf_dir, out_dir, json_out=None, only=(), indb=False):
         oracle = {k: v for k, v in oracle.items() if k in set(only)}
     n_pass = n_fail = 0
     results = {}
+    # per-query honest mode label: "indb-sliced(col:K)" ONLY when the
+    # slice column actually cut this query's compare (set per query
+    # below); everything else records plain "indb"
+    mode_holder = {"m": None}
 
     def record(name, err=None, rows=None, rows_match=False,
                schema_match=False, hash_match=False):
@@ -80,9 +97,10 @@ def main(sf_dir, out_dir, json_out=None, only=(), indb=False):
             # repr() hash — record that honestly so artifact consumers
             # can tell the two certifications apart
             results[name]["hash_match"] = None
-            results[name]["mode"] = "indb"
+            results[name]["mode"] = mode_holder["m"] or "indb"
 
     for name, sql in sorted(oracle.items()):
+        mode_holder["m"] = None
         if indb:
             spark_rel = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
             try:
@@ -111,26 +129,50 @@ def main(sf_dir, out_dir, json_out=None, only=(), indb=False):
                 n_fail += 1
                 continue
             cols = ", ".join(f'"{c}"' for c in sorted(gtypes))
-            try:
-                # materialize each side ONCE (heavy oracles replay the
-                # full minhash/simhash machinery — evaluating them per
-                # EXCEPT side would double that cost); temp tables obey
-                # memory_limit and spill to temp_directory
-                con.execute(f"CREATE OR REPLACE TEMP TABLE __g AS "
-                            f"SELECT {cols} FROM ({spark_rel})")
-                con.execute(f"CREATE OR REPLACE TEMP TABLE __e AS "
-                            f"SELECT {cols} FROM ({sql})")
-                n_spark = con.execute(
-                    "SELECT count(*) FROM __g").fetchone()[0]
-                n_diff = con.execute(
-                    "SELECT count(*) FROM ("
-                    "(SELECT * FROM __g EXCEPT ALL SELECT * FROM __e)"
-                    " UNION ALL "
-                    "(SELECT * FROM __e EXCEPT ALL SELECT * FROM __g))"
-                ).fetchone()[0]
-                con.execute("DROP TABLE IF EXISTS __g")
-                con.execute("DROP TABLE IF EXISTS __e")
-            except Exception as e:
+            # --slice col:K replays the oracle in K disjoint congruence
+            # slices of a non-negative integer result column instead of
+            # one evaluation — bounding the engine's working set (and
+            # its disk spill) to ~1/K when the oracle's own windows /
+            # joins partition on that column (DuckDB pushes the slice
+            # filter below them). The union of slices IS the relation:
+            # the filter partitions BOTH compare sides identically, so
+            # summed counts + summed symmetric EXCEPT ALL diffs prove
+            # the same multiset equality the one-shot compare does.
+            if slice_spec and slice_spec[0] in gtypes:
+                scol, k = slice_spec
+                cuts = [f" WHERE (\"{scol}\") % {k} = {i}" for i in range(k)]
+                mode_holder["m"] = f"indb-sliced({scol}:{k})"
+            else:
+                cuts = [""]
+            n_spark = n_diff = 0
+            err = None
+            for cut in cuts:
+                try:
+                    # materialize each side ONCE per slice (heavy
+                    # oracles replay the full minhash/simhash machinery
+                    # — evaluating them per EXCEPT side would double
+                    # that cost); temp tables obey memory_limit and
+                    # spill to temp_directory, and are dropped before
+                    # the next slice so slice spills never stack
+                    con.execute(f"CREATE OR REPLACE TEMP TABLE __g AS "
+                                f"SELECT {cols} FROM ({spark_rel}) __s{cut}")
+                    con.execute(f"CREATE OR REPLACE TEMP TABLE __e AS "
+                                f"SELECT {cols} FROM ({sql}) __t{cut}")
+                    n_spark += con.execute(
+                        "SELECT count(*) FROM __g").fetchone()[0]
+                    n_diff += con.execute(
+                        "SELECT count(*) FROM ("
+                        "(SELECT * FROM __g EXCEPT ALL SELECT * FROM __e)"
+                        " UNION ALL "
+                        "(SELECT * FROM __e EXCEPT ALL SELECT * FROM __g))"
+                    ).fetchone()[0]
+                    con.execute("DROP TABLE IF EXISTS __g")
+                    con.execute("DROP TABLE IF EXISTS __e")
+                except Exception as e:
+                    err = e
+                    break
+            if err is not None:
+                e = err
                 msg = str(e).splitlines()[0]
                 print(f"FAIL {name}: in-db compare error: {msg}")
                 record(name, err=f"in-db compare error: {msg}")
@@ -222,7 +264,7 @@ def main(sf_dir, out_dir, json_out=None, only=(), indb=False):
 
 def usage():
     print("usage: check_oracle.py <sf_dir> <out_dir> [--json ARTIFACT] "
-          "[--indb] [name ...]", file=sys.stderr)
+          "[--indb] [--slice col:K] [name ...]", file=sys.stderr)
     sys.exit(2)
 
 
@@ -230,9 +272,18 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     json_out = None
     indb = False
+    slice_spec = None
     if "--indb" in argv:
         indb = True
         argv.remove("--indb")
+    if "--slice" in argv:
+        i = argv.index("--slice")
+        if i + 1 >= len(argv) or ":" not in argv[i + 1]:
+            print("error: --slice requires col:K", file=sys.stderr)
+            usage()
+        scol, k = argv[i + 1].rsplit(":", 1)
+        slice_spec = (scol, int(k))
+        argv = argv[:i] + argv[i + 2:]
     if "--json" in argv:
         i = argv.index("--json")
         if i + 1 >= len(argv):
@@ -242,4 +293,5 @@ if __name__ == "__main__":
         argv = argv[:i] + argv[i + 2:]
     if len(argv) < 2:
         usage()
-    sys.exit(main(argv[0], argv[1], json_out, tuple(argv[2:]), indb=indb))
+    sys.exit(main(argv[0], argv[1], json_out, tuple(argv[2:]), indb=indb,
+                  slice_spec=slice_spec))

@@ -308,21 +308,35 @@ object SimilarityOps {
       .select(col("vec_id"), col("emb"), col("nsq"), col("c_id"))
   }
 
-  /** SQL twin of [[assignSem]] (row_number over the scalar-projected
-    * scores — bit-identical pick to the two-pass max/min-achiever
-    * argmax: highest cosv, ties to the smaller c_id).
+  /** SQL twin of [[assignSem]] — the SAME two-pass hash argmax as the
+    * Spark side since round 15 (it was a row_number window before):
+    * pass 1 hash-aggregates max(cosv) per vector, pass 2 re-scores the
+    * identical cross join, keeps bitwise max-achievers, min(c_id)
+    * tie-break. Equivalent pick to the old window (highest cosv, ties
+    * to the smaller c_id) — re-certified at the gate on the swap — but
+    * the replay's working set drops from the N·k scored rows the
+    * window had to materialize and sort (~100 GB at sf100: 2M vectors
+    * × k≈1953 — the one oracle whose sf100 replay could outgrow the
+    * certification host's disk) to two N-row aggregation tables; the
+    * N·k cosines stream through twice instead, mirroring exactly the
+    * sort-vs-recompute trade assignSem documents for Spark.
     */
   private def assignSemSql: String =
     s"""SELECT n2.vec_id, n2.emb, n2.nsq, z.c_id
        |FROM (
-       |  SELECT vec_id, c_id FROM (
-       |    SELECT s.vec_id, s.c_id,
-       |      row_number() OVER (PARTITION BY s.vec_id ORDER BY s.cosv DESC, s.c_id) AS crn
-       |    FROM (
-       |      SELECT t.vec_id, c.c_id,
+       |  SELECT s.vec_id, min(s.c_id) AS c_id
+       |  FROM (
+       |    SELECT t.vec_id, c.c_id,
+       |      ${sqlCosine(sqlDot("t.emb", "c.c_emb"), "t.nsq", "c.c_nsq")} AS cosv
+       |    FROM n t CROSS JOIN cents c) s
+       |  JOIN (
+       |    SELECT vec_id, max(cosv) AS best_cos FROM (
+       |      SELECT t.vec_id,
        |        ${sqlCosine(sqlDot("t.emb", "c.c_emb"), "t.nsq", "c.c_nsq")} AS cosv
-       |      FROM n t CROSS JOIN cents c) s) y
-       |  WHERE crn = 1) z
+       |      FROM n t CROSS JOIN cents c) p
+       |    GROUP BY vec_id) b
+       |    ON b.vec_id = s.vec_id AND s.cosv = b.best_cos
+       |  GROUP BY s.vec_id) z
        |JOIN n n2 ON n2.vec_id = z.vec_id""".stripMargin
 
   // ── hierarchical (two-level) SemDeDup assignment ──────────────────
