@@ -2,9 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
-/** Throwaway stage-timing probe (not part of the library surface). */
+/** Throwaway phase-timing probe (not part of the library surface).
+  * Round 15: breaks the two most expensive bench families into phases —
+  * the staged micro-batch stream rows (timeBounds / staging / stream
+  * run / read-back) and the LSH->star-contraction chain (pairs /
+  * contraction loop) — so the optimization targets the measured phase,
+  * not a guess.
+  */
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -17,63 +22,189 @@ object DevProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/target/sf1")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
       println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    val p = 3; val q = 5
-
-    // cumulative pipeline cuts; each built fresh (own persist) so the
-    // delta between consecutive warm runs isolates a stage's warm cost
-    def ssRel() = graft.ops.DedupOps.shingleSets(
-      Tables.load(spark, dir, "documents")).persist()
-    def shOf(ss: DataFrame) =
-      ss.select(col("doc_id"), explode(col("shingles")).as("tok"))
-    def trOf(ss: DataFrame) = shOf(ss).groupBy("tok")
-      .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("docs"))
-      .select(col("tok"), col("df"), explode(col("docs")).as("doc_id"))
-    def rankedOf(ss: DataFrame) = trOf(ss).groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("rt"))
-      .withColumn("n", size(col("rt")).cast(LongType))
-    def preOf(ss: DataFrame) = rankedOf(ss)
-      .select(col("doc_id"), col("n"),
-        posexplode(expr(s"slice(rt, 1, cast(n - ($p * n + ${q - 1}) div $q + 1 as int))"))
-          .as(Seq("pi", "p")))
-      .select(col("doc_id"), col("p.tok").as("tok"),
-        (col("pi") + 1).cast(LongType).as("pos"), col("n"))
-    def candOf(ss: DataFrame) = {
-      val pre = preOf(ss)
-      pre.select(col("doc_id").as("doc_a"), col("tok"),
-          col("pos").as("pos_a"), col("n").as("n_a"))
-        .join(pre.select(col("doc_id").as("doc_b"), col("tok"),
-          col("pos").as("pos_b"), col("n").as("n_b")), Seq("tok"))
-        .filter(col("doc_a") < col("doc_b") &&
-          lit(q) * col("n_a") >= lit(p) * col("n_b") &&
-          lit(q) * col("n_b") >= lit(p) * col("n_a") &&
-          lit(1) + least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")) >=
-            expr(s"($p * (n_a + n_b) + ${p + q - 1}) div ${p + q}"))
-        .select("doc_a", "doc_b", "n_a", "n_b")
-        .distinct()
-    }
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val cuts: Seq[(String, () => Unit)] = Seq(
-      "1 ss" -> (() => { val ss = ssRel(); noop(ss); ss.unpersist() }),
-      "2 tr" -> (() => { val ss = ssRel(); noop(trOf(ss)); ss.unpersist() }),
-      "3 ranked" -> (() => { val ss = ssRel(); noop(rankedOf(ss)); ss.unpersist() }),
-      "4 pre" -> (() => { val ss = ssRel(); noop(preOf(ss)); ss.unpersist() }),
-      "5 cand" -> (() => { val ss = ssRel(); noop(candOf(ss)); ss.unpersist() }),
-      "6 full" -> (() => {
-        noop(graft.ops.DedupOps.allPairsOverSets(ssRel(), p, q))
+    val which = if (args.isEmpty) Set("stream", "star") else args.toSet
+
+    if (which("stage")) {
+      import spark.implicits._
+      val ev = Tables.load(spark, dir, "events")
+        .filter(col("event_type").isin("view", "click"))
+        .select("event_id", "ts", "user_id", "event_type")
+      val (tminMs, tmaxMs) = ops.EventOps.timeBounds(ev)
+      val sentinel = Seq(
+        (-1L, new java.sql.Timestamp(tmaxMs + 3L * 3600 * 1000), -1L, "view"))
+        .toDF("event_id", "ts", "user_id", "event_type")
+      val rootA = s"${ops.Staging.dir(dir)}/probe_stage_old"
+      val rootB = s"${ops.Staging.dir(dir)}/probe_stage_new"
+      (1 to 3).foreach { pass =>
+        t(s"p$pass staging OLD") {
+          ops.EventOps.stageChunks(rootA,
+            ops.EventOps.timeChunks(ev, 3, tminMs, tmaxMs) :+ ("b4" -> sentinel),
+            tminMs)
+        }
+        t(s"p$pass staging NEW") {
+          ops.EventOps.stageChunksOnePass(rootB, ev, 3, tminMs, tmaxMs,
+            Seq(sentinel), tminMs)
+        }
+      }
+      // equivalence: per-file row multisets must match
+      (1 to 4).foreach { i =>
+        val a = spark.read.parquet(s"$rootA/src/b$i.parquet")
+        val b = spark.read.parquet(s"$rootB/src/b$i.parquet")
+        val d1 = a.exceptAll(b).count(); val d2 = b.exceptAll(a).count()
+        println(s"PROBE stage-equiv b$i exceptAll=$d1/$d2 rows=${a.count()}/${b.count()}")
+      }
+    }
+
+    if (which("stream")) {
+      import spark.implicits._
+      // warm the plan shapes once at sf0.001 (same as Bench)
+      t("warm q_stream_join_outer") {
+        noop(SparkEntry.queries("q_stream_join_outer")(spark, "/root/testdata/sf0.001"))
+      }
+      spark.catalog.clearCache()
+      // phase-by-phase replica of q_stream_join_outer's body
+      (1 to 2).foreach { pass =>
+        val ev = Tables.load(spark, dir, "events")
+          .filter(col("event_type").isin("view", "click"))
+          .select("event_id", "ts", "user_id", "event_type")
+        val root = s"${ops.Staging.dir(dir)}/probe_stream_join_outer"
+        val (tminMs, tmaxMs) = t(s"p$pass timeBounds") {
+          ops.EventOps.timeBounds(ev, sentinelKeys = Seq("user_id"))
+        }
+        val sentinelMs = tmaxMs + 3L * 3600 * 1000
+        val sentinel = Seq(
+          (-1L, new java.sql.Timestamp(sentinelMs), -1L, "view"),
+          (-2L, new java.sql.Timestamp(sentinelMs), -2L, "click"))
+          .toDF("event_id", "ts", "user_id", "event_type")
+        val src = t(s"p$pass staging") {
+          ops.EventOps.stageChunks(root,
+            ops.EventOps.timeChunks(ev, 3, tminMs, tmaxMs) :+ ("b4" -> sentinel),
+            tminMs)
+        }
+        val stream = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        // inline replica of runStreamAppend with per-batch progress dump
+        val readBack = t(s"p$pass stream-run") {
+          val out = s"$root/out"
+          val streamed =
+            ops.EventOps.viewClickStreamJoin(stream, joinType = "leftOuter")
+          val outSchema = streamed.schema
+          val savedParts = spark.conf.getOption("spark.sql.shuffle.partitions")
+          spark.conf.set("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("PROBE_STREAM_PARTS", "8"))
+          try {
+            val q = streamed.writeStream
+              .option("checkpointLocation", s"$root/ckpt")
+              .foreachBatch { (batch: DataFrame, _: Long) =>
+                sys.env.getOrElse("PROBE_SINK", "parquet") match {
+                  case "noop" => batch.write.format("noop").mode("overwrite").save()
+                  case "coalesce1" =>
+                    batch.coalesce(1).write.mode("append").parquet(out)
+                  case _ => batch.write.mode("append").parquet(out)
+                }
+                ()
+              }
+              .start()
+            try { q.processAllAvailable() } finally {
+              q.recentProgress.foreach { p =>
+                println(s"PROGRESS p$pass batch=${p.batchId} " +
+                  s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+              }
+              q.stop()
+            }
+          } finally savedParts match {
+            case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+            case None    => spark.conf.unset("spark.sql.shuffle.partitions")
+          }
+          spark.read.schema(outSchema).parquet(out)
+        }
+        t(s"p$pass read-back noop") {
+          try noop(readBack.filter(col("user_id") >= 0))
+          catch { case e: Throwable => println(s"read-back skipped: ${e.getMessage}") }
+        }
+      }
+    }
+
+    if (which("star")) {
+      t("warm dedup_components_star") {
+        noop(SparkEntry.queries("dedup_components_star")(spark, "/root/testdata/sf0.001"))
+      }
+      spark.catalog.clearCache()
+      (1 to 2).foreach { pass =>
+        val pairs = t(s"p$pass minhash pairs") {
+          val p = ops.DedupOps.minhashPairsDf(spark, dir)
+            .select(col("doc_a").as("a"), col("doc_b").as("b"))
+          p.persist(); noop(p); p
+        }
+        // inline replica of starFixpointEdges with per-phase timers
+        val (fix, rounds) = t(s"p$pass star loop") {
+          var e = t(s"p$pass star init distinct+ckpt") {
+            pairs
+              .select(greatest(col("a"), col("b")).as("u"),
+                least(col("a"), col("b")).as("v"))
+              .filter(col("u") =!= col("v")).distinct()
+              .localCheckpoint(true)
+          }
+          var converged = false
+          var iter = 0
+          while (!converged && iter < 64) {
+            val nbrs = e.select(col("u"), col("v"))
+              .union(e.select(col("v").as("u"), col("u").as("v")))
+            val mins = nbrs.groupBy("u")
+              .agg(least(min(col("v")), col("u")).as("m"))
+            val withM = nbrs.join(mins, "u")
+            val afterLarge = withM.filter(col("v") > col("u"))
+              .select(col("v").as("lu"), col("m").as("lv"))
+              .filter(col("lu") =!= col("lv"))
+              .select(col("lu").as("u"), col("lv").as("v")).distinct()
+            val nbrs2 = afterLarge.select(col("u"), col("v"))
+              .union(afterLarge.select(col("v").as("u"), col("u").as("v")))
+            val mins2 = nbrs2.groupBy("u")
+              .agg(least(min(col("v")), col("u")).as("m"))
+            val withM2 = nbrs2.join(mins2, "u")
+            val small = withM2.filter(col("v") < col("u"))
+              .select(col("v").as("su"), col("m").as("sv"))
+              .union(mins2.select(col("u").as("su"), col("m").as("sv")))
+            val next = t(s"p$pass star r$iter round ckpt") {
+              small.filter(col("su") =!= col("sv"))
+                .select(col("su").as("u"), col("sv").as("v")).distinct()
+                .localCheckpoint(true)
+            }
+            val diff = t(s"p$pass star r$iter diff") {
+              next.select(col("u"), col("v"))
+                .union(e.select(col("u"), col("v")))
+                .groupBy("u", "v").count()
+                .filter(col("count") === 1)
+                .limit(1).count()
+            }
+            e = next
+            converged = diff == 0
+            iter += 1
+          }
+          (e, iter)
+        }
+        println(s"PROBE p$pass star rounds=$rounds")
+        t(s"p$pass star labels noop") {
+          noop(fix.select(col("u").as("doc_id"), col("v").as("component")))
+        }
+        val (fixNew, roundsNew) = t(s"p$pass star loop NEW") {
+          ops.DedupOps.starFixpointEdges(pairs, edgesDistinctCanonical = true)
+        }
+        println(s"PROBE p$pass star NEW rounds=$roundsNew")
+        val d1 = fix.exceptAll(fixNew).count(); val d2 = fixNew.exceptAll(fix).count()
+        println(s"PROBE p$pass star equiv exceptAll=$d1/$d2")
         spark.catalog.clearCache()
-      }))
-    // pass 1 = cold (codegen etc.), pass 2 = warm
-    (1 to 2).foreach { pass =>
-      cuts.foreach { case (label, f) => t(s"pass$pass $label")(f()) }
+      }
     }
     spark.stop()
   }

@@ -401,10 +401,16 @@ object DedupOps {
       val viaNeighbors = und
         .join(labels, und("b") === labels("node"))
         .select(und("a").as("node"), col("label"))
+      // lazy checkpoint: the labelTotal aggregate below is the round's
+      // first action — it materializes the checkpoint blocks and
+      // computes the convergence total in ONE job (the eager variant
+      // paid a second full pass per round; same fusion as
+      // starFixpointEdges). The aggregate scans every partition, so
+      // the blocks are fully cached before the next round reads them.
       val next = labels.select(col("node"), col("label"))
         .union(viaNeighbors)
         .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nextTotal = labelTotal(next)
       // the eager checkpoint above materialized `next` from the prior
       // generation's blocks — that generation is dead now; drop its
@@ -485,8 +491,9 @@ object DedupOps {
     * the entire minhash band join + verification at result time for
     * rows the join was about to coalesce away.
     */
-  private[graft] def starMemberMap(edges: DataFrame): DataFrame =
-    starFixpointEdges(edges)._1
+  private[graft] def starMemberMap(edges: DataFrame,
+      edgesDistinctCanonical: Boolean = false): DataFrame =
+    starFixpointEdges(edges, edgesDistinctCanonical)._1
       .select(col("u").as("doc_id"), col("v").as("component"))
 
   /** Full (doc_id, component) labeling derived PURELY from the
@@ -500,8 +507,9 @@ object DedupOps {
     * (band join + verification, for the LSH graphs) at result time;
     * this variant's result plan reads only checkpointed blocks.
     */
-  private[graft] def starLabels(edges: DataFrame): DataFrame = {
-    val e = starFixpointEdges(edges)._1
+  private[graft] def starLabels(edges: DataFrame,
+      edgesDistinctCanonical: Boolean = false): DataFrame = {
+    val e = starFixpointEdges(edges, edgesDistinctCanonical)._1
     e.select(col("u").as("doc_id"), col("v").as("component"))
       .union(e.select(col("v").as("doc_id"), col("v").as("component")).distinct())
   }
@@ -511,7 +519,8 @@ object DedupOps {
     * orientation) and the round count. Shared by the full-contract
     * labeling and [[starMemberMap]].
     */
-  private[graft] def starFixpointEdges(edges: DataFrame): (DataFrame, Int) = {
+  private[graft] def starFixpointEdges(edges: DataFrame,
+      edgesDistinctCanonical: Boolean = false): (DataFrame, Int) = {
     // Lineage truncation per round: each round's plan references the
     // previous round's edge relation ~6 times (two neighbor unions, two
     // min-aggregations, two joins), so carrying logical lineage across
@@ -520,10 +529,16 @@ object DedupOps {
     // materializes the round's edges and cuts the plan back to a leaf.
     // (On a real cluster prefer reliable checkpoint(): localCheckpoint
     // pins blocks to executors and does not survive executor loss.)
-    // canonical orientation (u > v): every edge points big -> small
-    var e = edges
+    // canonical orientation (u > v): every edge points big -> small.
+    // `edgesDistinctCanonical`: callers whose edge relation is already
+    // a distinct set with one strict orientation (every verified-pair
+    // graph: doc_a < doc_b strictly, pairs distinct by construction)
+    // skip the init dedup exchange — the greatest/least swap of a
+    // strictly-oriented distinct set stays distinct.
+    val oriented = edges
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+      .filter(col("u") =!= col("v"))
+    var e = (if (edgesDistinctCanonical) oriented else oriented.distinct())
       .localCheckpoint(true)
     var converged = false
     var iter = 0
@@ -558,9 +573,18 @@ object DedupOps {
       val small = withM2.filter(col("v") < col("u"))
         .select(col("v").as("su"), col("m").as("sv"))
         .union(mins2.select(col("u").as("su"), col("m").as("sv")))
+      // LAZY checkpoint: the fixpoint probe below is the round's first
+      // action, so it materializes the checkpoint blocks AND computes
+      // the symmetric difference in ONE job — the eager variant paid a
+      // second full pass over the round plan just to cache it
+      // (measured ~0.15 s/round of pure re-scan at sf0.1). Lineage is
+      // still cut: the returned Dataset's plan is already the
+      // checkpointed-RDD leaf, and the diff aggregation computes every
+      // partition (its shuffle reads all of `next`), so the blocks are
+      // fully cached when the next round reads them.
       val next = small.filter(col("su") =!= col("sv"))
         .select(col("su").as("u"), col("sv").as("v")).distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // fixpoint: edge sets equal (both are distinct sets in canonical
       // orientation). One symmetric-difference job — bag-union the two
       // sets and look for any (u, v) seen exactly once — instead of two
@@ -1238,7 +1262,8 @@ object DedupOps {
       // result plan reads only the checkpointed star edges instead of
       // re-executing the band join for the node universe
       starLabels(minhashPairsDf(s, dir)
-        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .select(col("doc_a").as("a"), col("doc_b").as("b")),
+        edgesDistinctCanonical = true)
     },
 
     // Near-dup graph diagnostics: the degree distribution of the
@@ -1474,7 +1499,8 @@ object DedupOps {
       // root exactly once, so comp_size = member count + 1, and the
       // histogram plan reads only the checkpointed fixpoint edges.
       starMemberMap(minhashPairsDf(s, dir)
-        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .select(col("doc_a").as("a"), col("doc_b").as("b")),
+        edgesDistinctCanonical = true)
         .groupBy("component").agg((count(lit(1)) + 1).as("comp_size"))
         .groupBy("comp_size").agg(count(lit(1)).as("n_components"))
     },
@@ -1945,8 +1971,8 @@ object DedupOps {
         .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
       val root = s"${Staging.dir(dir)}/stream_neardup"
       val (tminMs, tmaxMs) = EventOps.timeBounds(docs)
-      val src = EventOps.stageChunks(root,
-        EventOps.timeChunks(docs, 3, tminMs, tmaxMs), tminMs)
+      val src = EventOps.stageChunksOnePass(root, docs, 3, tminMs, tmaxMs,
+        Nil, tminMs)
       // TTL covers the staged span plus the delay: no bucket is evicted
       // while the run is still arriving, so the oracle sees the full-
       // corpus screen; a production deployment sets its real horizon

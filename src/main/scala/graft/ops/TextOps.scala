@@ -613,7 +613,8 @@ object TextOps {
       // formulation the composed pipeline would ship at 100 TB
       val comp = DedupOps.starMemberMap(
         DedupOps.minhashPairsDf(s, dir)
-          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+          .select(col("doc_a").as("a"), col("doc_b").as("b")),
+        edgesDistinctCanonical = true)
         .withColumnRenamed("doc_id", "cid")
       DedupOps.docsAug(s, dir)
         .join(comp, col("doc_id") === col("cid"), "left")
@@ -657,7 +658,8 @@ object TextOps {
          |FROM r WHERE rn = 1 AND quality >= $QualityMin""".stripMargin) { (s, dir) =>
       val comp = DedupOps.starMemberMap(
         DedupOps.minhashPairsDf(s, dir)
-          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+          .select(col("doc_a").as("a"), col("doc_b").as("b")),
+        edgesDistinctCanonical = true)
         .withColumnRenamed("doc_id", "cid")
       // Per-family argmax as a hash AGGREGATE (max over a struct whose
       // fields are the ordering), not a row_number window: partial
@@ -715,7 +717,8 @@ object TextOps {
          |FROM fam""".stripMargin) { (s, dir) =>
       val comp = DedupOps.starMemberMap(
         DedupOps.minhashPairsDf(s, dir)
-          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+          .select(col("doc_a").as("a"), col("doc_b").as("b")),
+        edgesDistinctCanonical = true)
         .withColumnRenamed("doc_id", "cid")
       val wF = org.apache.spark.sql.expressions.Window.partitionBy("family")
       DedupOps.docsAug(s, dir)

@@ -59,6 +59,27 @@ class StarComponentsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"star contraction took $rounds rounds on a ${n}-node path (bound $bound)")
   }
 
+  test("edgesDistinctCanonical=true equals the default path on a distinct strictly-oriented edge set") {
+    // the minhash/simhash pair graphs are distinct with doc_a < doc_b
+    // strictly — the flag skips the init dedup exchange; the fixpoint
+    // must be identical edge for edge
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 120).map { _ =>
+      val a = rnd.nextInt(40).toLong; val b = a + 1 + rnd.nextInt(20)
+      (a, b)
+    }.distinct.toDF("a", "b") // distinct, a < b strictly
+    val (fixDefault, _) = DedupOps.starFixpointEdges(edges)
+    val (fixCanon, _) =
+      DedupOps.starFixpointEdges(edges, edgesDistinctCanonical = true)
+    assert(fixDefault.exceptAll(fixCanon).count() === 0L)
+    assert(fixCanon.exceptAll(fixDefault).count() === 0L)
+    // and the member map built on the flag matches the full labeling
+    // contract for non-root members
+    val full = labels(DedupOps.connectedComponentsStar(edges))
+    val member = labels(DedupOps.starMemberMap(edges, edgesDistinctCanonical = true))
+    member.foreach { case (d, c) => assert(full(d) == c) }
+  }
+
   test("star labels isolated star centers as themselves") {
     val edges = Seq((5L, 9L), (9L, 7L), (100L, 101L)).toDF("a", "b")
     val got = labels(DedupOps.connectedComponentsStar(edges))

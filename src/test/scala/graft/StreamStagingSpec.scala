@@ -55,6 +55,37 @@ class StreamStagingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.count() === 0L)
   }
 
+  test("stageChunksOnePass stages the exact same per-file row sets as stageChunks") {
+    // the one-pass tag formula ((unix_millis(ts) - tmin) div step) must
+    // reproduce timeChunks' half-open filter ranges file for file —
+    // including the trailing sentinel chunk and the mtime ladder the
+    // file source orders batches by
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    val (tmin, tmax) = ops.EventOps.timeBounds(ev)
+    val sentinel = Seq(
+      (-1L, new java.sql.Timestamp(tmax + 3L * 3600 * 1000), -1L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val rootA = "target/staging/test_stage_old"
+    val rootB = "target/staging/test_stage_new"
+    ops.EventOps.stageChunks(rootA,
+      ops.EventOps.timeChunks(ev, 3, tmin, tmax) :+ ("b4" -> sentinel), tmin)
+    ops.EventOps.stageChunksOnePass(rootB, ev, 3, tmin, tmax, Seq(sentinel), tmin)
+    (1 to 4).foreach { i =>
+      val fa = new java.io.File(s"$rootA/src/b$i.parquet")
+      val fb = new java.io.File(s"$rootB/src/b$i.parquet")
+      assert(fa.isFile && fb.isFile, s"b$i missing")
+      assert(fa.lastModified === fb.lastModified, s"b$i mtime ladder differs")
+      val a = spark.read.parquet(fa.getPath)
+      val b = spark.read.parquet(fb.getPath)
+      assert(a.schema.fieldNames.toSeq === b.schema.fieldNames.toSeq,
+        s"b$i column order differs")
+      assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L,
+        s"b$i row multisets differ")
+    }
+  }
+
   test("every fixture row is on-time under any monotone chunking (boundary rows included)") {
     // the max-ts row must land in the LAST chunk (the half-open range
     // arithmetic adds +1 per cut; an off-by-one here would silently
