@@ -3,6 +3,38 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Plan-dump helper: writes `explain("formatted")` of each named query
+  * to `<outDir>/<name>.txt` (the committed plans/r15 evidence files).
+  * Usage: runMain graft.PlanDump <outDir> <query>...
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.head
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    new java.io.File(outDir).mkdirs()
+    args.tail.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/$name.txt"), plan)
+      println(s"PLAN $name written")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
+
 /** Throwaway phase-timing probe (not part of the library surface).
   * Round 15: breaks the two most expensive bench families into phases —
   * the staged micro-batch stream rows (timeBounds / staging / stream
@@ -131,6 +163,92 @@ object DevProbe {
         t(s"p$pass read-back noop") {
           try noop(readBack.filter(col("user_id") >= 0))
           catch { case e: Throwable => println(s"read-back skipped: ${e.getMessage}") }
+        }
+      }
+    }
+
+    if (which("cosine")) {
+      t("warm dedup_shingle_cosine") {
+        noop(SparkEntry.queries("dedup_shingle_cosine")(spark, "/root/testdata/sf0.001"))
+      }
+      spark.catalog.clearCache()
+      (1 to 2).foreach { pass =>
+        val tok = ops.DedupOps.docsAug(spark, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+          .filter(size(col("tokens")) >= 3)
+        val shOld = tok
+          .select(col("doc_id"), explode(ops.DedupOps.shingles3(col("tokens"))).as("ss"))
+          .select(col("doc_id"), Cols.hex60(col("ss")).as("s"))
+        val shNew = tok
+          .select(col("doc_id"),
+            explode(ops.DedupOps.hashedShingles(col("tokens"), 3)).as("s"))
+        t(s"p$pass sh OLD (explode strings + hex60)") { noop(shOld) }
+        t(s"p$pass sh NEW (explode native hashed set)") { noop(shNew) }
+        if (pass == 1) {
+          val d1 = shOld.exceptAll(shNew).count()
+          val d2 = shNew.exceptAll(shOld).count()
+          println(s"PROBE cosine sh equiv exceptAll=$d1/$d2")
+        }
+        t(s"p$pass full query") {
+          noop(SparkEntry.queries("dedup_shingle_cosine")(spark, dir))
+        }
+        spark.catalog.clearCache()
+      }
+    }
+
+    if (which("argmax")) {
+      import org.apache.spark.sql.types.LongType
+      t("warm curate_rep_quality") {
+        noop(SparkEntry.queries("curate_rep_quality")(spark, "/root/testdata/sf0.001"))
+      }
+      spark.catalog.clearCache()
+      def famRel() = {
+        val comp = ops.DedupOps.starMemberMap(
+          ops.DedupOps.minhashPairsDf(spark, dir)
+            .select(col("doc_a").as("a"), col("doc_b").as("b")),
+          edgesDistinctCanonical = true)
+          .withColumnRenamed("doc_id", "cid")
+        ops.DedupOps.docsAug(spark, dir)
+          .join(comp, col("doc_id") === col("cid"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("family"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+            ops.TextOps.qualityCol(col("text")).as("quality"))
+      }
+      (1 to 2).foreach { pass =>
+        t(s"p$pass argmax OLD sort-agg") {
+          val fam = famRel()
+          noop(fam.groupBy("family")
+            .agg(max(struct(
+              coalesce(col("quality"), lit(-1.0)).as("qkey"),
+              (-col("doc_id")).as("negid"),
+              col("doc_id"), col("n_tokens"), col("quality"))).as("w"))
+            .filter(col("w.quality") >= 0.44))
+          spark.catalog.clearCache()
+        }
+        t(s"p$pass argmax two-pass PERSIST") {
+          val fam = famRel().persist()
+          val best = fam.groupBy("family")
+            .agg(max(coalesce(col("quality"), lit(-1.0))).as("best_q"))
+          val tied = fam.join(best, "family")
+            .filter(coalesce(col("quality"), lit(-1.0)) === col("best_q"))
+          val winner = tied.groupBy("family").agg(min(col("doc_id")).as("win_id"))
+          noop(tied.join(winner, "family")
+            .filter(col("doc_id") === col("win_id"))
+            .filter(col("quality") >= 0.44))
+          spark.catalog.clearCache()
+        }
+        t(s"p$pass argmax two-pass NOPERSIST") {
+          val fam = famRel()
+          val best = fam.groupBy("family")
+            .agg(max(coalesce(col("quality"), lit(-1.0))).as("best_q"))
+          val tied = fam.join(best, "family")
+            .filter(coalesce(col("quality"), lit(-1.0)) === col("best_q"))
+          val winner = tied.groupBy("family").agg(min(col("doc_id")).as("win_id"))
+          noop(tied.join(winner, "family")
+            .filter(col("doc_id") === col("win_id"))
+            .filter(col("quality") >= 0.44))
+          spark.catalog.clearCache()
         }
       }
     }

@@ -219,7 +219,7 @@ object DedupOps {
        |FROM documents WHERE doc_id % 13 = 0""".stripMargin
 
   /** Word 3-gram shingles (distinct), for docs with >= 3 tokens. */
-  private[ops] def shingles3(tokens: Column): Column =
+  private[graft] def shingles3(tokens: Column): Column =
     array_distinct(transform(sequence(lit(1), size(tokens) - 2), i =>
       concat(element_at(tokens, i), lit(" "),
         element_at(tokens, i + 1), lit(" "),

@@ -661,30 +661,41 @@ object TextOps {
           .select(col("doc_a").as("a"), col("doc_b").as("b")),
         edgesDistinctCanonical = true)
         .withColumnRenamed("doc_id", "cid")
-      // Per-family argmax as a hash AGGREGATE (max over a struct whose
-      // fields are the ordering), not a row_number window: partial
-      // aggregation map-side, no per-partition sort, same one shuffle.
-      // The comparison key replays the oracle's ORDER BY quality DESC
-      // NULLS LAST, doc_id: coalesce(quality, -1) ranks every real
-      // score above a NULL one (quality is non-negative; an all-NULL
-      // family's winner fails the floor either way), and -doc_id
-      // breaks ties toward the LOWEST id. negid is unique, so the
-      // payload fields after it never decide a comparison.
-      DedupOps.docsAug(s, dir)
+      // Per-family argmax as a TWO-PASS primitive-buffer hash
+      // aggregate — the round-14 assignSem discipline. The previous
+      // max(struct(qkey, negid, payload)) formulation planned as a
+      // partial SORT-aggregate (struct buffers are not hash-aggregable),
+      // which sorts the ENTIRE corpus relation by family inside every
+      // partition before the first combine — the exact plan shape the
+      // r14 fix removed from SemDeDup because it died at sf100. Pass 1:
+      // max(coalesce(quality, -1)) per family — primitive buffer,
+      // genuine map-side combine (coalesce ranks every real score above
+      // NULL; quality is non-negative, and an all-NULL family's winner
+      // fails the floor either way). Pass 2: keep the max-achievers and
+      // take min(doc_id) — the oracle's ORDER BY quality DESC NULLS
+      // LAST, doc_id tie-break. The family relation is NOT persisted —
+      // the two passes recompute it (the assignSem discipline: two
+      // linear passes beat caching corpus-width rows), and the
+      // equality filter is safe because the deterministic codegen'd
+      // expression re-derives bit-identical doubles on both passes
+      // (spec-pinned for assignSem, same machinery); every family
+      // keeps >= 1 row by construction (the max is one of its values).
+      val fam = DedupOps.docsAug(s, dir)
         .join(comp, col("doc_id") === col("cid"), "left")
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("family"),
           size(tokens(col("text"))).cast(LongType).as("n_tokens"),
           qualityCol(col("text")).as("quality"))
-        .groupBy("family")
-        .agg(max(struct(
-          coalesce(col("quality"), lit(-1.0)).as("qkey"),
-          (-col("doc_id")).as("negid"),
-          col("doc_id"), col("n_tokens"), col("quality"))).as("w"))
-        .filter(col("w.quality") >= QualityMin)
-        .select(col("w.doc_id").as("doc_id"), col("family"),
-          col("w.n_tokens").as("n_tokens"), col("w.quality").as("quality"),
-          splitCol(col("w.doc_id")).as("split"))
+      val best = fam.groupBy("family")
+        .agg(max(coalesce(col("quality"), lit(-1.0))).as("best_q"))
+      val tied = fam.join(best, "family")
+        .filter(coalesce(col("quality"), lit(-1.0)) === col("best_q"))
+      val winner = tied.groupBy("family").agg(min(col("doc_id")).as("win_id"))
+      tied.join(winner, "family")
+        .filter(col("doc_id") === col("win_id"))
+        .filter(col("quality") >= QualityMin)
+        .select(col("doc_id"), col("family"), col("n_tokens"), col("quality"),
+          splitCol(col("doc_id")).as("split"))
     },
 
     // ── leakage-free train/val/test split across near-dup families ──
