@@ -574,25 +574,38 @@ object DedupOps {
         .select(col("v").as("su"), col("m").as("sv"))
         .union(mins2.select(col("u").as("su"), col("m").as("sv")))
       // LAZY checkpoint: the fixpoint probe below is the round's first
-      // action, so it materializes the checkpoint blocks AND computes
-      // the symmetric difference in ONE job — the eager variant paid a
-      // second full pass over the round plan just to cache it
-      // (measured ~0.15 s/round of pure re-scan at sf0.1). Lineage is
-      // still cut: the returned Dataset's plan is already the
-      // checkpointed-RDD leaf, and the diff aggregation computes every
-      // partition (its shuffle reads all of `next`), so the blocks are
-      // fully cached when the next round reads them.
+      // action, so it materializes the checkpoint blocks AND decides
+      // convergence in ONE job — the eager variant paid a second full
+      // pass over the round plan just to cache it (measured
+      // ~0.15 s/round of pure re-scan at sf0.1). Lineage is still cut:
+      // the returned Dataset's plan is already the checkpointed-RDD
+      // leaf, and the probe aggregation computes every partition (its
+      // shuffle reads all of `next`), so the blocks are fully cached
+      // when anything reads them next.
       val next = small.filter(col("su") =!= col("sv"))
         .select(col("su").as("u"), col("sv").as("v")).distinct()
         .localCheckpoint(false)
-      // fixpoint: edge sets equal (both are distinct sets in canonical
-      // orientation). One symmetric-difference job — bag-union the two
-      // sets and look for any (u, v) seen exactly once — instead of two
-      // anti-join jobs: half the probe shuffles per round.
-      val diff = next.select(col("u"), col("v"))
-        .union(e.select(col("u"), col("v")))
-        .groupBy("u", "v").count()
-        .filter(col("count") === 1)
+      // Fixpoint probe: a distinct big→small edge set is a fixpoint of
+      // the alternating contraction IFF it is a disjoint min-star set —
+      // every u has out-degree exactly 1 and never itself appears as a
+      // center (v). Proof both ways: on such a set, large-star maps
+      // every member's only (larger-side) view to its center and
+      // small-star reproduces each (member, center) edge while the
+      // center's self-link is filtered, so the set maps to itself; and
+      // the Kiveris et al. fixpoint is disjoint stars in exactly this
+      // orientation. Checking the SHAPE of `next` directly replaces the
+      // old compute-next-round-and-compare probe, which always paid ONE
+      // EXTRA full contraction round just to observe an unchanged edge
+      // set (the common 2-round dedup graph converges in half the
+      // jobs). One bag-union + one hash agg, same cost as the old
+      // symmetric-difference probe.
+      val diff = next.select(col("u").as("node"),
+          lit(1L).as("outd"), lit(0L).as("ctr"))
+        .union(next.select(col("v").as("node"), lit(0L).as("outd"),
+          lit(1L).as("ctr")))
+        .groupBy("node")
+        .agg(sum(col("outd")).as("outd"), max(col("ctr")).as("ctr"))
+        .filter(col("outd") > 1 || (col("outd") > 0 && col("ctr") > 0))
         .limit(1).count()
       // Dataset.unpersist would be a no-op on this checkpointed
       // relation (see dropLocalCheckpoint) — drop the superseded

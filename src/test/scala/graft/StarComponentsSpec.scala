@@ -59,6 +59,18 @@ class StarComponentsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"star contraction took $rounds rounds on a ${n}-node path (bound $bound)")
   }
 
+  test("an input that is already a disjoint min-star set converges in ONE round") {
+    // the fixpoint probe recognizes star shape directly on the round's
+    // output — it must not pay an extra confirmation round (the old
+    // compute-and-compare probe always did)
+    val stars = Seq((5L, 1L), (9L, 1L), (7L, 1L), (12L, 10L)).toDF("a", "b")
+    val (df, rounds) = DedupOps.connectedComponentsStarWithRounds(stars)
+    assert(rounds == 1, s"star-shaped input took $rounds rounds")
+    val got = labels(df)
+    assert(got == Map(5L -> 1L, 9L -> 1L, 7L -> 1L, 1L -> 1L,
+      12L -> 10L, 10L -> 10L))
+  }
+
   test("edgesDistinctCanonical=true equals the default path on a distinct strictly-oriented edge set") {
     // the minhash/simhash pair graphs are distinct with doc_a < doc_b
     // strictly — the flag skips the init dedup exchange; the fixpoint
