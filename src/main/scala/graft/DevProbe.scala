@@ -167,6 +167,125 @@ object DevProbe {
       }
     }
 
+    if (which("codec")) {
+      // pure-JVM codec micro-profile: where does mm_video_* CPU go?
+      import ops.MultimodalOps.{ImageCodec, VideoCodec}
+      val ids = (1L to 5000L).toArray
+      def time(label: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        f
+        println(f"PROBE codec $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      (1 to 2).foreach { pass =>
+        var vids: Array[Array[Byte]] = null
+        time(s"p$pass synthVideo x5000") {
+          vids = ids.map(id =>
+            VideoCodec.synthVideo(id, (id % 12 + 4).toInt, (id % 9 + 3).toInt))
+        }
+        println(s"PROBE codec bytes total=${vids.map(_.length.toLong).sum}")
+        time(s"p$pass decodeSampledFrames x5000") {
+          var acc = 0L
+          vids.foreach { v => VideoCodec.decodeSampledFrames(v).foreach(acc += _._1) }
+          if (acc == -1) print("")
+        }
+        time(s"p$pass synthPng x5000") {
+          ids.foreach(id => ImageCodec.synthPng(id, (id % 12 + 4).toInt, (id % 9 + 3).toInt))
+        }
+        val pngs = ids.map(id => ImageCodec.synthPng(id, (id % 12 + 4).toInt, (id % 9 + 3).toInt))
+        time(s"p$pass decodeStats x5000") {
+          var acc = 0L
+          pngs.foreach(p => acc += ImageCodec.decodeStats(p).sumR)
+          if (acc == -1) print("")
+        }
+      }
+    }
+
+    if (which("codegen")) {
+      // Attribute the per-micro-batch addBatch floor (~0.6-1.0 s even for
+      // 0-row batches, round-15 measurement): hypothesis — the watermark
+      // literal changes every batch, so every codegen'd span's SOURCE
+      // differs per batch, the CodeGenerator cache misses, and janino
+      // recompiles the whole query every micro-batch. CodegenMetrics is
+      // Spark's own compile counter: delta across a stream run = compiles
+      // paid by that run.
+      import org.apache.spark.metrics.source.CodegenMetrics
+      import spark.implicits._
+      def compiles(): (Long, Long) = {
+        val h = CodegenMetrics.METRIC_COMPILATION_TIME
+        val s = CodegenMetrics.METRIC_SOURCE_CODE_SIZE
+        (h.getCount, s.getCount)
+      }
+      t("warm q_stream_join_outer") {
+        noop(SparkEntry.queries("q_stream_join_outer")(spark, "/root/testdata/sf0.001"))
+      }
+      spark.catalog.clearCache()
+      def runOnce(label: String, dials: Map[String, String]): Unit = {
+        val ev = Tables.load(spark, dir, "events")
+          .filter(col("event_type").isin("view", "click"))
+          .select("event_id", "ts", "user_id", "event_type")
+        val (tminMs, tmaxMs) = ops.EventOps.timeBounds(ev, sentinelKeys = Seq("user_id"))
+        val sentinelMs = tmaxMs + 3L * 3600 * 1000
+        val sentinel = Seq(
+          (-1L, new java.sql.Timestamp(sentinelMs), -1L, "view"),
+          (-2L, new java.sql.Timestamp(sentinelMs), -2L, "click"))
+          .toDF("event_id", "ts", "user_id", "event_type")
+        val root = s"${ops.Staging.dir(dir)}/probe_codegen"
+        val src = ops.EventOps.stageChunksOnePass(root, ev, 3, tminMs, tmaxMs,
+          Seq(sentinel), tminMs)
+        val stream = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val streamed = ops.EventOps.viewClickStreamJoin(stream, joinType = "leftOuter")
+        val outSchema = streamed.schema
+        val saved = dials.keys.map(k => k -> spark.conf.getOption(k)).toMap
+        dials.foreach { case (k, v) => spark.conf.set(k, v) }
+        val savedParts = spark.conf.getOption("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        val (c0, s0) = compiles()
+        try {
+          val out = s"$root/out"
+          val q = streamed.writeStream
+            .option("checkpointLocation", s"$root/ckpt")
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(out); ()
+            }
+            .start()
+          val tRun0 = System.nanoTime()
+          try { q.processAllAvailable() } finally {
+            val dt = (System.nanoTime() - tRun0) / 1e9
+            val (c1, s1) = compiles()
+            println(f"PROBE codegen[$label] stream-run $dt%.2f s compiles=${c1 - c0} sources=${s1 - s0}")
+            q.recentProgress.foreach { p =>
+              val d = p.durationMs
+              println(s"PROBE codegen[$label] batch=${p.batchId} rows=${p.numInputRows} " +
+                s"addBatch=${d.get("addBatch")} planning=${d.get("queryPlanning")} " +
+                s"total=${d.get("triggerExecution")}")
+            }
+            q.stop()
+          }
+          val rb = spark.read.schema(outSchema).parquet(s"$root/out")
+            .filter(col("user_id") >= 0)
+          println(s"PROBE codegen[$label] result rows=${rb.count()} " +
+            s"hash=${rb.selectExpr("sum(hash(*))").head().getLong(0)}")
+        } finally {
+          savedParts match {
+            case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+            case None    => spark.conf.unset("spark.sql.shuffle.partitions")
+          }
+          saved.foreach {
+            case (k, Some(v)) => spark.conf.set(k, v)
+            case (k, None)    => spark.conf.unset(k)
+          }
+        }
+      }
+      (1 to 2).foreach { pass =>
+        runOnce(s"p$pass default", Map.empty)
+        runOnce(s"p$pass noWSCG", Map("spark.sql.codegen.wholeStage" -> "false"))
+        runOnce(s"p$pass noCodegen", Map(
+          "spark.sql.codegen.wholeStage" -> "false",
+          "spark.sql.codegen.factoryMode" -> "NO_CODEGEN"))
+      }
+    }
+
     if (which("cosine")) {
       t("warm dedup_shingle_cosine") {
         noop(SparkEntry.queries("dedup_shingle_cosine")(spark, "/root/testdata/sf0.001"))

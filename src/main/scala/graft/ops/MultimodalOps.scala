@@ -120,18 +120,27 @@ object MultimodalOps {
     def decodeStats(png: Array[Byte]): ImgStats = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
       require(img != null, "payload is not a decodable image")
+      statsOf(img)
+    }
+
+    /** Per-channel sums over an ALREADY-decoded raster — split out so
+      * callers that must hold the decoded image anyway (the per-frame
+      * video path) fold it directly instead of paying a second full
+      * PNG inflate through [[decodeStats]]. One bulk getRGB call per
+      * raster: same default-sRGB conversion as the per-pixel getRGB,
+      * without a color-model dispatch per pixel.
+      */
+    def statsOf(img: java.awt.image.BufferedImage): ImgStats = {
+      val w = img.getWidth; val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       var sr = 0L; var sg = 0L; var sb = 0L
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          val rgb = img.getRGB(x, y)
-          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < px.length) {
+        val rgb = px(i)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        i += 1
       }
-      ImgStats(img.getWidth, img.getHeight, sr, sg, sb)
+      ImgStats(w, h, sr, sg, sb)
     }
   }
 
@@ -142,7 +151,16 @@ object MultimodalOps {
     */
   def encodePngs(s: SparkSession, dir: String): Dataset[PngRow] = {
     import s.implicits._
+    // The fixture corpus is one small parquet file -> one input split,
+    // and the whole encode->decode mapPartitions chain is opaque to
+    // Spark, so without this every mm_* codec row ran single-core
+    // (measured: the full png+video codec work is ~2.6 s on ONE thread
+    // at sf0.1 — the row's entire cost). The shuffle moves only 8-byte
+    // doc ids; payload synthesis and decode then spread across the
+    // session's parallelism — exactly what a real many-file 100 TB
+    // media table gives the scan for free (same shape as docsAug).
     Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         PngRow(id, ImageCodec.synthPng(id, (id % 12 + 4).toInt, (id % 9 + 3).toInt))
       })
@@ -329,6 +347,14 @@ object MultimodalOps {
     */
   def encodeWavs(s: SparkSession, dir: String): Dataset[WavRow] = {
     import s.implicits._
+    // Deliberately NOT spread like encodePngs/encodeVideos: every
+    // AudioSystem.write / getAudioInputStream call resolves its file
+    // writer/reader through JDK13Services.getProviders, a synchronized
+    // STATIC in the JDK — 32 concurrent per-row codec calls serialize
+    // on that lock and measured 2.5x SLOWER than the single-split scan
+    // (0.50 s -> 1.27 s at sf0.1). javax.imageio has no such global
+    // lock, which is why the image/video paths fan out and this one
+    // stays sequential; the codec itself is microseconds per row.
     Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => WavRow(id, AudioCodec.synthWav(id))))
   }
@@ -448,12 +474,14 @@ object MultimodalOps {
         val (off, len) = table(i)
         require(off >= 0 && len > 0 && off + len <= video.length,
           s"frame $i extent [$off, ${off + len}) outside ${video.length}-byte payload")
+        // decode ONCE and fold stats from that raster: the old shape
+        // decoded the frame a second time through decodeStats (plus a
+        // copyOfRange) just to reuse its fold — doubling the inflate
+        // work of the whole video path for identical statistics
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
           video, off.toInt, len))
         require(img != null, s"frame $i is not a decodable image")
-        val st = ImageCodec.decodeStats(
-          java.util.Arrays.copyOfRange(video, off.toInt, off.toInt + len))
-        (i.toLong, st)
+        (i.toLong, ImageCodec.statsOf(img))
       }
     }
 
@@ -479,7 +507,10 @@ object MultimodalOps {
     */
   def encodeVideos(s: SparkSession, dir: String): Dataset[VideoRow] = {
     import s.implicits._
+    // single-file scan -> one split; spread the id list before the
+    // opaque codec chain (see encodePngs for the measured rationale)
     Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         VideoRow(id, VideoCodec.synthVideo(id, (id % 12 + 4).toInt, (id % 9 + 3).toInt))
       })
