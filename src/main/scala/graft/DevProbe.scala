@@ -167,6 +167,24 @@ object DevProbe {
       }
     }
 
+    if (which("plantime")) {
+      // dedup_semantic_hier owns the registry's largest plan (~4.4k
+      // formatted lines): how much of its bench time is the DRIVER
+      // planning (analyze+optimize+physical-plan) vs executing?
+      Seq("dedup_semantic_hier", "dedup_semantic", "curate_rep_quality").foreach { name =>
+        t(s"warm $name") {
+          noop(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
+        }
+        spark.catalog.clearCache()
+        (1 to 2).foreach { pass =>
+          val df = SparkEntry.queries(name)(spark, dir)
+          t(s"$name p$pass plan-only") { df.queryExecution.executedPlan }
+          t(s"$name p$pass execute") { noop(df) }
+          spark.catalog.clearCache()
+        }
+      }
+    }
+
     if (which("codec")) {
       // pure-JVM codec micro-profile: where does mm_video_* CPU go?
       import ops.MultimodalOps.{ImageCodec, VideoCodec}
@@ -284,6 +302,71 @@ object DevProbe {
           "spark.sql.codegen.wholeStage" -> "false",
           "spark.sql.codegen.factoryMode" -> "NO_CODEGEN"))
       }
+    }
+
+    if (which("streamfs")) {
+      // Attribute the residual per-batch floor: how much of addBatch is
+      // checkpoint/state DURABILITY I/O (WAL + state delta fsyncs on
+      // the root disk) vs scheduling/compute? Same stream, checkpoint +
+      // sink on disk vs tmpfs — the delta is the fsync bill. This is an
+      // attribution experiment only; the shipped rows keep the durable
+      // checkpoint (exactly-once is the operator's contract).
+      import spark.implicits._
+      t("warm q_stream_join_outer") {
+        noop(SparkEntry.queries("q_stream_join_outer")(spark, "/root/testdata/sf0.001"))
+      }
+      spark.catalog.clearCache()
+      def runAt(label: String, root: String): Unit = {
+        val ev = Tables.load(spark, dir, "events")
+          .filter(col("event_type").isin("view", "click"))
+          .select("event_id", "ts", "user_id", "event_type")
+        val (tminMs, tmaxMs) = ops.EventOps.timeBounds(ev, sentinelKeys = Seq("user_id"))
+        val sentinelMs = tmaxMs + 3L * 3600 * 1000
+        val sentinel = Seq(
+          (-1L, new java.sql.Timestamp(sentinelMs), -1L, "view"),
+          (-2L, new java.sql.Timestamp(sentinelMs), -2L, "click"))
+          .toDF("event_id", "ts", "user_id", "event_type")
+        val src = ops.EventOps.stageChunksOnePass(root, ev, 3, tminMs, tmaxMs,
+          Seq(sentinel), tminMs)
+        val stream = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val streamed = ops.EventOps.viewClickStreamJoin(stream, joinType = "leftOuter")
+        val savedParts = spark.conf.getOption("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val out = s"$root/out"
+          val q = streamed.writeStream
+            .option("checkpointLocation", s"$root/ckpt")
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(out); ()
+            }
+            .start()
+          val t0 = System.nanoTime()
+          try { q.processAllAvailable() } finally {
+            val dt = (System.nanoTime() - t0) / 1e9
+            println(f"PROBE streamfs[$label] stream-run $dt%.2f s")
+            q.recentProgress.foreach { p =>
+              val d = p.durationMs
+              println(s"PROBE streamfs[$label] batch=${p.batchId} rows=${p.numInputRows} " +
+                s"addBatch=${d.get("addBatch")} wal=${d.get("walCommit")} " +
+                s"offsets=${d.get("commitOffsets")} total=${d.get("triggerExecution")}")
+            }
+            q.stop()
+          }
+        } finally savedParts match {
+          case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+          case None    => spark.conf.unset("spark.sql.shuffle.partitions")
+        }
+      }
+      (1 to 2).foreach { pass =>
+        runAt(s"p$pass disk", s"${ops.Staging.dir(dir)}/probe_streamfs")
+        runAt(s"p$pass tmpfs", "/dev/shm/graft_probe_streamfs")
+      }
+      // clean the tmpfs scratch
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File("/dev/shm/graft_probe_streamfs"))
     }
 
     if (which("cosine")) {
