@@ -218,6 +218,81 @@ object DevProbe {
       }
     }
 
+    if (which("audiolock")) {
+      // pure-JVM audio-codec concurrency probe: does the WAV
+      // synth/decode path scale across threads (i.e. is the
+      // JDK13Services provider lock really bypassed by the direct SPI
+      // dispatch), independent of any Spark task overhead?
+      import ops.MultimodalOps.AudioCodec
+      val ids = (1L to 5000L).toArray
+      val wavs = ids.map(AudioCodec.synthWav)
+      def run(threads: Int, label: String)(work: Array[Long] => Long): Unit = {
+        val t0 = System.nanoTime()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        val slices = ids.grouped(math.max(1, ids.length / threads)).toArray
+        val futs = slices.map { slice =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = work(slice)
+          })
+        }
+        val tot = futs.map(_.get()).sum
+        pool.shutdown()
+        println(f"PROBE audiolock $label threads=$threads%2d " +
+          f"${(System.nanoTime() - t0) / 1e9}%.3f s (acc=$tot)")
+      }
+      def synthWork(slice: Array[Long]): Long =
+        slice.map(id => AudioCodec.synthWav(id).length.toLong).sum
+      def decodeWork(slice: Array[Long]): Long =
+        slice.map(id => AudioCodec.decodeStats(wavs((id - 1).toInt)).sumL).sum
+      // isolate: provider selection only (which readers throw before WAVE?)
+      import scala.jdk.CollectionConverters._
+      val readers = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala.toList
+      println(s"PROBE audiolock readers=${readers.map(_.getClass.getSimpleName)}")
+      val waveReader = readers.find { r =>
+        try { r.getAudioInputStream(new java.io.ByteArrayInputStream(wavs(0))); true }
+        catch { case _: Exception => false }
+      }.get
+      println(s"PROBE audiolock matching=${waveReader.getClass.getName}")
+      def selectWork(slice: Array[Long]): Long =
+        slice.map { id =>
+          val ais = waveReader.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wavs((id - 1).toInt)))
+          ais.getFormat.getChannels.toLong
+        }.sum
+      def readWork(slice: Array[Long]): Long =
+        slice.map { id =>
+          val ais = waveReader.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wavs((id - 1).toInt)))
+          ais.readAllBytes().length.toLong
+        }.sum
+      def rejectWork(r: javax.sound.sampled.spi.AudioFileReader)(
+          slice: Array[Long]): Long =
+        slice.map { id =>
+          try {
+            r.getAudioInputStream(
+              new java.io.ByteArrayInputStream(wavs((id - 1).toInt)))
+            1L
+          } catch { case _: Exception => 0L }
+        }.sum
+      (1 to 2).foreach { pass =>
+        run(1, s"synth    p$pass")(synthWork)
+        run(32, s"synth    p$pass")(synthWork)
+        run(1, s"decode   p$pass")(decodeWork)
+        run(32, s"decode   p$pass")(decodeWork)
+        run(1, s"selectWv p$pass")(selectWork)
+        run(32, s"selectWv p$pass")(selectWork)
+        run(1, s"readWv   p$pass")(readWork)
+        run(32, s"readWv   p$pass")(readWork)
+        readers.foreach { r =>
+          val nm = r.getClass.getSimpleName.take(12)
+          run(1, s"rej:$nm p$pass")(rejectWork(r))
+          run(32, s"rej:$nm p$pass")(rejectWork(r))
+        }
+      }
+    }
+
     if (which("codegen")) {
       // Attribute the per-micro-batch addBatch floor (~0.6-1.0 s even for
       // 0-row batches, round-15 measurement): hypothesis — the watermark

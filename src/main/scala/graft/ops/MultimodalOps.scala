@@ -268,6 +268,39 @@ object MultimodalOps {
       */
     def nFrames(docId: Long): Int = (docId % 40 + 8).toInt
 
+    // AudioSystem.write / AudioSystem.getAudioInputStream resolve
+    // their provider through JDK13Services.getProviders — a
+    // synchronized STATIC in java.desktop — so per-row codec calls
+    // from 32 executor threads serialize on one JVM-global lock
+    // (measured: fanning encodeWavs out under AudioSystem ran 2.5x
+    // SLOWER than a single core, 0.50 s -> 1.27 s at sf0.1). The SPI
+    // providers themselves (WaveFileReader / WaveFileWriter) are
+    // stateless; loading them ONCE through the PUBLIC ServiceLoader
+    // SPI and dispatching directly is what AudioSystem does per call
+    // minus the lock — same provider classes, byte-identical output —
+    // and restores linear fan-out for the audio rows at any scale.
+    private lazy val fileWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala.toList
+    }
+    // SoftMidiAudioFileReader (the Gervill MIDI-to-audio render bridge)
+    // is excluded: MIDI is a score format, not a sampled-audio
+    // container, and merely REJECTING a non-MIDI stream routes through
+    // MidiSystem's provider lookup — the same synchronized JVM-global
+    // registry — at ~42 us/row, 90% of the whole decode cost and the
+    // residual serialization point (probe: rejecting 5k WAVs took
+    // 0.21 s on 1 thread, 0.34 s on 32; every sampled-audio reader
+    // rejects in 2-5 us and scales linearly).
+    private lazy val fileReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala.toList
+        .filterNot(_.getClass.getSimpleName == "SoftMidiAudioFileReader")
+    }
+
     /** Sample value at (frame i, channel ch): a signed 16-bit value,
       * deterministic on (doc_id, i, ch), mirrored verbatim in the
       * mm_audio_decode oracle SQL. All-integer math — bit-identical
@@ -296,8 +329,12 @@ object MultimodalOps {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(bytes), pcmFormat, n.toLong)
       val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      // direct SPI dispatch (see fileWriters above) — the same
+      // supported-type probe AudioSystem.write runs, without the lock
+      val w = fileWriters.find(_.isFileTypeSupported(wave, ais))
+        .getOrElse(sys.error("no WAVE AudioFileWriter available in this JVM"))
+      w.write(ais, wave, bos)
       bos.toByteArray
     }
 
@@ -313,8 +350,25 @@ object MultimodalOps {
       * mismatch desyncs from the oracle immediately.
       */
     def decodeStats(wav: Array[Byte]): WavStats = {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(wav))
+      // direct SPI dispatch (see fileReaders above): first provider
+      // that recognizes the container wins — AudioSystem's own loop,
+      // without the lock. Unrecognized bytes surface as the same
+      // UnsupportedAudioFileException the quarantine route expects.
+      val ais = {
+        var res: javax.sound.sampled.AudioInputStream = null
+        val it = fileReaders.iterator
+        while (res == null && it.hasNext) {
+          val r = it.next()
+          try res = r.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+          }
+        }
+        if (res == null)
+          throw new javax.sound.sampled.UnsupportedAudioFileException(
+            "Stream of unsupported format")
+        res
+      }
       val f = ais.getFormat
       require(f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
         f.getSampleSizeInBits == 16 && f.getChannels == 2,
@@ -347,15 +401,15 @@ object MultimodalOps {
     */
   def encodeWavs(s: SparkSession, dir: String): Dataset[WavRow] = {
     import s.implicits._
-    // Deliberately NOT spread like encodePngs/encodeVideos: every
-    // AudioSystem.write / getAudioInputStream call resolves its file
-    // writer/reader through JDK13Services.getProviders, a synchronized
-    // STATIC in the JDK — 32 concurrent per-row codec calls serialize
-    // on that lock and measured 2.5x SLOWER than the single-split scan
-    // (0.50 s -> 1.27 s at sf0.1). javax.imageio has no such global
-    // lock, which is why the image/video paths fan out and this one
-    // stays sequential; the codec itself is microseconds per row.
+    // Spread like encodePngs/encodeVideos (single-split fixture scan,
+    // see the comment there). This was impossible while the codec went
+    // through AudioSystem — its per-call provider resolution serializes
+    // every thread on a JVM-global lock (measured 2.5x SLOWER spread,
+    // 0.50 s -> 1.27 s at sf0.1); AudioCodec now dispatches to the same
+    // SPI providers directly (see fileWriters/fileReaders above), so the
+    // audio chain fans out like the image/video ones.
     Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map(id => WavRow(id, AudioCodec.synthWav(id))))
   }
 

@@ -77,6 +77,37 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert((st.sumL, st.sumR, st.minL, st.maxR) === (sl, sr, mnl, mxr))
   }
 
+  test("AudioCodec's direct SPI dispatch is byte/stat-identical to AudioSystem") {
+    // The codec bypasses AudioSystem's synchronized per-call provider
+    // resolution by dispatching to the same ServiceLoader providers
+    // directly (MultimodalOps.AudioCodec fileWriters/fileReaders).
+    // Pin that the bypass changes NOTHING observable: the emitted
+    // container is byte-identical to AudioSystem.write's, and decoding
+    // through AudioSystem.getAudioInputStream yields the same frames.
+    for (id <- Seq(1L, 42L, 97L)) {
+      val wav = MultimodalOps.AudioCodec.synthWav(id)
+      val n = MultimodalOps.AudioCodec.nFrames(id)
+      val pcm = new Array[Byte](n * 4)
+      for (i <- 0 until n; ch <- 0 until 2) {
+        val v = MultimodalOps.AudioCodec.sample(id, i, ch)
+        pcm(i * 4 + ch * 2) = (v & 0xff).toByte
+        pcm(i * 4 + ch * 2 + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      assert(java.util.Arrays.equals(wav, bos.toByteArray),
+        s"doc $id: SPI-written WAV differs from AudioSystem.write's")
+      val sys = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      assert(java.util.Arrays.equals(sys.readAllBytes(), pcm),
+        s"doc $id: AudioSystem decodes different frames than were encoded")
+    }
+  }
+
   test("AudioCodec.decodeStats rejects undecodable payloads loudly") {
     val truncated = MultimodalOps.AudioCodec.synthWav(7L).take(8)
     intercept[Exception] {
