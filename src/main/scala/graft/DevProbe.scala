@@ -293,6 +293,117 @@ object DevProbe {
       }
     }
 
+    if (which("imglock")) {
+      // ImageIO.read/write resolve their reader/writer through the
+      // IIORegistry service lookup per call. Is that scan a meaningful
+      // share of the small-PNG decode/encode cost, and does a cached
+      // per-thread reader/writer dispatch beat it?
+      import ops.MultimodalOps.ImageCodec
+      val ids = (1L to 5000L).toArray
+      val pngs = ids.map(id => ImageCodec.synthPng(id, (id % 12 + 4).toInt, (id % 9 + 3).toInt))
+      def run(threads: Int, label: String)(work: Array[Long] => Long): Unit = {
+        val t0 = System.nanoTime()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        val futs = ids.grouped(math.max(1, ids.length / threads)).toArray
+          .map(sl => pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = work(sl)
+          }))
+        val tot = futs.map(_.get()).sum
+        pool.shutdown()
+        println(f"PROBE imglock $label threads=$threads%2d " +
+          f"${(System.nanoTime() - t0) / 1e9}%.3f s (acc=$tot)")
+      }
+      def viaImageIO(slice: Array[Long]): Long =
+        slice.map { id =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(pngs((id - 1).toInt)))
+          img.getWidth.toLong
+        }.sum
+      // cached reader SPI, one reader instance per call (readers are
+      // not thread-safe, but creating from a cached SPI skips the scan)
+      val rspi = {
+        import scala.jdk.CollectionConverters._
+        javax.imageio.spi.IIORegistry.getDefaultInstance
+          .getServiceProviders(classOf[javax.imageio.spi.ImageReaderSpi], true)
+          .asScala.find(_.getFormatNames.exists(_.equalsIgnoreCase("png"))).get
+      }
+      def viaSpi(slice: Array[Long]): Long =
+        slice.map { id =>
+          val r = rspi.createReaderInstance()
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(pngs((id - 1).toInt)))
+          r.setInput(iis)
+          val img = r.read(0)
+          r.dispose(); iis.close()
+          img.getWidth.toLong
+        }.sum
+      def encIO(slice: Array[Long]): Long =
+        slice.map { id =>
+          ImageCodec.synthPng(id, (id % 12 + 4).toInt, (id % 9 + 3).toInt).length.toLong
+        }.sum
+      // faithful mirror of ImageIO.read: cached SPI list, per-call
+      // canDecodeInput scan in registry order, first claimant reads
+      val allSpis = {
+        import scala.jdk.CollectionConverters._
+        javax.imageio.spi.IIORegistry.getDefaultInstance
+          .getServiceProviders(classOf[javax.imageio.spi.ImageReaderSpi], true)
+          .asScala.toList
+      }
+      println(s"PROBE imglock spis=${allSpis.map(_.getFormatNames.headOption.getOrElse("?"))}")
+      def viaMirror(slice: Array[Long]): Long =
+        slice.map { id =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(pngs((id - 1).toInt)))
+          val spi = allSpis.find(_.canDecodeInput(iis)).get
+          val r = spi.createReaderInstance()
+          r.setInput(iis)
+          val img = r.read(0)
+          r.dispose(); iis.close()
+          img.getWidth.toLong
+        }.sum
+      val wspi = {
+        import scala.jdk.CollectionConverters._
+        javax.imageio.spi.IIORegistry.getDefaultInstance
+          .getServiceProviders(classOf[javax.imageio.spi.ImageWriterSpi], true)
+          .asScala.find(_.getFormatNames.exists(_.equalsIgnoreCase("png"))).get
+      }
+      def encSpi(slice: Array[Long]): Long =
+        slice.map { id =>
+          val w = (id % 12 + 4).toInt; val h = (id % 9 + 3).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y,
+                (ImageCodec.pixel(id, x, y, 0) << 16) |
+                  (ImageCodec.pixel(id, x, y, 1) << 8) |
+                  ImageCodec.pixel(id, x, y, 2))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val wr = wspi.createWriterInstance()
+          wr.setOutput(ios)
+          wr.write(img)
+          wr.dispose(); ios.close()
+          bos.toByteArray.length.toLong
+        }.sum
+      (1 to 2).foreach { pass =>
+        run(1, s"readIO   p$pass")(viaImageIO)
+        run(32, s"readIO   p$pass")(viaImageIO)
+        run(1, s"readMirr p$pass")(viaMirror)
+        run(32, s"readMirr p$pass")(viaMirror)
+        run(1, s"encIO    p$pass")(encIO)
+        run(32, s"encIO    p$pass")(encIO)
+        run(1, s"encSpi   p$pass")(encSpi)
+        run(32, s"encSpi   p$pass")(encSpi)
+      }
+    }
+
     if (which("codegen")) {
       // Attribute the per-micro-batch addBatch floor (~0.6-1.0 s even for
       // 0-row batches, round-15 measurement): hypothesis — the watermark

@@ -108,6 +108,34 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("ImageCodec.readImage matches ImageIO.read's contract exactly") {
+    // readImage hoists ImageIO.read's per-call registry scan (the SPI
+    // list) but must be observably identical: same raster for valid
+    // bytes, null when no reader claims the bytes, and the same
+    // mid-stream failure when a claimant cannot finish the decode.
+    for (id <- Seq(1L, 42L, 97L)) {
+      val png = MultimodalOps.ImageCodec.synthPng(
+        id, (id % 12 + 4).toInt, (id % 9 + 3).toInt)
+      val a = MultimodalOps.ImageCodec.readImage(png)
+      val b = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(a.getWidth === b.getWidth && a.getHeight === b.getHeight)
+      val pa = a.getRGB(0, 0, a.getWidth, a.getHeight, null, 0, a.getWidth)
+      val pb = b.getRGB(0, 0, b.getWidth, b.getHeight, null, 0, b.getWidth)
+      assert(java.util.Arrays.equals(pa, pb),
+        s"doc $id: readImage raster differs from ImageIO.read's")
+    }
+    // no claimant: both return null
+    val junk = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    assert(MultimodalOps.ImageCodec.readImage(junk) === null)
+    assert(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(junk)) === null)
+    // claimed-but-corrupt: PNG magic intact, stream truncated — both throw
+    val truncated = MultimodalOps.ImageCodec.synthPng(7L, 8, 6).take(24)
+    intercept[Exception] { MultimodalOps.ImageCodec.readImage(truncated) }
+    intercept[Exception] {
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(truncated))
+    }
+  }
+
   test("AudioCodec.decodeStats rejects undecodable payloads loudly") {
     val truncated = MultimodalOps.AudioCodec.synthWav(7L).take(8)
     intercept[Exception] {
