@@ -392,6 +392,47 @@ object DevProbe {
           wr.dispose(); ios.close()
           bos.toByteArray.length.toLong
         }.sum
+      // raster fill alone: per-pixel setRGB vs one bulk setRGB call
+      def fillPx(slice: Array[Long]): Long =
+        slice.map { id =>
+          val w = (id % 12 + 4).toInt; val h = (id % 9 + 3).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y,
+                (ImageCodec.pixel(id, x, y, 0) << 16) |
+                  (ImageCodec.pixel(id, x, y, 1) << 8) |
+                  ImageCodec.pixel(id, x, y, 2))
+              x += 1
+            }
+            y += 1
+          }
+          img.getRGB(0, 0).toLong
+        }.sum
+      def fillBulk(slice: Array[Long]): Long =
+        slice.map { id =>
+          val w = (id % 12 + 4).toInt; val h = (id % 9 + 3).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              px(y * w + x) =
+                (ImageCodec.pixel(id, x, y, 0) << 16) |
+                  (ImageCodec.pixel(id, x, y, 1) << 8) |
+                  ImageCodec.pixel(id, x, y, 2)
+              x += 1
+            }
+            y += 1
+          }
+          img.setRGB(0, 0, w, h, px, 0, w)
+          img.getRGB(0, 0).toLong
+        }.sum
       (1 to 2).foreach { pass =>
         run(1, s"readIO   p$pass")(viaImageIO)
         run(32, s"readIO   p$pass")(viaImageIO)
@@ -401,6 +442,10 @@ object DevProbe {
         run(32, s"encIO    p$pass")(encIO)
         run(1, s"encSpi   p$pass")(encSpi)
         run(32, s"encSpi   p$pass")(encSpi)
+        run(1, s"fillPx   p$pass")(fillPx)
+        run(32, s"fillPx   p$pass")(fillPx)
+        run(1, s"fillBulk p$pass")(fillBulk)
+        run(32, s"fillBulk p$pass")(fillBulk)
       }
     }
 
